@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): face-embedding extraction throughput on
+LightCNN-9, embeddings/sec/chip, target >= 10,000/s on a TPU v5e chip.
+``vs_baseline`` is value / 10_000.
+
+Run on the real chip: ``python bench.py`` (honors JAX_PLATFORMS from env).
+Extra diagnostics go to stderr; the single stdout line is the contract.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+BASELINE_EMB_PER_SEC = 10_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_lightcnn9_extraction(batch_size: int = 256, n_batches: int = 32) -> float:
+    """Time ``n_batches`` forward passes chained in ONE lax.scan program with
+    a scalar fetch at the end. A host-side dispatch loop cannot be trusted
+    here: on the tunneled device, block_until_ready returns before execution
+    completes, so per-call timing under-counts; a single dispatch whose
+    result value is fetched to host measures true device wall-clock."""
+    import functools
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.distances import (
+        l2_normalize,
+    )
+
+    model = LightCNN9(num_classes=1000, dtype=jnp.bfloat16)
+    # generate inputs on device: avoids pushing ~1 GB through the host link
+    xs = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (n_batches, batch_size, 128, 128, 1), jnp.float32)
+    )(jax.random.PRNGKey(1))
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, 128, 128, 1),
+                                                           np.float32))
+
+    @jax.jit
+    def extract_all(variables, xs):
+        def body(acc, x):
+            _, feat = model.apply(variables, x, train=False)
+            return acc + l2_normalize(feat).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
+        return acc
+
+    t0 = time.perf_counter()
+    _ = float(extract_all(variables, xs))
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s; "
+        f"devices={jax.devices()}")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(extract_all(variables, xs))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return batch_size * n_batches / dt
+
+
+def main():
+    try:
+        emb_per_sec = bench_lightcnn9_extraction()
+    except Exception as e:  # report failure as a parseable zero
+        log(f"bench failed: {type(e).__name__}: {e}")
+        print(json.dumps({
+            "metric": "lightcnn9_embeddings_per_sec_per_chip",
+            "value": 0.0, "unit": "embeddings/s",
+            "vs_baseline": 0.0, "error": str(e)[:200],
+        }))
+        return
+    print(json.dumps({
+        "metric": "lightcnn9_embeddings_per_sec_per_chip",
+        "value": round(emb_per_sec, 1),
+        "unit": "embeddings/s",
+        "vs_baseline": round(emb_per_sec / BASELINE_EMB_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+"""CLI entry points, 1:1 with the reference scripts (SURVEY.md §1 L3):
+
+- ``train_backbone``  <- train_efm.py (joint softmax + triplet LightCNN-29)
+- ``train_head``      <- pre-trained_efm_v3.py (linear head over features)
+- ``train_final``     <- final_efm.py (frozen backbone + 342-d head)
+- ``extract_features``<- extract_feacture_v2.py
+- ``eval_cos``        <- test_efm_v2.py (no-training cosine distributions)
+- ``draw_cos``        <- draw_cos_dis_real.py
+- ``slice_dataset``   <- feature_extraction/c_version/slice_celeb1m.py
+- ``lfw_eval``        (new: generates the LFW baseline; SURVEY.md §6)
+- ``align``           <- feature_extraction/facenet_version/align_dataset_mtcnn.py
+
+Run as ``python -m improving_face_recognition_performance_using_triplet_loss_tpu.cli.<name>``.
+"""

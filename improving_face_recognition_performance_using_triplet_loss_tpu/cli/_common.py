@@ -1,0 +1,28 @@
+"""Shared CLI plumbing: logging to timestamped file + stdout (the reference's
+per-run logging setup, train_efm.py:171-175), typed config echo."""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import sys
+
+
+def setup_logging(out_dir: str, name: str) -> logging.Logger:
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    logging.basicConfig(
+        filename=os.path.join(out_dir, f"{name}{stamp}.log"),
+        level=logging.INFO,
+        force=True,
+    )
+    root = logging.getLogger()
+    handler = logging.StreamHandler(sys.stdout)
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+    return logging.getLogger(name)
+
+
+def log_config(log: logging.Logger, args) -> None:
+    log.info("config: %s", {k: v for k, v in sorted(vars(args).items())})

@@ -1,0 +1,72 @@
+"""Batch feature extraction (reference C11, extract_feacture_v2.py:43-109).
+
+The reference loads the symbol graph, groups the ``fc2_output`` ID logits and
+``concat29_output`` 342-d feature internals, and streams RecordIO batches
+through the net, writing L2-normalized rows to CSV one row at a time — a
+host-side normalize + IO loop per row (SURVEY.md §3.3). Here the forward,
+normalization, and accuracy all run on device in one jitted program; the host
+only concatenates ready result arrays.
+
+Target: >= 10k embeddings/sec/chip on LightCNN (BASELINE.md) — see bench.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.distances import l2_normalize
+
+
+def make_extract_fn(model, *, normalize: bool = True):
+    """Jitted (variables, images) -> (logits, features[, normalized])."""
+
+    @jax.jit
+    def fn(variables, images):
+        logits, feat = model.apply(variables, images, train=False)
+        if normalize:
+            feat = l2_normalize(feat)
+        return logits, feat
+
+    return fn
+
+
+def extract_features(
+    model,
+    variables,
+    images: np.ndarray,
+    labels: np.ndarray | None = None,
+    *,
+    batch_size: int = 256,
+    normalize: bool = True,
+) -> tuple[np.ndarray, np.ndarray | None, float]:
+    """Extract embeddings for all rows; returns (features, labels, accuracy).
+
+    Pads the final partial batch (the reference drops it) so every input row
+    gets an embedding. ``accuracy`` is top-1 ID accuracy when labels given.
+    """
+    fn = make_extract_fn(model, normalize=normalize)
+    n = images.shape[0]
+    feats_out = []
+    correct = 0
+    counted = 0
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)], 0)
+        logits, feat = fn(variables, jnp.asarray(chunk))
+        feat = np.asarray(feat)[: batch_size - pad]
+        feats_out.append(feat)
+        if labels is not None:
+            pred = np.asarray(jnp.argmax(logits, -1))[: batch_size - pad]
+            lab = np.asarray(labels[start:start + batch_size])
+            correct += int((pred == lab).sum())
+            counted += lab.shape[0]
+    features = np.concatenate(feats_out, 0)
+    acc = correct / counted if counted else float("nan")
+    return features, (None if labels is None else np.asarray(labels)), acc

@@ -1,0 +1,180 @@
+"""LightCNN embedding networks with MFM/EFM activations (flax.linen, NHWC).
+
+``LightCNN29`` transcribes the reference's gluon ``LightCNN_29``
+(reference lightcnn.py:73-133): 5 conv groups with the filter ladder
+99/198/387/261/261 and residual-block counts [1, 2, 3, 4], 2x2/2 max-pool
+after each group, Dense(1026) -> EFM3 -> BatchNorm = 684-d feature branch,
+Dropout(0.7) + Dense(num_classes) = ID branch. Returns ``(logits, feature)``.
+
+``LightCNN9`` is the classic 9-layer LightCNN (MFM-2) used for the
+throughput benchmark (BASELINE.json metric: "Face embeddings/sec/chip
+(LightCNN-9)"); it has no reference code — built from the LightCNN paper.
+
+TPU-first notes: channel-last layout so the MFM channel slices are lane
+slices; convolutions run on the MXU in the configured ``dtype`` (bfloat16 by
+default for inference/training compute, float32 params). The channel counts
+are kept exactly as the reference for parity; XLA pads lanes to 128 where
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.mfm import efm3, mfm2
+
+
+class EFMConv(nn.Module):
+    """Conv + 3-way EFM, with an optional 1x1-conv+EFM pre-stage.
+
+    Mirrors the reference's ``efm`` HybridBlock (lightcnn.py:6-39):
+    ``pre_filters > 0`` corresponds to ``efm_type=1`` (1x1 conv -> EFM3 ->
+    KxK conv -> EFM3); ``pre_filters == 0`` to ``efm_type=0`` (KxK conv ->
+    EFM3 only).
+    """
+
+    filters: int                       # reference num_filter1 (main conv)
+    pre_filters: int = 0               # reference num_filter (1x1 pre-conv)
+    kernel: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.pre_filters > 0:
+            x = nn.Conv(self.pre_filters, (1, 1), dtype=self.dtype, name="pre_conv")(x)
+            x = efm3(x)
+        x = nn.Conv(
+            self.filters,
+            tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return efm3(x)
+
+
+class EFMResBlock(nn.Module):
+    """Residual EFM block chain (reference ``res_block``, lightcnn.py:41-71).
+
+    Each of ``num_blocks`` iterations: EFM3 -> 3x3 conv(filters) -> EFM3 ->
+    3x3 conv(filters*2/3) -> + identity. Channel-preserving: input/output
+    channels are ``filters * 2 // 3``.
+    """
+
+    num_blocks: int
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_ch = (self.filters * 2) // 3
+        assert x.shape[-1] == out_ch, (
+            f"EFMResBlock(filters={self.filters}) expects {out_ch} input "
+            f"channels, got {x.shape[-1]}"
+        )
+        for i in range(self.num_blocks):
+            h = efm3(x)
+            h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_a_{i}")(h)
+            h = efm3(h)
+            h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_b_{i}")(h)
+            x = x + h
+        return x
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class LightCNN29(nn.Module):
+    """LightCNN-29 with 3-way EFM; 684-d feature + ID logits.
+
+    Input: [B, H, W, 1] grayscale in [0, 1] (reference trains at 128x128,
+    train_efm.py:154-155). Returns ``(logits [B, num_classes],
+    feature [B, 684])`` matching lightcnn.py:120-133's ``(out, fc1_out)``.
+    """
+
+    num_classes: int
+    dtype: Any = jnp.float32
+    feature_dim: int = 684  # = 1026 * 2 / 3, lightcnn.py:111,123-128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        d = self.dtype
+        x = x.astype(d)
+        # group 1 (lightcnn.py:82-83): 5x5 conv 99 -> EFM -> pool
+        x = EFMConv(filters=99, kernel=(5, 5), dtype=d, name="group1")(x)
+        x = _maxpool2(x)
+        # groups 2-5 (lightcnn.py:86-107)
+        ladder = [  # (res_blocks, res_filters, pre_filters, conv_filters)
+            (1, 99, 99, 198),
+            (2, 198, 198, 387),
+            (3, 387, 387, 261),
+            (4, 261, 261, 261),
+        ]
+        for gi, (nres, rf, pf, cf) in enumerate(ladder, start=2):
+            x = EFMResBlock(num_blocks=nres, filters=rf, dtype=d,
+                            name=f"group{gi}_res")(x)
+            x = EFMConv(filters=cf, pre_filters=pf, kernel=(3, 3), dtype=d,
+                        name=f"group{gi}_conv")(x)
+            x = _maxpool2(x)
+
+        x = x.reshape((x.shape[0], -1))
+        fc1 = nn.Dense(1026, dtype=d, name="fc1")(x)
+        feat = efm3(fc1)  # 684-d (lightcnn.py:123-128)
+        # Feature branch: BatchNorm (lightcnn.py:113-114)
+        feat_out = nn.BatchNorm(use_running_average=not train, dtype=d,
+                                name="fc1_bn")(feat)
+        # ID branch: Dropout(0.7) + Dense (lightcnn.py:116-118)
+        h = nn.Dropout(rate=0.7, deterministic=not train, name="fc2_drop")(feat)
+        logits = nn.Dense(self.num_classes, dtype=d, name="fc2")(h)
+        return logits.astype(jnp.float32), feat_out.astype(jnp.float32)
+
+
+class LightCNN9(nn.Module):
+    """Classic 9-layer LightCNN (MFM-2), 256-d feature; benchmark model.
+
+    Architecture per the LightCNN paper (no reference code; named in
+    BASELINE.json's metric). Input [B, 128, 128, 1].
+    """
+
+    num_classes: int
+    dtype: Any = jnp.float32
+    feature_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        d = self.dtype
+        x = x.astype(d)
+
+        def conv_mfm(x, ch, k, name):
+            x = nn.Conv(ch, (k, k), padding="SAME", dtype=d, name=name)(x)
+            return mfm2(x)
+
+        x = conv_mfm(x, 96, 5, "conv1")
+        x = _maxpool2(x)
+        x = conv_mfm(x, 96, 1, "conv2a")
+        x = conv_mfm(x, 192, 3, "conv2")
+        x = _maxpool2(x)
+        x = conv_mfm(x, 192, 1, "conv3a")
+        x = conv_mfm(x, 384, 3, "conv3")
+        x = _maxpool2(x)
+        x = conv_mfm(x, 384, 1, "conv4a")
+        x = conv_mfm(x, 256, 3, "conv4")
+        x = conv_mfm(x, 256, 1, "conv5a")
+        x = conv_mfm(x, 256, 3, "conv5")
+        x = _maxpool2(x)
+
+        x = x.reshape((x.shape[0], -1))
+        fc1 = nn.Dense(512, dtype=d, name="fc1")(x)
+        feat = mfm2(fc1)  # 256-d
+        h = nn.Dropout(rate=0.7, deterministic=not train, name="fc2_drop")(feat)
+        logits = nn.Dense(self.num_classes, dtype=d, name="fc2")(h)
+        return logits.astype(jnp.float32), feat.astype(jnp.float32)

@@ -1,0 +1,51 @@
+"""Pairwise / rowwise distance kernels (MXU-friendly formulations).
+
+The reference computes cosine similarity one row at a time with host syncs
+(train_efm.py:26-34 — a per-row ``mx.nd.dot`` + ``asscalar`` loop). Here the
+whole batch is one matmul on the MXU, inside jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-wise L2 normalization (reference: ``fc[v]/mx.nd.norm(fc[v])``,
+    extract_feacture_v2.py:70)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def pairwise_sq_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N, D] x [M, D] -> [N, M] squared euclidean distances.
+
+    Uses the ||a||^2 + ||b||^2 - 2ab identity so the O(N*M*D) work is a single
+    MXU matmul instead of broadcast-subtract materialization.
+    """
+    a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)          # [N, 1]
+    b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True).T        # [1, M]
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)            # [N, M]
+    d = a2 + b2 - 2.0 * ab
+    return jnp.maximum(d, 0.0)
+
+
+def pairwise_cosine(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """[N, D] x [M, D] -> [N, M] cosine similarities."""
+    an = l2_normalize(a, eps=eps)
+    bn = l2_normalize(b, eps=eps)
+    return jnp.dot(an, bn.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def rowwise_cosine(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-i-vs-row-i cosine similarity, [N, D] x [N, D] -> [N].
+
+    Matches the reference's per-row loop (train_efm.py:26-34) in one fused op.
+    """
+    dot = jnp.sum(a * b, axis=-1)
+    na = jnp.sqrt(jnp.sum(jnp.square(a), axis=-1))
+    nb = jnp.sqrt(jnp.sum(jnp.square(b), axis=-1))
+    return dot / jnp.maximum(na * nb, eps)

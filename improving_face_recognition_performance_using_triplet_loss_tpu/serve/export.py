@@ -1,0 +1,84 @@
+"""Weight export: flat .npz + JSON manifest.
+
+The reference's checkpoints double as its serving format — symbol JSON +
+.params consumed by both Python (extract_feacture_v2.py:45-51) and the C++
+MXNet predict API (Feature.hpp:213-219). The TPU-era equivalent is a flat
+key->array .npz plus a JSON manifest (model family, feature dim, input spec,
+normalization contract) that the native serving layer and external runtimes
+can read without JAX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix.rstrip("/")] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def export_params(
+    out_dir: str,
+    params: Any,
+    *,
+    model_name: str,
+    feature_dim: int,
+    input_hw: tuple[int, int] = (128, 128),
+    input_channels: int = 1,
+    batch_stats: Any = None,
+    extra: dict | None = None,
+) -> str:
+    """Write ``weights.npz`` + ``manifest.json`` under ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, params), "params/")
+    if batch_stats:
+        flat.update(_flatten(jax.tree_util.tree_map(np.asarray, batch_stats),
+                             "batch_stats/"))
+    np.savez(os.path.join(out_dir, "weights.npz"), **flat)
+    manifest = {
+        "format_version": 1,
+        "model": model_name,
+        "feature_dim": int(feature_dim),
+        "input": {"height": input_hw[0], "width": input_hw[1],
+                  "channels": input_channels, "scale": "1/255",
+                  "layout": "NHWC"},
+        "embedding_normalization": "l2",
+        "tensors": sorted(flat.keys()),
+    }
+    if extra:
+        manifest.update(extra)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return out_dir
+
+
+def load_exported_params(out_dir: str):
+    """Returns (params_tree, batch_stats_tree_or_empty, manifest)."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    with np.load(os.path.join(out_dir, "weights.npz")) as z:
+        flat = {k: z[k] for k in z.files}
+    tree = _unflatten(flat)
+    return tree.get("params", {}), tree.get("batch_stats", {}), manifest

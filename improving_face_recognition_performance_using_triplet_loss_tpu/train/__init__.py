@@ -1,0 +1,15 @@
+"""Training: jitted/shard_map steps, optimizers, state, checkpointing, loops."""
+
+from .optim import adam_factor, sgd_wd, factor_schedule  # noqa: F401
+from .state import TrainState, create_train_state  # noqa: F401
+from .steps import (  # noqa: F401
+    make_backbone_train_step,
+    make_backbone_eval_step,
+    make_head_train_step,
+    make_head_eval_step,
+    shard_map_step,
+    BACKBONE_METRIC_KEYS,
+    HEAD_METRIC_KEYS,
+)
+from .checkpoint import Checkpointer  # noqa: F401
+from .loops import train_loop, resume_if_available, EpochStats  # noqa: F401

@@ -1,0 +1,120 @@
+"""Epoch-level training loops (reference C8; train_efm.py:221-294 shape).
+
+One generic loop drives every trainer in the stack (backbone joint, triplet
+head, final frozen-backbone head): per-epoch train + validation passes, the
+cosine-similarity CSV sink fed from the step's per-row device arrays, per-
+epoch checkpointing with resume, and metric logging. Host work overlaps with
+device steps because metric arrays are only synced when the sink flushes.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+import jax
+import numpy as np
+
+from ..eval.cosine import CosineSimilaritySink
+
+log = logging.getLogger("facejax.train")
+
+
+@dataclass
+class EpochStats:
+    """Aggregated per-epoch metrics (means of scalar step metrics)."""
+
+    epoch: int
+    train: dict[str, float] = field(default_factory=dict)
+    valid: dict[str, float] = field(default_factory=dict)
+    seconds: float = 0.0
+
+
+def _accumulate(sums: dict, counts: dict, metrics: dict) -> None:
+    for k, v in metrics.items():
+        if getattr(v, "ndim", 0) == 0:
+            sums[k] = sums.get(k, 0.0) + float(v)
+            counts[k] = counts.get(k, 0) + 1
+
+
+def _means(sums: dict, counts: dict) -> dict[str, float]:
+    return {k: sums[k] / counts[k] for k in sums}
+
+
+def train_loop(
+    state,
+    train_step: Callable,
+    train_batches: Callable[[], Iterable],
+    *,
+    epochs: int,
+    eval_step: Callable | None = None,
+    eval_batches: Callable[[], Iterable] | None = None,
+    sink: CosineSimilaritySink | None = None,
+    checkpointer=None,
+    checkpoint_every_epochs: int = 1,
+    start_epoch: int = 0,
+    device_put: Callable | None = None,
+    on_epoch_end: Callable[[EpochStats], None] | None = None,
+):
+    """Run ``epochs`` epochs; returns (final_state, [EpochStats]).
+
+    ``train_batches``/``eval_batches`` are zero-arg callables returning a
+    fresh iterator of (anchor, positive, labels) (so epochs reshuffle).
+    ``sink`` receives the per-row pos/neg cosine arrays every train batch
+    (reference behavior, train_efm.py:250-255).
+    """
+    put = device_put or (lambda x: x)
+    history: list[EpochStats] = []
+    for epoch in range(start_epoch, epochs):
+        tic = time.time()
+        tsums: dict[str, float] = {}
+        tcounts: dict[str, int] = {}
+        for anchor, positive, labels in train_batches():
+            state, metrics = train_step(state, put(anchor), put(positive),
+                                         put(labels))
+            _accumulate(tsums, tcounts, metrics)
+            if sink is not None:
+                sink.append(np.asarray(metrics["pos_cos"]),
+                            np.asarray(metrics["neg_cos"]))
+        vsums: dict[str, float] = {}
+        vcounts: dict[str, int] = {}
+        if eval_step is not None and eval_batches is not None:
+            for anchor, positive, labels in eval_batches():
+                metrics = eval_step(state, put(anchor), put(positive),
+                                    put(labels))
+                _accumulate(vsums, vcounts, metrics)
+        if sink is not None:
+            sink.flush()
+        stats = EpochStats(
+            epoch=epoch,
+            train=_means(tsums, tcounts),
+            valid=_means(vsums, vcounts),
+            seconds=time.time() - tic,
+        )
+        history.append(stats)
+        msg = f"Epoch {epoch}: " + ", ".join(
+            [f"train {k} {v:g}" for k, v in stats.train.items() if k != "acc"]
+            + [f"train acc {stats.train['acc']:g}" for _ in [0] if "acc" in stats.train]
+            + [f"valid {k} {v:g}" for k, v in stats.valid.items()]
+        ) + f", in {stats.seconds:.1f} sec"
+        log.info(msg)
+        if checkpointer is not None and (epoch + 1) % checkpoint_every_epochs == 0:
+            checkpointer.save(epoch, state)
+        if on_epoch_end is not None:
+            on_epoch_end(stats)
+    if checkpointer is not None:
+        checkpointer._mgr.wait_until_finished()
+    return state, history
+
+
+def resume_if_available(checkpointer, state):
+    """Restore the latest checkpoint if one exists; returns (state, epoch0)."""
+    if checkpointer is None:
+        return state, 0
+    step = checkpointer.latest_step()
+    if step is None:
+        return state, 0
+    state = checkpointer.restore(state, step)
+    return state, int(step) + 1

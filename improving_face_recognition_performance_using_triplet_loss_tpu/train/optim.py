@@ -1,0 +1,65 @@
+"""Optimizers + the reference's learning-rate schedule, in optax.
+
+The reference trains the backbone with Adam(lr=2.4e-4) under a
+``FactorScheduler(step=6*epoch_size, factor=0.88, stop_factor_lr=5e-15)``
+with weight decay 1e-5 (train_efm.py:200,212-213; mutli_gpu_v3.py:159-160),
+and the triplet head with SGD(2.4e-4, wd=1e-5) (pre-trained_efm_v3.py:185).
+
+MXNet applies weight decay by adding ``wd * w`` to the gradient *before* the
+Adam moment updates — matched here by placing ``add_decayed_weights`` before
+``scale_by_adam`` in the chain (unlike AdamW's decoupled decay).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def factor_schedule(
+    base_lr: float,
+    decay_every_steps: int,
+    factor: float = 0.88,
+    stop_lr: float = 5e-15,
+) -> optax.Schedule:
+    """lr(step) = max(base * factor^(step // decay_every), stop_lr).
+
+    Matches ``mx.lr_scheduler.FactorScheduler`` semantics (train_efm.py:212).
+    """
+
+    import jax.numpy as jnp
+
+    def schedule(step):
+        lr = base_lr * jnp.power(factor, step // max(decay_every_steps, 1))
+        return jnp.maximum(lr, stop_lr)
+
+    return schedule
+
+
+def adam_factor(
+    base_lr: float = 2.4e-4,
+    decay_every_steps: int = 1,
+    factor: float = 0.88,
+    stop_lr: float = 5e-15,
+    weight_decay: float = 1e-5,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """Adam + factor schedule + MXNet-style (coupled) weight decay."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=b1, b2=b2),
+        optax.scale_by_learning_rate(
+            factor_schedule(base_lr, decay_every_steps, factor, stop_lr)
+        ),
+    )
+
+
+def sgd_wd(
+    lr: float = 2.4e-4, weight_decay: float = 1e-5
+) -> optax.GradientTransformation:
+    """Plain SGD with coupled weight decay (head training,
+    pre-trained_efm_v3.py:185)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(lr),
+    )

@@ -1,0 +1,326 @@
+"""Jitted train/eval steps: joint backbone training and triplet-head training.
+
+The reference's training loop (train_efm.py:206-294, call stack SURVEY.md
+§3.1) interleaves a device forward with host-side negative mining (one
+device->host sync per draw) and a per-row cosine CSV loop. Here the entire
+step — forward, in-batch mining, joint loss, backward, optimizer update, and
+the cosine pos/neg similarity metrics — is ONE compiled XLA program; the CSV
+sink consumes the returned per-row arrays asynchronously on the host.
+
+Batch format: ``(anchor, positive, labels)`` with matching leading dim B
+(the reference's DataIter concatenates them into one ``[anc|pos]`` tensor,
+train_efm.py:87-110; here they stay separate so each shards cleanly over the
+data axis, and the step concatenates locally for one fused forward pass).
+
+Data parallelism: the same step function runs under ``jax.shard_map`` over a
+1-D ``data`` mesh. Gradients/metrics are ``pmean``-ed over ICI (replacing
+MXNet KVStore 'local', SURVEY.md §5.8) and the negative-mining candidate pool
+is the *global* batch via ``all_gather`` — strictly richer than the
+reference's single-device pool, and identical math to a single chip running
+the global batch (verified in tests/test_train_steps.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..losses.triplet import joint_id_triplet_loss, triplet_loss
+from ..ops.distances import l2_normalize, pairwise_sq_l2, rowwise_cosine
+from ..ops import mining
+from ..parallel.mesh import DATA_AXIS
+from .state import TrainState
+
+Metrics = dict[str, jnp.ndarray]
+
+BACKBONE_METRIC_KEYS = ("loss", "id_loss", "tl_loss", "acc", "pos_cos", "neg_cos")
+HEAD_METRIC_KEYS = ("loss", "pos_cos", "neg_cos")
+_PER_ROW_METRICS = frozenset({"pos_cos", "neg_cos"})
+
+
+def _apply_model(model, params, batch_stats, x, *, train: bool, drop_key=None):
+    """Apply a flax model with optional batch_stats collection / dropout rng."""
+    variables = {"params": params}
+    has_bn = bool(batch_stats)
+    if has_bn:
+        variables["batch_stats"] = batch_stats
+    rngs = {"dropout": drop_key} if (train and drop_key is not None) else None
+    if train and has_bn:
+        out, mut = model.apply(variables, x, train=True, rngs=rngs,
+                               mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    out = model.apply(variables, x, train=train, rngs=rngs)
+    return out, batch_stats
+
+
+def _step_keys(state: TrainState, axis_name: str | None):
+    key = jax.random.fold_in(state.base_key, state.step)
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    k_mine, k_drop = jax.random.split(key)
+    return k_mine, k_drop
+
+
+def _mine(
+    mining_mode: str,
+    k_mine: jax.Array,
+    anc: jnp.ndarray,
+    pos: jnp.ndarray,
+    pool_feat: jnp.ndarray,
+    anchor_labels: jnp.ndarray,
+    pool_labels: jnp.ndarray,
+    num_candidates: int | None,
+) -> jnp.ndarray:
+    """Pick one negative row of ``pool_feat`` per anchor; returns [B, D]."""
+    if mining_mode == "random":
+        idx = mining.mine_random_negative(
+            k_mine, anchor_labels, pool_labels, num_candidates=num_candidates
+        )
+    else:
+        anc_n = l2_normalize(anc)
+        pool_n = l2_normalize(pool_feat)
+        sq = pairwise_sq_l2(anc_n, pool_n)
+        pos_sq = jnp.sum(jnp.square(anc_n - l2_normalize(pos)), axis=-1)
+        if mining_mode == "semi_hard":
+            idx = mining.mine_semi_hard_negative(sq, pos_sq, anchor_labels,
+                                                 pool_labels)
+        elif mining_mode == "hard":
+            idx = mining.mine_hard_negative(sq, anchor_labels, pool_labels)
+        else:
+            raise ValueError(f"unknown mining mode {mining_mode!r}")
+    return mining.gather_rows(pool_feat, idx)
+
+
+def _pool(anc, pos, labels, axis_name):
+    """Mining candidate pool: local [anc|pos] rows, or the global batch."""
+    pool_feat = jnp.concatenate([anc, pos], axis=0)
+    pool_labels = jnp.concatenate([labels, labels], axis=0)
+    if axis_name is not None:
+        pool_feat = jax.lax.all_gather(pool_feat, axis_name, axis=0, tiled=True)
+        pool_labels = jax.lax.all_gather(pool_labels, axis_name, axis=0,
+                                         tiled=True)
+    return pool_feat, pool_labels
+
+
+def _pmean_metrics(metrics: Metrics, axis_name: str | None) -> Metrics:
+    if axis_name is None:
+        return metrics
+    return {
+        k: (jax.lax.pmean(v, axis_name) if v.ndim == 0 else v)
+        for k, v in metrics.items()
+    }
+
+
+def make_backbone_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    margin: float = 0.2,
+    alpha: float = 0.1,
+    mining_mode: str = "random",
+    axis_name: str | None = None,
+    mine_anchor_half_only: bool = False,
+) -> Callable[..., tuple[TrainState, Metrics]]:
+    """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
+
+    ``mine_anchor_half_only`` reproduces the reference's train-time candidate
+    restriction to the anchor half (train_efm.py:235); default mines over the
+    whole (globally gathered) batch.
+    """
+
+    def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
+             labels: jnp.ndarray):
+        b = anchor.shape[0]
+        k_mine, k_drop = _step_keys(state, axis_name)
+        labels = labels.astype(jnp.int32)
+        images = jnp.concatenate([anchor, positive], axis=0)
+        labels2 = jnp.concatenate([labels, labels], axis=0)
+
+        def loss_fn(params):
+            (logits, feat), new_bs = _apply_model(
+                model, params, state.batch_stats, images, train=True,
+                drop_key=k_drop)
+            anc, pos = feat[:b], feat[b:]
+            pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
+            num_cand = b if (mine_anchor_half_only and axis_name is None) else None
+            neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
+                        pool_labels, num_cand)
+            total, id_loss, tl = joint_id_triplet_loss(
+                logits[:b], labels, anc, pos, neg,
+                margin=margin, alpha=alpha, normalize_embeddings=True)
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels2).astype(jnp.float32))
+            metrics = {
+                "loss": total, "id_loss": id_loss, "tl_loss": tl, "acc": acc,
+                "pos_cos": rowwise_cosine(anc, pos),
+                "neg_cos": rowwise_cosine(anc, neg),
+            }
+            return total, (new_bs, metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+        metrics = _pmean_metrics(metrics, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt, batch_stats=new_bs,
+            step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def make_backbone_eval_step(
+    model,
+    *,
+    margin: float = 0.2,
+    alpha: float = 0.1,
+    mining_mode: str = "random",
+    axis_name: str | None = None,
+) -> Callable[..., Metrics]:
+    """Validation step (train_efm.py:260-280): same losses, no grad, negatives
+    drawn from the full anchor+positive batch."""
+
+    def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
+             labels: jnp.ndarray):
+        b = anchor.shape[0]
+        k_mine, _ = _step_keys(state, axis_name)
+        labels = labels.astype(jnp.int32)
+        images = jnp.concatenate([anchor, positive], axis=0)
+        labels2 = jnp.concatenate([labels, labels], axis=0)
+        (logits, feat), _ = _apply_model(
+            model, state.params, state.batch_stats, images, train=False)
+        anc, pos = feat[:b], feat[b:]
+        pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
+        neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
+                    pool_labels, None)
+        total, id_loss, tl = joint_id_triplet_loss(
+            logits[:b], labels, anc, pos, neg,
+            margin=margin, alpha=alpha, normalize_embeddings=True)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels2).astype(jnp.float32))
+        metrics = {
+            "loss": total, "id_loss": id_loss, "tl_loss": tl, "acc": acc,
+            "pos_cos": rowwise_cosine(anc, pos),
+            "neg_cos": rowwise_cosine(anc, neg),
+        }
+        return _pmean_metrics(metrics, axis_name)
+
+    return step
+
+
+def make_head_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    margin: float = 0.5,
+    mining_mode: str = "random",
+    axis_name: str | None = None,
+    normalize_inputs: bool = False,
+) -> Callable[..., tuple[TrainState, Metrics]]:
+    """Triplet-only head step (pre-trained_efm_v3.py:193-212 semantics):
+    a linear head over precomputed features, margin 0.5, SGD."""
+
+    def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
+             labels: jnp.ndarray):
+        k_mine, _ = _step_keys(state, axis_name)
+        labels = labels.astype(jnp.int32)
+        if normalize_inputs:
+            anchor = l2_normalize(anchor)
+            positive = l2_normalize(positive)
+        feats = jnp.concatenate([anchor, positive], axis=0)
+        b = anchor.shape[0]
+
+        def loss_fn(params):
+            emb, _ = _apply_model(model, params, {}, feats, train=True)
+            anc, pos = emb[:b], emb[b:]
+            pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
+            neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
+                        pool_labels, None)
+            tl = triplet_loss(anc, pos, neg, margin=margin)
+            metrics = {
+                "loss": tl,
+                "pos_cos": rowwise_cosine(anc, pos),
+                "neg_cos": rowwise_cosine(anc, neg),
+            }
+            return tl, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        metrics = _pmean_metrics(metrics, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def make_head_eval_step(
+    model,
+    *,
+    margin: float = 0.5,
+    mining_mode: str = "random",
+    axis_name: str | None = None,
+    normalize_inputs: bool = False,
+):
+    """Head validation (pre-trained_efm_v3.py:225-242). Also covers the
+    no-training cosine-distance measurement of test_efm_v2.py:146-184 when
+    ``model`` is an identity head and ``normalize_inputs=True``."""
+
+    def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
+             labels: jnp.ndarray):
+        k_mine, _ = _step_keys(state, axis_name)
+        labels = labels.astype(jnp.int32)
+        if normalize_inputs:
+            anchor = l2_normalize(anchor)
+            positive = l2_normalize(positive)
+        feats = jnp.concatenate([anchor, positive], axis=0)
+        b = anchor.shape[0]
+        emb, _ = _apply_model(model, state.params, {}, feats, train=False)
+        anc, pos = emb[:b], emb[b:]
+        pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
+        neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
+                    pool_labels, None)
+        tl = triplet_loss(anc, pos, neg, margin=margin)
+        metrics = {
+            "loss": tl,
+            "pos_cos": rowwise_cosine(anc, pos),
+            "neg_cos": rowwise_cosine(anc, neg),
+        }
+        return _pmean_metrics(metrics, axis_name)
+
+    return step
+
+
+def shard_map_step(
+    step_fn,
+    mesh,
+    *,
+    has_state_out: bool,
+    metric_keys=BACKBONE_METRIC_KEYS,
+    axis_name: str = DATA_AXIS,
+):
+    """Compile a step over a data mesh: state replicated, batch sharded.
+
+    ``step_fn`` must have been built with the same ``axis_name``. Scalar
+    metrics are pmean-ed inside the step (replicated out-spec); per-row
+    metric arrays (pos_cos/neg_cos) come back sharded over the batch axis.
+    """
+    mspec = {
+        k: (P(axis_name) if k in _PER_ROW_METRICS else P())
+        for k in metric_keys
+    }
+    out_specs = (P(), mspec) if has_state_out else mspec
+    return jax.jit(jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=out_specs,
+    ))

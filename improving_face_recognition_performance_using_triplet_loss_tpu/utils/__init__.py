@@ -1,0 +1,3 @@
+"""Utilities: compilation cache, logging, timers."""
+
+from .cache import enable_compilation_cache  # noqa: F401

@@ -1,0 +1,217 @@
+"""Train-step tests: loss decreases, determinism, and shard_map data
+parallelism on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+    EFMNet342,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.models.heads import (
+    LinearHead,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.parallel import (
+    make_mesh,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+    HEAD_METRIC_KEYS,
+    create_train_state,
+    adam_factor,
+    factor_schedule,
+    make_backbone_eval_step,
+    make_backbone_train_step,
+    make_head_eval_step,
+    make_head_train_step,
+    sgd_wd,
+    shard_map_step,
+)
+
+
+def _head_batch(rng, b=32, d=16, ids=8):
+    """(anchor, positive, labels) feature batch."""
+    labels_half = rng.integers(0, ids, size=(b,))
+    centers = rng.normal(size=(ids, d)).astype(np.float32)
+    anc = centers[labels_half] + 0.1 * rng.normal(size=(b, d)).astype(np.float32)
+    pos = centers[labels_half] + 0.1 * rng.normal(size=(b, d)).astype(np.float32)
+    return jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(labels_half)
+
+
+def _image_batch(rng, b=4, size=32, ids=3):
+    anc = jnp.asarray(rng.normal(size=(b, size, size, 1)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(b, size, size, 1)).astype(np.float32))
+    labels = jnp.asarray(np.arange(b) % ids)
+    return anc, pos, labels
+
+
+def test_head_train_step_decreases_loss():
+    rng = np.random.default_rng(0)
+    anc, pos, labels = _head_batch(rng)
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd(lr=0.05)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    # large margin guarantees a non-zero hinge at init so descent is visible
+    step = jax.jit(make_head_train_step(model, tx, margin=20.0))
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, anc, pos, labels)
+        losses.append(float(metrics["loss"]))
+    assert losses[0] > 0.0
+    assert losses[-1] < losses[0]
+    assert metrics["pos_cos"].shape == (32,)
+    assert metrics["neg_cos"].shape == (32,)
+
+
+def test_head_step_deterministic_replay():
+    rng = np.random.default_rng(1)
+    anc, pos, labels = _head_batch(rng)
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd(lr=0.05)
+    s0 = create_train_state(model, tx, jax.random.PRNGKey(7), anc)
+    step = jax.jit(make_head_train_step(model, tx))
+    _, m1 = step(s0, anc, pos, labels)
+    _, m2 = step(s0, anc, pos, labels)
+    np.testing.assert_array_equal(np.asarray(m1["neg_cos"]), np.asarray(m2["neg_cos"]))
+
+
+@pytest.mark.parametrize("mining_mode", ["random", "semi_hard", "hard"])
+def test_head_mining_modes_run(mining_mode):
+    rng = np.random.default_rng(2)
+    anc, pos, labels = _head_batch(rng)
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd(lr=0.01)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    step = jax.jit(make_head_train_step(model, tx, mining_mode=mining_mode))
+    state, metrics = step(state, anc, pos, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_backbone_train_step_runs_and_updates():
+    rng = np.random.default_rng(3)
+    anc, pos, labels = _image_batch(rng)
+    model = EFMNet342(num_classes=3)
+    tx = adam_factor(base_lr=1e-3, decay_every_steps=100)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    step = jax.jit(make_backbone_train_step(model, tx, margin=0.2, alpha=0.1))
+    new_state, metrics = step(state, anc, pos, labels)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["acc"]))
+    # params actually moved
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_backbone_mine_anchor_half_only():
+    rng = np.random.default_rng(8)
+    anc, pos, labels = _image_batch(rng)
+    model = EFMNet342(num_classes=3)
+    tx = adam_factor(base_lr=1e-3, decay_every_steps=100)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    step = jax.jit(make_backbone_train_step(model, tx,
+                                            mine_anchor_half_only=True))
+    _, metrics = step(state, anc, pos, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_backbone_eval_step():
+    rng = np.random.default_rng(4)
+    anc, pos, labels = _image_batch(rng)
+    model = EFMNet342(num_classes=3)
+    tx = adam_factor()
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    ev = jax.jit(make_backbone_eval_step(model))
+    metrics = ev(state, anc, pos, labels)
+    assert metrics["pos_cos"].shape == (4,)
+
+
+def test_factor_schedule_matches_mxnet_semantics():
+    sched = factor_schedule(0.00024, decay_every_steps=10, factor=0.88,
+                            stop_lr=5e-15)
+    np.testing.assert_allclose(float(sched(0)), 0.00024, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(9)), 0.00024, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 0.00024 * 0.88, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(25)), 0.00024 * 0.88**2, rtol=1e-6)
+    assert float(sched(100000)) == pytest.approx(5e-15)
+
+
+# ---------- data parallel (8-device virtual mesh) ----------
+
+
+def test_head_step_shard_map_8dev():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(5)
+    anc, pos, labels = _head_batch(rng, b=32)  # 4 anchors per shard
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd(lr=0.05)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    step = shard_map_step(
+        make_head_train_step(model, tx, margin=20.0, axis_name="data"),
+        mesh, has_state_out=True, metric_keys=HEAD_METRIC_KEYS)
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, anc, pos, labels)
+        losses.append(float(metrics["loss"]))
+    assert losses[0] > 0.0
+    assert losses[-1] < losses[0]
+    assert metrics["pos_cos"].shape == (32,)
+
+
+def test_head_eval_shard_map_8dev():
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(6)
+    anc, pos, labels = _head_batch(rng, b=32)
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd()
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    ev = shard_map_step(
+        make_head_eval_step(model, axis_name="data"),
+        mesh, has_state_out=False, metric_keys=HEAD_METRIC_KEYS)
+    metrics = ev(state, anc, pos, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_update_matches_single_device_semi_hard():
+    """With deterministic (semi-hard) mining over the *global* pool, the DP
+    step must produce the same parameter update as a single device running
+    the full global batch."""
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(7)
+    anc, pos, labels = _head_batch(rng, b=32)
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd(lr=0.05)
+    state = create_train_state(model, tx, jax.random.PRNGKey(3), anc)
+
+    single = jax.jit(make_head_train_step(model, tx, mining_mode="semi_hard"))
+    dp = shard_map_step(
+        make_head_train_step(model, tx, mining_mode="semi_hard",
+                             axis_name="data"),
+        mesh, has_state_out=True, metric_keys=HEAD_METRIC_KEYS)
+
+    s1, m1 = single(state, anc, pos, labels)
+    s2, m2 = dp(state, anc, pos, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_backbone_shard_map_8dev():
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(9)
+    anc, pos, labels = _image_batch(rng, b=8, ids=4)
+    model = EFMNet342(num_classes=4)
+    tx = adam_factor(base_lr=1e-3, decay_every_steps=100)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    step = shard_map_step(
+        make_backbone_train_step(model, tx, axis_name="data"),
+        mesh, has_state_out=True)
+    new_state, metrics = step(state, anc, pos, labels)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["pos_cos"].shape == (8,)
