@@ -1,0 +1,193 @@
+"""Joint softmax + triplet backbone training.
+
+Reference parity: train_efm.py — LightCNN-29 from scratch at 1x128x128,
+batch 64, Adam(2.4e-4) with factor decay 0.88 every 6 epochs (wd 1e-5),
+TripletLoss(margin 0.2) weighted by alpha 0.1 against the ID softmax CE,
+random in-batch negatives, per-epoch checkpoints, cosine similarities
+appended every batch (train_efm.py:154-157, 200-214, 221-294).
+
+TPU-first deltas (documented deviations): the whole step is one XLA program
+(mining included), rand-mirror augmentation runs on host numpy views (crop
+is a no-op at packed size), data parallelism via shard_map when requested,
+and the (broken) ``mx.nd.nrom`` global-norm normalization of the reference
+is per-row L2 as intended (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", help=".npz image store (images+labels)")
+    p.add_argument("--eval-images", help="optional eval .npz image store")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--model", default="lightcnn29",
+                   choices=["lightcnn29", "efmnet342", "lightcnn9"])
+    p.add_argument("--out-dir", default="runs/train_backbone")
+    p.add_argument("--epochs", type=int, default=280)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=2.4e-4)
+    p.add_argument("--lr-factor", type=float, default=0.88)
+    p.add_argument("--lr-decay-epochs", type=int, default=6)
+    p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--margin", type=float, default=0.2)
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--mining", default="random",
+                   choices=["random", "semi_hard", "hard"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32)")
+    p.add_argument("--no-mirror", action="store_true")
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _model_by_name(name, num_classes, bf16):
+    import jax.numpy as jnp
+    from ..models import EFMNet342, LightCNN29, LightCNN9
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    cls = {"lightcnn29": LightCNN29, "efmnet342": EFMNet342,
+           "lightcnn9": LightCNN9}[name]
+    return cls(num_classes=num_classes, dtype=dtype)
+
+
+def _load_images(args):
+    from ..data.records import load_image_store
+    from ..data.synthetic import synthetic_faces
+
+    if args.synthetic:
+        return synthetic_faces(num_ids=16, per_id=16, size=args.synthetic_size,
+                               seed=args.seed)
+    if args.images:
+        images, labels = load_image_store(args.images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        return images, labels
+    raise SystemExit("provide --images or --synthetic")
+
+
+class _MirrorBatches:
+    """Host-side rand_mirror augmentation over a PairBatcher
+    (ImageRecordIter rand_mirror=True, train_efm.py:179)."""
+
+    def __init__(self, batcher, enabled: bool, seed: int):
+        self.batcher = batcher
+        self.enabled = enabled
+        self.rng = np.random.default_rng(seed + 101)
+
+    def __iter__(self):
+        for anc, pos, lab in self.batcher:
+            if self.enabled:
+                flip = self.rng.random(anc.shape[0]) < 0.5
+                anc = np.where(flip[:, None, None, None], anc[:, :, ::-1, :],
+                               anc)
+                flip = self.rng.random(pos.shape[0]) < 0.5
+                pos = np.where(flip[:, None, None, None], pos[:, :, ::-1, :],
+                               pos)
+            yield anc, pos, lab
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ._common import setup_logging, log_config
+    from ..data import PairBatcher
+    from ..eval.cosine import CosineSimilaritySink
+    from ..parallel import make_mesh
+    from ..train import (
+        Checkpointer, adam_factor, create_train_state,
+        make_backbone_eval_step, make_backbone_train_step,
+        resume_if_available, shard_map_step, train_loop,
+    )
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    log = setup_logging(os.path.join(args.out_dir, "log"), "train_backbone")
+    log_config(log, args)
+
+    images, labels = _load_images(args)
+    num_classes = int(labels.max()) + 1
+    batch = min(args.batch_size, images.shape[0])
+    steps_per_epoch = max(images.shape[0] // batch, 1)
+    log.info("images %s, %d classes, %d steps/epoch", images.shape,
+             num_classes, steps_per_epoch)
+
+    model = _model_by_name(args.model, num_classes, args.bf16)
+    tx = adam_factor(base_lr=args.lr,
+                     decay_every_steps=steps_per_epoch * args.lr_decay_epochs,
+                     factor=args.lr_factor,
+                     weight_decay=args.weight_decay)
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
+                               images[:1])
+
+    axis = "data" if args.data_parallel else None
+    train_step = make_backbone_train_step(
+        model, tx, margin=args.margin, alpha=args.alpha,
+        mining_mode=args.mining, axis_name=axis)
+    eval_step = make_backbone_eval_step(
+        model, margin=args.margin, alpha=args.alpha,
+        mining_mode=args.mining, axis_name=axis)
+    if args.data_parallel:
+        mesh = make_mesh()
+        train_step = shard_map_step(train_step, mesh, has_state_out=True)
+        eval_step = shard_map_step(eval_step, mesh, has_state_out=False)
+    else:
+        train_step = jax.jit(train_step)
+        eval_step = jax.jit(eval_step)
+
+    ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = resume_if_available(ckpt, state)
+        log.info("resumed at epoch %d", start_epoch)
+
+    batcher = PairBatcher(images, labels, batch, shuffle=True, seed=args.seed)
+    train_batches = _MirrorBatches(batcher, not args.no_mirror, args.seed)
+    eval_batches = None
+    if args.eval_images:
+        from ..data.records import load_image_store
+        ei, el = load_image_store(args.eval_images)
+        if ei.dtype == np.uint8:
+            ei = ei.astype(np.float32) / 255.0
+        eb = PairBatcher(ei, el, min(batch, ei.shape[0]), shuffle=False)
+        eval_batches = lambda: iter(eb)
+
+    sink = CosineSimilaritySink(
+        os.path.join(args.out_dir, "cosine_similarity.csv"))
+    state, history = train_loop(
+        state, train_step, lambda: iter(train_batches),
+        epochs=args.epochs,
+        eval_step=eval_step if eval_batches else None,
+        eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
+        checkpoint_every_epochs=args.checkpoint_every,
+        start_epoch=start_epoch)
+    sink.flush()
+
+    from ..serve.export import export_params
+    export_params(
+        os.path.join(args.out_dir, "export"), state.params,
+        model_name=args.model, feature_dim=model.feature_dim,
+        input_hw=images.shape[1:3], input_channels=images.shape[3],
+        batch_stats=state.batch_stats)
+
+    from ..eval.plots import draw_curve
+    if history:
+        draw_curve(
+            {"training": [h.train.get("acc", 0) * 100 for h in history],
+             "testing": [h.valid.get("acc", 0) * 100 for h in history]},
+            "accuracy", os.path.join(args.out_dir, "train_acc.jpg"))
+    log.info("done")
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Integration tests: the reference's full workflow as CLI pipelines
+(train_efm -> extract_feacture_v2 -> pre-trained_efm_v3 -> draw_cos_dis_real,
+SURVEY.md §1 data flow), on synthetic data, in-process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+    draw_cos,
+    eval_cos,
+    extract_features,
+    lfw_eval,
+    slice_dataset,
+    train_backbone,
+    train_final,
+    train_head,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+    save_feature_store,
+    synthetic_faces,
+    synthetic_features,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+    save_image_store,
+)
+
+
+@pytest.fixture(scope="module")
+def image_store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    images, labels = synthetic_faces(num_ids=6, per_id=6, size=32, seed=0)
+    p = str(d / "train.npz")
+    save_image_store(p, images, labels)
+    return p
+
+
+def test_train_backbone_cli_end_to_end(image_store, tmp_path):
+    out = str(tmp_path / "bb")
+    state, history = train_backbone.main([
+        "--images", image_store, "--model", "efmnet342",
+        "--epochs", "2", "--batch-size", "12", "--out-dir", out,
+        "--checkpoint-every", "1",
+    ])
+    assert len(history) == 2
+    assert os.path.exists(os.path.join(out, "cosine_similarity.csv"))
+    assert os.path.exists(os.path.join(out, "export", "manifest.json"))
+    assert os.path.exists(os.path.join(out, "train_acc.jpg"))
+    # resume continues from epoch 2
+    state2, history2 = train_backbone.main([
+        "--images", image_store, "--model", "efmnet342",
+        "--epochs", "3", "--batch-size", "12", "--out-dir", out, "--resume",
+    ])
+    assert [h.epoch for h in history2] == [2]
+
+
+def test_full_reference_workflow(image_store, tmp_path):
+    """backbone train -> export -> extraction -> head train -> plots."""
+    bb = str(tmp_path / "bb")
+    train_backbone.main([
+        "--images", image_store, "--model", "efmnet342", "--epochs", "1",
+        "--batch-size", "12", "--out-dir", bb,
+    ])
+    ex = str(tmp_path / "ex")
+    results = extract_features.main([
+        "--train-images", image_store, "--export-dir",
+        os.path.join(bb, "export"), "--num-classes", "6",
+        "--out-dir", ex, "--batch-size", "16",
+    ])
+    feats, labels, acc = results["train"]
+    assert feats.shape[1] == 342
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-4)
+    # head training over the extracted features
+    hd = str(tmp_path / "hd")
+    state, history = train_head.main([
+        "--features", os.path.join(ex, "train.npz"), "--epochs", "2",
+        "--batch-size", "18", "--out-dir", hd,
+    ])
+    assert os.path.exists(os.path.join(hd, "cosine_similarity.csv"))
+    out = draw_cos.main([
+        "--csv", os.path.join(hd, "cosine_similarity.csv"),
+        "--out", str(tmp_path / "cdf.jpg"), "--desire-epoch", "2",
+    ])
+    assert os.path.exists(out)
+
+
+def test_train_final_cli(image_store, tmp_path):
+    out = str(tmp_path / "fin")
+    state, history = train_final.main([
+        "--images", image_store, "--model", "efmnet342",
+        "--num-classes", "6", "--epochs", "2", "--batch-size", "12",
+        "--out-dir", out,
+    ])
+    assert len(history) == 2
+    assert os.path.exists(os.path.join(out, "export", "weights.npz"))
+
+
+def test_eval_cos_and_slice_cli(tmp_path):
+    feats, labels = synthetic_features(num_ids=10, per_id=6, dim=32, seed=2)
+    store = str(tmp_path / "store.npz")
+    save_feature_store(store, feats, labels)
+    pos, neg = eval_cos.main([
+        "--features", store, "--batch-size", "30",
+        "--out-dir", str(tmp_path / "ec"),
+    ])
+    assert pos.mean() > neg.mean()  # clustered features separate
+    slice_dataset.main([
+        "--features", store, "--out-dir", str(tmp_path / "sl"),
+    ])
+    assert os.path.exists(str(tmp_path / "sl" / "train_img.csv"))
+
+
+def test_lfw_eval_cli_with_images(tmp_path):
+    # build interleaved pair images: same-id pairs vs different-id pairs
+    images, labels = synthetic_faces(num_ids=8, per_id=4, size=32, seed=5)
+    by_id = {i: np.where(labels == i)[0] for i in range(8)}
+    rows, issame = [], []
+    for i in range(8):
+        a, b = by_id[i][:2]
+        rows += [images[a], images[b]]
+        issame.append(True)
+        c = by_id[(i + 1) % 8][0]
+        rows += [images[a], images[c]]
+        issame.append(False)
+    np.savez(str(tmp_path / "pairs.npz"), images=np.asarray(rows),
+             issame=np.asarray(issame))
+    result = lfw_eval.main([
+        "--images", str(tmp_path / "pairs.npz"), "--model", "efmnet342",
+        "--num-classes", "8", "--folds", "4", "--batch-size", "8",
+        "--out", str(tmp_path / "lfw.json"),
+    ])
+    assert 0.0 <= result["accuracy_mean"] <= 1.0
+    assert json.load(open(tmp_path / "lfw.json"))["n_pairs"] == 16

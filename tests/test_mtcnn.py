@@ -1,0 +1,200 @@
+"""MTCNN tests: box ops vs the reference numpy semantics, net geometries,
+cascade + alignment smoke (SURVEY.md §4: NMS/box-regression golden oracles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+    mtcnn as nets,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.ops import (
+    boxes as B,
+)
+
+
+def _random_boxes(rng, n=40, size=200):
+    x1 = rng.uniform(0, size, n)
+    y1 = rng.uniform(0, size, n)
+    w = rng.uniform(5, 60, n)
+    h = rng.uniform(5, 60, n)
+    s = rng.uniform(0, 1, n)
+    return np.stack([x1, y1, x1 + w, y1 + h, s], 1)
+
+
+@pytest.mark.parametrize("method", ["Union", "Min"])
+def test_nms_jax_matches_numpy_oracle(method):
+    rng = np.random.default_rng(0)
+    boxes = _random_boxes(rng)
+    ref = B.nms(boxes, 0.4, method)
+    got = np.asarray(B.nms_jax(jnp.asarray(boxes), 0.4, method))
+    got = got[got >= 0]
+    np.testing.assert_array_equal(np.sort(ref), np.sort(got))
+    # greedy order also matches
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_nms_empty():
+    assert B.nms(np.zeros((0, 5)), 0.5).size == 0
+
+
+def test_nms_degenerate_overlap():
+    boxes = np.asarray([[0, 0, 10, 10, 0.9],
+                        [0, 0, 10, 10, 0.8],
+                        [50, 50, 60, 60, 0.7]])
+    keep = B.nms(boxes, 0.5, "Union")
+    np.testing.assert_array_equal(np.sort(keep), [0, 2])
+
+
+def test_rerec_squares():
+    b = np.asarray([[0.0, 0.0, 10.0, 20.0, 0.9]])
+    sq = B.rerec(b.copy())
+    assert (sq[0, 2] - sq[0, 0]) == (sq[0, 3] - sq[0, 1]) == 20.0
+    # centered on the original box
+    np.testing.assert_allclose((sq[0, 0] + sq[0, 2]) / 2, 5.0)
+
+
+def test_bbreg_applies_offsets():
+    b = np.asarray([[0.0, 0.0, 9.0, 9.0, 0.9]])  # w = h = 10
+    reg = np.asarray([[0.1, 0.2, -0.1, -0.2]])
+    out = B.bbreg(b.copy(), reg)
+    np.testing.assert_allclose(out[0, :4], [1.0, 2.0, 8.0, 7.0])
+
+
+def test_pad_clips_to_image():
+    b = np.asarray([[-5.0, -5.0, 300.0, 300.0, 0.9]])
+    dy, edy, dx, edx, y, ey, x, ex, tmpw, tmph = B.pad(b, 200, 100)
+    assert x[0] == 1 and y[0] == 1
+    assert ex[0] == 200 and ey[0] == 100
+    assert dx[0] == 7 and dy[0] == 7  # 2 - (-5)
+    assert tmpw[0] == 306 and tmph[0] == 306
+
+
+def test_generate_bounding_box_geometry():
+    imap = np.zeros((10, 12))
+    imap[3, 4] = 0.9
+    reg = np.zeros((10, 12, 4))
+    boxes, _ = B.generate_bounding_box(imap, reg, scale=0.5, t=0.5)
+    assert boxes.shape == (1, 9)
+    # imap transposed first (detect_face.py:646): heatmap (3,4) -> (y,x)=(4,3)
+    # q1 = fix((2*[y x]+1)/scale) = (18, 14); q2 = fix((2*[y x]+12)/scale)
+    np.testing.assert_allclose(boxes[0, :2], [18.0, 14.0])
+    np.testing.assert_allclose(boxes[0, 2:4], [40.0, 36.0])
+    assert boxes[0, 4] == 0.9
+
+
+def test_pnet_fully_convolutional_geometry():
+    params = nets.init_pnet_params(jax.random.PRNGKey(0))
+    prob, reg = jax.jit(nets.pnet_forward)(params,
+                                           jnp.zeros((1, 12, 12, 3)))
+    assert prob.shape == (1, 1, 1, 2)
+    assert reg.shape == (1, 1, 1, 4)
+    prob2, _ = jax.jit(nets.pnet_forward)(params, jnp.zeros((1, 24, 36, 3)))
+    # TF geometry: conv VALID x3 + 2x2/2 SAME pool -> (H-10)//2 + 1 would be
+    # off-by-one; exact TF: ceil((H-2)/2) - 4 ... just assert matches 12->1
+    assert prob2.shape[1] == (24 - 2 + 1) // 2 - 4
+    np.testing.assert_allclose(np.asarray(prob.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_rnet_onet_shapes():
+    rp = nets.init_rnet_params(jax.random.PRNGKey(1))
+    prob, reg = jax.jit(nets.rnet_forward)(rp, jnp.zeros((3, 24, 24, 3)))
+    assert prob.shape == (3, 2) and reg.shape == (3, 4)
+    op = nets.init_onet_params(jax.random.PRNGKey(2))
+    prob, reg, lmk = jax.jit(nets.onet_forward)(op, jnp.zeros((2, 48, 48, 3)))
+    assert prob.shape == (2, 2) and reg.shape == (2, 4) and lmk.shape == (2, 10)
+
+
+def test_npy_param_roundtrip(tmp_path):
+    # build a facenet-layout dict, save as .npy, reload
+    params = nets.init_pnet_params(jax.random.PRNGKey(3))
+    raw = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+           for k, v in params.items()}
+    p = str(tmp_path / "det1.npy")
+    np.save(p, raw, allow_pickle=True)
+    loaded = nets.load_npy_params(p)
+    out1, _ = nets.pnet_forward(params, jnp.ones((1, 12, 12, 3)))
+    out2, _ = nets.pnet_forward(loaded, jnp.ones((1, 12, 12, 3)))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_pyramid_scales_match_reference_loop():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        pyramid_scales,
+    )
+
+    scales = pyramid_scales(250, 250, minsize=20, factor=0.709)
+    # reference loop (detect_face.py:292-300)
+    m = 12.0 / 20
+    minl = 250 * m
+    ref = []
+    c = 0
+    while minl >= 12:
+        ref.append(m * 0.709 ** c)
+        minl *= 0.709
+        c += 1
+    np.testing.assert_allclose(scales, ref)
+
+
+def test_cascade_smoke_random_weights():
+    """End-to-end cascade on a synthetic image with random weights: must run
+    through all stages without shape errors and return well-formed outputs."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((120, 100, 3)) * 255).astype(np.uint8)
+    det = MTCNNDetector(seed=0)
+    # loose thresholds so random weights still produce candidates sometimes
+    boxes, points = det.detect(img, minsize=20, thresholds=(0.2, 0.2, 0.2))
+    assert boxes.ndim == 2 and (boxes.shape[1] == 5 or boxes.shape[0] == 0)
+    if boxes.shape[0]:
+        assert points.shape[0] == 10
+
+
+def test_align_directory(tmp_path):
+    """Alignment walks class dirs and writes crops + bbox log. Uses a stub
+    detector so behavior is deterministic."""
+    import cv2
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        align as A,
+    )
+
+    class StubDetector:
+        def detect(self, img, minsize, thresholds, factor):
+            h, w = img.shape[:2]
+            return (np.asarray([[w * .25, h * .25, w * .75, h * .75, .99]]),
+                    np.zeros((10, 1)))
+
+    src = tmp_path / "raw"
+    for cls in ("id_a", "id_b"):
+        (src / cls).mkdir(parents=True)
+        for i in range(2):
+            img = (np.random.default_rng(i).random((64, 64, 3)) * 255
+                   ).astype(np.uint8)
+            cv2.imwrite(str(src / cls / f"img{i}.jpg"), img)
+    out = tmp_path / "aligned"
+    res = A.align_directory(str(src), str(out), StubDetector(),
+                            image_size=32, margin=4)
+    assert res.total == 4 and res.aligned == 4 and res.skipped == 0
+    assert (out / "id_a" / "img0.png").exists()
+    log = (out / "bounding_boxes.txt").read_text().strip().splitlines()
+    assert len(log) == 4
+
+
+def test_select_main_face_largest_centered():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.align import (
+        select_main_face,
+    )
+
+    # two dets: big off-center vs small centered — the reference rule
+    # area - 2*center_offset^2 decides
+    boxes = np.asarray([
+        [0, 0, 30, 30, 0.9],        # area 900, center (15,15)
+        [40, 40, 60, 60, 0.8],      # area 400, center (50,50) == img center
+    ])
+    det = select_main_face(boxes, (100, 100, 3))
+    np.testing.assert_allclose(det[0], [40, 40, 60, 60])
