@@ -1,0 +1,218 @@
+// Native tests for the serving layer (assert-based; no gtest in image).
+// Covers: SIMD dot/cosine vs scalar, gallery matcher, identity store
+// persistence + dedup, NMS parity cases, SPSC queue (threaded, drop-stale,
+// wrong-thread guard), state machine walk, clustering selection.
+
+#include <cassert>
+#include <cmath>
+#include <cstdio>
+#include <random>
+#include <thread>
+#include <vector>
+
+#include "facejax/clustering.hpp"
+#include "facejax/identity_store.hpp"
+#include "facejax/matcher.hpp"
+#include "facejax/nms.hpp"
+#include "facejax/spsc_queue.hpp"
+#include "facejax/state_machine.hpp"
+
+using namespace facejax;
+
+static void TestDotVsScalar() {
+  std::mt19937 rng(0);
+  std::uniform_real_distribution<float> dist(-1, 1);
+  for (int d : {1, 7, 8, 9, 342, 684}) {
+    std::vector<float> a(d), b(d);
+    for (int i = 0; i < d; ++i) {
+      a[i] = dist(rng);
+      b[i] = dist(rng);
+    }
+    double ref = 0;
+    for (int i = 0; i < d; ++i) ref += double(a[i]) * b[i];
+    float got = Dot(a.data(), b.data(), d);
+    assert(std::fabs(got - ref) < 1e-3);
+  }
+  std::printf("TestDotVsScalar OK\n");
+}
+
+static void TestMatcher() {
+  const int n = 100, d = 342;
+  std::mt19937 rng(1);
+  std::uniform_real_distribution<float> dist(-1, 1);
+  std::vector<float> gallery(n * d);
+  for (auto& v : gallery) v = dist(rng);
+  std::vector<float> norms = GalleryNorms(gallery.data(), n, d);
+  // query = row 37 scaled: cosine 1.0 with row 37
+  std::vector<float> q(gallery.begin() + 37 * d, gallery.begin() + 38 * d);
+  for (auto& v : q) v *= 2.5f;
+  MatchResult m = MatchGallery(gallery.data(), norms.data(), n, d, q.data(),
+                               0.9f);
+  assert(m.index == 37);
+  assert(std::fabs(m.similarity - 1.0f) < 1e-5);
+  // below threshold: index -1 but similarity reported
+  std::vector<float> far(d, 0.f);
+  far[0] = 1.f;
+  MatchResult m2 =
+      MatchGallery(gallery.data(), norms.data(), n, d, far.data(), 0.99f);
+  assert(m2.index == -1);
+  assert(m2.similarity > -2.f);
+  std::printf("TestMatcher OK\n");
+}
+
+static void TestIdentityStore() {
+  const char* path = "/tmp/fx_store_test.fjdb";
+  std::remove(path);
+  const int d = 8;
+  std::vector<float> a(d, 0.f), b(d, 0.f);
+  a[0] = 1.f;
+  b[1] = 1.f;
+  {
+    IdentityStore store(path, d);
+    assert(store.size() == 0);
+    assert(store.Register("alice", a.data()) == 0);
+    assert(store.Register("bob", b.data()) == 1);
+    // duplicate of alice -> deduped, returns -(1+0)
+    std::vector<float> a2 = a;
+    for (auto& v : a2) v *= 3.f;
+    assert(store.Register("alice2", a2.data()) == -1);
+    assert(store.size() == 2);
+    MatchResult m = store.Match(a.data(), 0.5f);
+    assert(m.index == 0 && store.name(m.index) == "alice");
+  }
+  {
+    IdentityStore reloaded(path, d);  // persistence
+    assert(reloaded.size() == 2);
+    assert(reloaded.name(1) == "bob");
+    MatchResult m = reloaded.Match(b.data(), 0.5f);
+    assert(m.index == 1);
+  }
+  std::remove(path);
+  std::printf("TestIdentityStore OK\n");
+}
+
+static void TestNms() {
+  // duplicate high-overlap boxes + one far box
+  float boxes[3][5] = {{0, 0, 10, 10, 0.9f},
+                       {0, 0, 10, 10, 0.8f},
+                       {50, 50, 60, 60, 0.7f}};
+  auto keep = Nms(&boxes[0][0], 3, 0.5f, NmsMethod::kUnion);
+  assert(keep.size() == 2);
+  assert(keep[0] == 0 && keep[1] == 2);
+  // Min mode merges contained boxes aggressively
+  float contained[2][5] = {{0, 0, 100, 100, 0.9f}, {10, 10, 20, 20, 0.8f}};
+  auto keep2 = Nms(&contained[0][0], 2, 0.5f, NmsMethod::kMin);
+  assert(keep2.size() == 1);
+  auto keep3 = Nms(&contained[0][0], 2, 0.5f, NmsMethod::kUnion);
+  assert(keep3.size() == 2);
+  std::printf("TestNms OK\n");
+}
+
+static void TestBBRegRerec() {
+  float boxes[1][5] = {{0, 0, 9, 9, 0.9f}};
+  float reg[1][4] = {{0.1f, 0.2f, -0.1f, -0.2f}};
+  BBReg(&boxes[0][0], &reg[0][0], 1);
+  assert(std::fabs(boxes[0][0] - 1.f) < 1e-5);
+  assert(std::fabs(boxes[0][3] - 7.f) < 1e-5);
+  float rect[1][5] = {{0, 0, 10, 20, 0.9f}};
+  Rerec(&rect[0][0], 1);
+  assert(std::fabs((rect[0][2] - rect[0][0]) - (rect[0][3] - rect[0][1])) <
+         1e-5);
+  std::printf("TestBBRegRerec OK\n");
+}
+
+static void TestSpscQueue() {
+  SpscQueue<int> q;
+  int out = 0;
+  assert(!q.Consume(out));
+  // threaded: producer pushes 1000, consumer drains in order
+  SpscQueue<int>* tq = new SpscQueue<int>();
+  std::thread producer([&] {
+    for (int i = 0; i < 1000; ++i) tq->Produce(i);
+  });
+  int last = -1, received = 0;
+  std::thread consumer([&] {
+    int v;
+    while (received < 1000) {
+      if (tq->Consume(v)) {
+        assert(v == last + 1);
+        last = v;
+        ++received;
+      }
+    }
+  });
+  producer.join();
+  consumer.join();
+  assert(received == 1000);
+  delete tq;
+  // drop-stale: consume newest only
+  SpscQueue<int> q2;
+  for (int i = 0; i < 5; ++i) q2.Produce(i);
+  int v = -1;
+  assert(q2.Consume(v, /*remove_old=*/true));
+  assert(v == 4);
+  assert(!q2.Consume(v));
+  std::printf("TestSpscQueue OK\n");
+}
+
+static void TestQueueThreadGuard() {
+  SpscQueue<int> q;
+  q.Produce(1);  // binds producer to this thread
+  bool threw = false;
+  std::thread other([&] {
+    try {
+      q.Produce(2);
+    } catch (const ConcurrencyError&) {
+      threw = true;
+    }
+  });
+  other.join();
+  assert(threw);
+  std::printf("TestQueueThreadGuard OK\n");
+}
+
+static void TestStateMachine() {
+  RegistrationStateMachine sm;
+  assert(sm.state() == SystemState::kIdentification);
+  assert(!sm.Handle(Event::kNameEntered));  // invalid from Identification
+  Event walk[] = {Event::kStartRegistration, Event::kNameEntered,
+                  Event::kCountdownDone,     Event::kImagesAcquired,
+                  Event::kImagesSelected,    Event::kDetailsEntered,
+                  Event::kFeatureStored,     Event::kTick};
+  for (Event e : walk) assert(sm.Handle(e));
+  assert(sm.state() == SystemState::kIdentification);
+  sm.Handle(Event::kStartRegistration);
+  assert(sm.Handle(Event::kCancel));
+  assert(sm.state() == SystemState::kIdentification);
+  std::printf("TestStateMachine OK\n");
+}
+
+static void TestClustering() {
+  const int d = 4;
+  // three near-duplicates of e0 + one e1 + one e2 direction
+  std::vector<float> f = {
+      1, 0, 0, 0,
+      0.999f, 0.01f, 0, 0,
+      0.998f, 0.02f, 0, 0,
+      0, 1, 0, 0,
+      0, 0, 1, 0,
+  };
+  auto sel = SelectRepresentatives(f.data(), 5, d, 0.95f);
+  assert(sel.size() == 3);
+  assert(sel[0] == 0 && sel[1] == 3 && sel[2] == 4);
+  std::printf("TestClustering OK\n");
+}
+
+int main() {
+  TestDotVsScalar();
+  TestMatcher();
+  TestIdentityStore();
+  TestNms();
+  TestBBRegRerec();
+  TestSpscQueue();
+  TestQueueThreadGuard();
+  TestStateMachine();
+  TestClustering();
+  std::printf("ALL NATIVE TESTS PASSED\n");
+  return 0;
+}

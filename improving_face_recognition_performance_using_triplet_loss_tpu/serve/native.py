@@ -1,0 +1,250 @@
+"""ctypes bindings for the native C++ serving layer (cpp/).
+
+pybind11 is not available in this image, so the C API in cpp/src/capi.cpp is
+consumed via ctypes. ``load_native()`` builds the shared library on first
+use with g++ directly (no cmake round-trip needed for one TU) and caches it
+under cpp/build/.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_CPP_DIR = os.path.join(_REPO_ROOT, "cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "build", "libfacejax_native.so")
+
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def build_native(force: bool = False) -> str:
+    """Compile the shared library (g++ -O3 -mavx2 -mfma -fopenmp)."""
+    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    src = os.path.join(_CPP_DIR, "src", "capi.cpp")
+    if not force and os.path.exists(_LIB_PATH) and (
+            os.path.getmtime(_LIB_PATH) > os.path.getmtime(src)):
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-Wall",
+           "-I", os.path.join(_CPP_DIR, "include"), src, "-o", _LIB_PATH,
+           "-fopenmp"]
+    # AVX2 if the build host supports it
+    probe = subprocess.run(["g++", "-mavx2", "-mfma", "-E", "-x", "c++",
+                            "/dev/null"], capture_output=True)
+    if probe.returncode == 0:
+        cmd[1:1] = ["-mavx2", "-mfma"]
+    result = subprocess.run(cmd, capture_output=True, text=True)
+    if result.returncode != 0:
+        raise NativeUnavailable(f"native build failed:\n{result.stderr}")
+    return _LIB_PATH
+
+
+def load_native() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build_native()
+    lib = ctypes.CDLL(path)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+
+    lib.fx_dot.restype = ctypes.c_float
+    lib.fx_dot.argtypes = [f32p, f32p, ctypes.c_int]
+    lib.fx_cosine.restype = ctypes.c_float
+    lib.fx_cosine.argtypes = [f32p, f32p, ctypes.c_int]
+    lib.fx_match_gallery.restype = ctypes.c_int
+    lib.fx_match_gallery.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                                     f32p, ctypes.c_float, f32p]
+    lib.fx_gallery_norms.argtypes = [f32p, ctypes.c_int, ctypes.c_int, f32p]
+    lib.fx_store_open.restype = ctypes.c_void_p
+    lib.fx_store_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.fx_store_close.argtypes = [ctypes.c_void_p]
+    lib.fx_store_size.restype = ctypes.c_int
+    lib.fx_store_size.argtypes = [ctypes.c_void_p]
+    lib.fx_store_register.restype = ctypes.c_int
+    lib.fx_store_register.argtypes = [ctypes.c_void_p, ctypes.c_char_p, f32p,
+                                      ctypes.c_float]
+    lib.fx_store_match.restype = ctypes.c_int
+    lib.fx_store_match.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float,
+                                   ctypes.c_char_p, ctypes.c_int, f32p]
+    lib.fx_nms.restype = ctypes.c_int
+    lib.fx_nms.argtypes = [f32p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+                           i32p, ctypes.c_int]
+    lib.fx_bbreg.argtypes = [f32p, f32p, ctypes.c_int]
+    lib.fx_rerec.argtypes = [f32p, ctypes.c_int]
+    lib.fx_select_representatives.restype = ctypes.c_int
+    lib.fx_select_representatives.argtypes = [f32p, ctypes.c_int,
+                                              ctypes.c_int, ctypes.c_float,
+                                              i32p, ctypes.c_int]
+    lib.fx_queue_create.restype = ctypes.c_void_p
+    lib.fx_queue_destroy.argtypes = [ctypes.c_void_p]
+    lib.fx_queue_produce.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
+                                     ctypes.c_long]
+    lib.fx_queue_consume.restype = ctypes.c_int
+    lib.fx_queue_consume.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
+                                     ctypes.c_int,
+                                     ctypes.POINTER(ctypes.c_long)]
+    lib.fx_sm_create.restype = ctypes.c_void_p
+    lib.fx_sm_destroy.argtypes = [ctypes.c_void_p]
+    lib.fx_sm_state.restype = ctypes.c_int
+    lib.fx_sm_state.argtypes = [ctypes.c_void_p]
+    lib.fx_sm_handle.restype = ctypes.c_int
+    lib.fx_sm_handle.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def _f32(a: np.ndarray):
+    a = np.ascontiguousarray(a, np.float32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def native_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    lib = load_native()
+    a, ap = _f32(a)
+    b, bp = _f32(b)
+    return float(lib.fx_cosine(ap, bp, a.size))
+
+
+def native_match_gallery(gallery: np.ndarray, query: np.ndarray,
+                         sim_th: float = 0.0):
+    """Returns (best_index or -1, best_similarity)."""
+    lib = load_native()
+    g, gp = _f32(gallery)
+    q, qp = _f32(query)
+    n, d = g.shape
+    norms = np.empty(n, np.float32)
+    lib.fx_gallery_norms(gp, n, d,
+                         norms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    sim = ctypes.c_float(-2.0)
+    idx = lib.fx_match_gallery(
+        gp, norms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d, qp,
+        sim_th, ctypes.byref(sim))
+    return int(idx), float(sim.value)
+
+
+def native_nms(boxes: np.ndarray, threshold: float,
+               method: str = "Union") -> np.ndarray:
+    lib = load_native()
+    b, bp = _f32(boxes)
+    n = b.shape[0]
+    keep = np.empty(n, np.int32)
+    cnt = lib.fx_nms(bp, n, threshold, 1 if method == "Min" else 0,
+                     keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n)
+    return keep[:cnt].astype(np.int64)
+
+
+def native_select_representatives(features: np.ndarray,
+                                  sim_threshold: float) -> np.ndarray:
+    lib = load_native()
+    f, fp = _f32(features)
+    n, d = f.shape
+    out = np.empty(n, np.int32)
+    cnt = lib.fx_select_representatives(
+        fp, n, d, sim_threshold,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n)
+    return out[:cnt].astype(np.int64)
+
+
+class NativeIdentityStore:
+    """Persistent identity DB backed by the C++ store (reference C19)."""
+
+    def __init__(self, path: str, dim: int):
+        self._lib = load_native()
+        self._h = self._lib.fx_store_open(path.encode(), dim)
+        self.dim = dim
+
+    def __len__(self) -> int:
+        return self._lib.fx_store_size(self._h)
+
+    def register(self, name: str, fv: np.ndarray,
+                 dedup_th: float = 0.99999) -> int:
+        fv, fp = _f32(fv)
+        assert fv.size == self.dim
+        return int(self._lib.fx_store_register(self._h, name.encode(), fp,
+                                               dedup_th))
+
+    def match(self, fv: np.ndarray, sim_th: float = 0.5):
+        """Returns (name or None, similarity)."""
+        fv, fp = _f32(fv)
+        buf = ctypes.create_string_buffer(256)
+        sim = ctypes.c_float(-2.0)
+        idx = self._lib.fx_store_match(self._h, fp, sim_th, buf, 256,
+                                       ctypes.byref(sim))
+        return (buf.value.decode() if idx >= 0 else None), float(sim.value)
+
+    def close(self):
+        if self._h:
+            self._lib.fx_store_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class NativeFrameQueue:
+    """SPSC drop-stale frame queue (reference C21)."""
+
+    def __init__(self):
+        self._lib = load_native()
+        self._h = self._lib.fx_queue_create()
+
+    def produce(self, frame: np.ndarray, seq: int = 0):
+        f, fp = _f32(frame)
+        self._lib.fx_queue_produce(self._h, fp, f.size, seq)
+        self._shape = frame.shape
+
+    def consume(self, capacity: int, remove_old: bool = False):
+        """Returns (array, seq) or None when empty."""
+        out = np.empty(capacity, np.float32)
+        seq = ctypes.c_long(0)
+        n = self._lib.fx_queue_consume(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            capacity, 1 if remove_old else 0, ctypes.byref(seq))
+        if n < 0:
+            return None
+        return out[:n], int(seq.value)
+
+    def close(self):
+        if self._h:
+            self._lib.fx_queue_destroy(self._h)
+            self._h = None
+
+
+class NativeStateMachine:
+    """Registration state machine (reference C22 SystemState flow)."""
+
+    STATES = ["Identification", "EnterName", "Downcount", "RegImageAcq",
+              "SelRegImage", "InputName", "Registration", "RegistFeature"]
+    EVENTS = {"start_registration": 0, "name_entered": 1,
+              "countdown_done": 2, "images_acquired": 3,
+              "images_selected": 4, "details_entered": 5,
+              "feature_stored": 6, "cancel": 7, "tick": 8}
+
+    def __init__(self):
+        self._lib = load_native()
+        self._h = self._lib.fx_sm_create()
+
+    @property
+    def state(self) -> str:
+        return self.STATES[self._lib.fx_sm_state(self._h)]
+
+    def handle(self, event: str) -> bool:
+        return bool(self._lib.fx_sm_handle(self._h, self.EVENTS[event]))
+
+    def close(self):
+        if self._h:
+            self._lib.fx_sm_destroy(self._h)
+            self._h = None

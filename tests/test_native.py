@@ -1,0 +1,180 @@
+"""Native serving layer via ctypes: matcher/store/queue/NMS/state machine
+(reference C18-C23), cross-validated against the Python oracles."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.ops import (
+    boxes as B,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve import (
+    native as N,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    try:
+        N.build_native()
+    except N.NativeUnavailable as e:
+        pytest.skip(f"native toolchain unavailable: {e}")
+
+
+def test_native_cosine_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=342).astype(np.float32)
+    b = rng.normal(size=342).astype(np.float32)
+    got = N.native_cosine(a, b)
+    ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - ref) < 1e-5
+
+
+def test_native_gallery_match():
+    rng = np.random.default_rng(1)
+    gallery = rng.normal(size=(200, 342)).astype(np.float32)
+    q = gallery[123] * 3.0
+    idx, sim = N.native_match_gallery(gallery, q, sim_th=0.9)
+    assert idx == 123
+    assert abs(sim - 1.0) < 1e-5
+    # below threshold -> -1 with best sim still reported
+    idx, sim = N.native_match_gallery(gallery, rng.normal(size=342), 0.999)
+    assert idx == -1 and sim < 0.999
+
+
+def test_native_nms_matches_python_oracle():
+    rng = np.random.default_rng(2)
+    x1 = rng.uniform(0, 100, 50)
+    y1 = rng.uniform(0, 100, 50)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(5, 40, 50),
+                      y1 + rng.uniform(5, 40, 50),
+                      rng.uniform(0, 1, 50)], 1).astype(np.float32)
+    for method in ("Union", "Min"):
+        ref = B.nms(boxes.astype(np.float64), 0.4, method)
+        got = N.native_nms(boxes, 0.4, method)
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_native_identity_store(tmp_path):
+    path = str(tmp_path / "ids.fjdb")
+    dim = 16
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=dim).astype(np.float32)
+    b = rng.normal(size=dim).astype(np.float32)
+    with N.NativeIdentityStore(path, dim) as store:
+        assert len(store) == 0
+        assert store.register("alice", a) == 0
+        assert store.register("bob", b) == 1
+        assert store.register("dup_alice", a * 2.0) == -1  # deduped
+        name, sim = store.match(a, sim_th=0.5)
+        assert name == "alice" and sim > 0.99
+        name, sim = store.match(rng.normal(size=dim), sim_th=0.9999)
+        assert name is None
+    # persistence across open/close
+    with N.NativeIdentityStore(path, dim) as store:
+        assert len(store) == 2
+        name, _ = store.match(b, sim_th=0.5)
+        assert name == "bob"
+
+
+def test_native_queue_drop_stale():
+    q = N.NativeFrameQueue()
+    try:
+        assert q.consume(4) is None
+        for i in range(5):
+            q.produce(np.full(4, float(i), np.float32), seq=i)
+        frame, seq = q.consume(4, remove_old=True)
+        assert seq == 4
+        np.testing.assert_allclose(frame, 4.0)
+        assert q.consume(4) is None
+        # FIFO mode
+        q.produce(np.zeros(4, np.float32), seq=10)
+        q.produce(np.ones(4, np.float32), seq=11)
+        _, seq = q.consume(4)
+        assert seq == 10
+    finally:
+        q.close()
+
+
+def test_native_state_machine():
+    sm = N.NativeStateMachine()
+    try:
+        assert sm.state == "Identification"
+        assert not sm.handle("name_entered")  # invalid transition
+        for ev in ("start_registration", "name_entered", "countdown_done",
+                   "images_acquired", "images_selected", "details_entered",
+                   "feature_stored", "tick"):
+            assert sm.handle(ev), ev
+        assert sm.state == "Identification"
+        sm.handle("start_registration")
+        assert sm.handle("cancel")
+        assert sm.state == "Identification"
+    finally:
+        sm.close()
+
+
+def test_native_clustering_selects_diverse():
+    f = np.asarray([
+        [1, 0, 0, 0],
+        [0.999, 0.01, 0, 0],
+        [0, 1, 0, 0],
+        [0, 0, 1, 0],
+    ], np.float32)
+    sel = N.native_select_representatives(f, 0.95)
+    np.testing.assert_array_equal(sel, [0, 2, 3])
+
+
+def test_cpp_test_binary_passes():
+    """The standalone assert-based native test binary also passes."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    binary = os.path.join(repo, "cpp", "build", "test_native")
+    if not os.path.exists(binary):
+        r = subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-mavx2", "-mfma", "-fopenmp",
+             "-I", os.path.join(repo, "cpp", "include"),
+             os.path.join(repo, "cpp", "src", "test_native.cpp"),
+             "-o", binary, "-lpthread"], capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"cannot build native tests: {r.stderr[:200]}")
+    out = subprocess.run([binary], capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert "ALL NATIVE TESTS PASSED" in out.stdout
+
+
+def test_recognition_service_end_to_end(tmp_path):
+    """Full serving loop: enroll two identities, then identify frames pushed
+    through the drop-stale queue (SURVEY.md §3.4 flow)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.recognition import (
+        RecognitionService,
+    )
+
+    rng = np.random.default_rng(7)
+    shape = (16, 16, 1)
+    dim = 32
+    proj = rng.normal(size=(int(np.prod(shape)), dim)).astype(np.float32)
+
+    def embed_fn(frames):
+        flat = np.asarray(frames, np.float32).reshape(len(frames), -1)
+        e = flat @ proj
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    base_a = rng.normal(size=shape).astype(np.float32)
+    base_b = rng.normal(size=shape).astype(np.float32)
+    with RecognitionService(embed_fn, str(tmp_path / "db.fjdb"), dim,
+                            sim_threshold=0.8, frame_shape=shape) as svc:
+        assert svc.identify_latest() is None  # empty queue
+        na = svc.register("alice", np.stack(
+            [base_a + 0.01 * rng.normal(size=shape) for _ in range(4)]))
+        nb = svc.register("bob", np.stack(
+            [base_b + 0.01 * rng.normal(size=shape) for _ in range(4)]))
+        assert na >= 1 and nb >= 1
+        assert svc.sm.state == "Identification"
+        # stale frames of bob then the freshest of alice: drop-stale wins
+        for i in range(3):
+            svc.push_frame(base_b, seq=i)
+        svc.push_frame(base_a, seq=99)
+        name, sim, seq = svc.identify_latest()
+        assert name == "alice" and seq == 99 and sim > 0.9
