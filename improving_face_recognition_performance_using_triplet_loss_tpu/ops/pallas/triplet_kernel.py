@@ -1,0 +1,150 @@
+"""Fused pairwise-distance + semi-hard negative mining Pallas kernel.
+
+The pure-JAX mining path (ops/mining.py) materializes the full [B, N]
+squared-distance matrix in HBM before the masked argmin — at the
+reference's head-training batch (B = N/2 = 16384, pre-trained_efm_v3.py:132)
+that is a 1 GB intermediate. This kernel streams pool tiles through VMEM
+flash-attention-style: each grid step computes one [TB, TN] distance tile on
+the MXU and folds it into per-anchor running (closest-semi-hard,
+farthest-negative) accumulators, so the matrix never exists in memory.
+
+Semantics identical to ``mining.mine_semi_hard_negative`` (first-minimum tie
+breaking preserved by strict-inequality accumulator updates); the pure-JAX
+version is the test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_POS_INF = 1e30  # python scalars: jnp constants would be captured tracers
+_NEG_INF = -1e30
+
+
+def _mining_kernel(anc_ref, pos_sq_ref, anc_lab_ref, pool_ref, pool_lab_ref,
+                   out_ref, semi_d, semi_i, far_d, far_i, *, tile_n: int,
+                   num_n_tiles: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        semi_d[:] = jnp.full_like(semi_d, _POS_INF)
+        semi_i[:] = jnp.zeros_like(semi_i)
+        far_d[:] = jnp.full_like(far_d, _NEG_INF)
+        far_i[:] = jnp.zeros_like(far_i)
+
+    a = anc_ref[:].astype(jnp.float32)            # [TB, D]
+    p = pool_ref[:].astype(jnp.float32)           # [TN, D]
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)    # [TB, 1]
+    p2 = jnp.sum(p * p, axis=1, keepdims=True).T  # [1, TN]
+    # HIGHEST precision to match the oracle's distance values bit-for-bit
+    # enough that argmin selections agree (default MXU f32 passes flip
+    # near-tie mining choices)
+    ap = jnp.dot(a, p.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    sq = jnp.maximum(a2 + p2 - 2.0 * ap, 0.0)     # [TB, TN]
+
+    neg_mask = anc_lab_ref[:] != pool_lab_ref[:].reshape(1, -1)  # [TB, TN]
+    pos_sq = pos_sq_ref[:]                                        # [TB, 1]
+    semi_mask = neg_mask & (sq > pos_sq)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1) + j * tile_n
+
+    sd = jnp.where(semi_mask, sq, _POS_INF)
+    tile_semi_min = jnp.min(sd, axis=1, keepdims=True)            # [TB, 1]
+    tile_semi_idx = jnp.min(
+        jnp.where(sd == tile_semi_min, col, jnp.int32(2**30)),
+        axis=1, keepdims=True)
+
+    fd = jnp.where(neg_mask, sq, _NEG_INF)
+    tile_far_max = jnp.max(fd, axis=1, keepdims=True)
+    tile_far_idx = jnp.min(
+        jnp.where(fd == tile_far_max, col, jnp.int32(2**30)),
+        axis=1, keepdims=True)
+
+    take_semi = tile_semi_min < semi_d[:]
+    semi_i[:] = jnp.where(take_semi, tile_semi_idx, semi_i[:])
+    semi_d[:] = jnp.where(take_semi, tile_semi_min, semi_d[:])
+    take_far = tile_far_max > far_d[:]
+    far_i[:] = jnp.where(take_far, tile_far_idx, far_i[:])
+    far_d[:] = jnp.where(take_far, tile_far_max, far_d[:])
+
+    @pl.when(j == num_n_tiles - 1)
+    def _():
+        has_semi = semi_d[:] < _POS_INF
+        out_ref[:] = jnp.where(has_semi, semi_i[:], far_i[:])
+
+
+def semi_hard_mining_pallas(
+    anc: jnp.ndarray,
+    pos_sq: jnp.ndarray,
+    anc_labels: jnp.ndarray,
+    pool: jnp.ndarray,
+    pool_labels: jnp.ndarray,
+    *,
+    tile_b: int = 256,
+    tile_n: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Semi-hard negative index per anchor, without materializing [B, N].
+
+    Args:
+      anc: [B, D] anchor embeddings (pre-normalized if cosine semantics).
+      pos_sq: [B] anchor->positive squared distances.
+      anc_labels / pool_labels: int labels.
+      pool: [N, D] candidate embeddings.
+
+    Returns: [B] int32 indices into the pool.
+    """
+    if interpret is None:
+        # no compiled Pallas backend on CPU: interpret there, compile on TPU
+        interpret = jax.default_backend() == "cpu"
+    b, d = anc.shape
+    n = pool.shape[0]
+    tile_b = min(tile_b, b)
+    tile_n = min(tile_n, n)
+    if b % tile_b or n % tile_n:
+        raise ValueError(f"B ({b}) and N ({n}) must divide tile sizes "
+                         f"({tile_b}, {tile_n})")
+    num_n_tiles = n // tile_n
+    grid = (b // tile_b, num_n_tiles)
+
+    out = pl.pallas_call(
+        functools.partial(_mining_kernel, tile_n=tile_n,
+                          num_n_tiles=num_n_tiles),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, 1), jnp.float32),
+            pltpu.VMEM((tile_b, 1), jnp.int32),
+            pltpu.VMEM((tile_b, 1), jnp.float32),
+            pltpu.VMEM((tile_b, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        anc.astype(jnp.float32),
+        pos_sq.reshape(b, 1).astype(jnp.float32),
+        anc_labels.reshape(b, 1).astype(jnp.int32),
+        pool.astype(jnp.float32),
+        pool_labels.reshape(n, 1).astype(jnp.int32),
+    )
+    return out[:, 0]

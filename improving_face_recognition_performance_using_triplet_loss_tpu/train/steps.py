@@ -83,15 +83,36 @@ def _mine(
     else:
         anc_n = l2_normalize(anc)
         pool_n = l2_normalize(pool_feat)
-        sq = pairwise_sq_l2(anc_n, pool_n)
-        pos_sq = jnp.sum(jnp.square(anc_n - l2_normalize(pos)), axis=-1)
-        if mining_mode == "semi_hard":
-            idx = mining.mine_semi_hard_negative(sq, pos_sq, anchor_labels,
-                                                 pool_labels)
-        elif mining_mode == "hard":
-            idx = mining.mine_hard_negative(sq, anchor_labels, pool_labels)
+        if mining_mode == "semi_hard_fused":
+            # Pallas streaming kernel: the [B, N] distance matrix never
+            # materializes in HBM (ops/pallas/triplet_kernel.py). Indices are
+            # integers, so no gradient path exists through the kernel.
+            from ..ops.pallas.triplet_kernel import semi_hard_mining_pallas
+
+            pos_sq = jnp.sum(jnp.square(anc_n - l2_normalize(pos)), axis=-1)
+            b, n = anc_n.shape[0], pool_n.shape[0]
+            tile_b = max(g for g in (256, 128, 64, 32, 16, 8, 4, 2, 1)
+                         if b % g == 0)
+            tile_n = max(g for g in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                         if n % g == 0)
+            idx = semi_hard_mining_pallas(
+                jax.lax.stop_gradient(anc_n),
+                jax.lax.stop_gradient(pos_sq),
+                anchor_labels,
+                jax.lax.stop_gradient(pool_n),
+                pool_labels, tile_b=tile_b, tile_n=tile_n)
         else:
-            raise ValueError(f"unknown mining mode {mining_mode!r}")
+            sq = pairwise_sq_l2(anc_n, pool_n)
+            pos_sq = jnp.sum(jnp.square(anc_n - l2_normalize(pos)), axis=-1)
+            if mining_mode == "semi_hard":
+                idx = mining.mine_semi_hard_negative(sq, pos_sq,
+                                                     anchor_labels,
+                                                     pool_labels)
+            elif mining_mode == "hard":
+                idx = mining.mine_hard_negative(sq, anchor_labels,
+                                                pool_labels)
+            else:
+                raise ValueError(f"unknown mining mode {mining_mode!r}")
     return mining.gather_rows(pool_feat, idx)
 
 
