@@ -36,6 +36,7 @@ class EFMNet342(nn.Module):
     num_classes: int
     dtype: Any = jnp.float32
     feature_dim: int = 342  # = 513 * 2 / 3, efm_symbol.py:94-101
+    remat: bool = False  # rematerialize res blocks (memonger parity, C27)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
@@ -48,10 +49,11 @@ class EFMNet342(nn.Module):
         x = _maxpool2(x)
 
         # stages 2-5 (efm_symbol.py:85-92): (num_r, num, tar_num)
+        res_block_cls = nn.remat(EFMResBlock) if self.remat else EFMResBlock
         ladder = [(99, 198, 1), (198, 387, 2), (387, 261, 3), (261, 261, 4)]
         for si, (num_r, num, tar) in enumerate(ladder, start=2):
-            x = EFMResBlock(num_blocks=tar, filters=num_r, dtype=d,
-                            name=f"stage{si}_res")(x)
+            x = res_block_cls(num_blocks=tar, filters=num_r, dtype=d,
+                              name=f"stage{si}_res")(x)
             # 1x1 conv(num_r) -> EFM3 (efm_symbol.py:54-60)
             x = nn.Conv(num_r, (1, 1), dtype=d, name=f"stage{si}_conv1x1")(x)
             x = efm3(x)

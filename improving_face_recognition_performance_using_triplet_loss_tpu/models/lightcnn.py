@@ -104,11 +104,13 @@ class LightCNN29(nn.Module):
     num_classes: int
     dtype: Any = jnp.float32
     feature_dim: int = 684  # = 1026 * 2 / 3, lightcnn.py:111,123-128
+    remat: bool = False  # rematerialize res blocks (memonger parity, C27)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         d = self.dtype
         x = x.astype(d)
+        res_block_cls = nn.remat(EFMResBlock) if self.remat else EFMResBlock
         # group 1 (lightcnn.py:82-83): 5x5 conv 99 -> EFM -> pool
         x = EFMConv(filters=99, kernel=(5, 5), dtype=d, name="group1")(x)
         x = _maxpool2(x)
@@ -120,8 +122,8 @@ class LightCNN29(nn.Module):
             (4, 261, 261, 261),
         ]
         for gi, (nres, rf, pf, cf) in enumerate(ladder, start=2):
-            x = EFMResBlock(num_blocks=nres, filters=rf, dtype=d,
-                            name=f"group{gi}_res")(x)
+            x = res_block_cls(num_blocks=nres, filters=rf, dtype=d,
+                              name=f"group{gi}_res")(x)
             x = EFMConv(filters=cf, pre_filters=pf, kernel=(3, 3), dtype=d,
                         name=f"group{gi}_conv")(x)
             x = _maxpool2(x)

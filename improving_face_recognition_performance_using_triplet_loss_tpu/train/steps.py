@@ -242,9 +242,16 @@ def make_head_train_step(
     mining_mode: str = "random",
     axis_name: str | None = None,
     normalize_inputs: bool = False,
+    normalize_embeddings: bool = False,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Triplet-only head step (pre-trained_efm_v3.py:193-212 semantics):
-    a linear head over precomputed features, margin 0.5, SGD."""
+    a linear head over precomputed features, margin 0.5, SGD.
+
+    ``normalize_embeddings`` applies the triplet loss on L2-normalized head
+    outputs (FaceNet-style). The reference trains on raw outputs, which the
+    loss can satisfy by scale inflation instead of structure — keep False
+    for strict parity, True for better generalization.
+    """
 
     def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
              labels: jnp.ndarray):
@@ -262,7 +269,8 @@ def make_head_train_step(
             pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
             neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
                         pool_labels, None)
-            tl = triplet_loss(anc, pos, neg, margin=margin)
+            tl = triplet_loss(anc, pos, neg, margin=margin,
+                              normalize=normalize_embeddings)
             metrics = {
                 "loss": tl,
                 "pos_cos": rowwise_cosine(anc, pos),
