@@ -1,0 +1,125 @@
+"""Live-recognition serving demo (reference C++ runtime flow, SURVEY.md §3.4).
+
+Spins up the RecognitionService with a real embedding model (exported or
+random-init), enrolls synthetic identities through the registration state
+machine, pushes a stream of frames through the SPSC drop-stale queue from a
+producer thread, and identifies the freshest frames — the full
+camera -> queue -> embed(TPU) -> AVX-match -> identity-store loop in one
+process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--export-dir", help="exported model (serve/export.py); "
+                                        "random init if omitted")
+    p.add_argument("--model", default="efmnet342",
+                   choices=["lightcnn29", "efmnet342", "lightcnn9"])
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--store", default="/tmp/facejax_demo.fjdb")
+    p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--identities", type=int, default=4)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--sim-threshold", type=float, default=0.6)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import os
+
+    import jax
+
+    from .train_backbone import _model_by_name
+    from ..data.synthetic import synthetic_faces
+    from ..extract import make_extract_fn
+    from ..serve.export import load_exported_params
+    from ..serve.recognition import RecognitionService
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    if os.path.exists(args.store):
+        os.remove(args.store)
+
+    if args.export_dir:
+        params, batch_stats, manifest = load_exported_params(args.export_dir)
+        model = _model_by_name(manifest.get("model", args.model),
+                               args.num_classes, bf16=True)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+    else:
+        model = _model_by_name(args.model, args.num_classes, bf16=False)
+        variables = model.init(
+            jax.random.PRNGKey(args.seed),
+            np.zeros((1, args.image_size, args.image_size, 1), np.float32))
+        print("note: random-init model (pipeline demo; pass --export-dir "
+              "for a trained one)")
+    extract = make_extract_fn(model, normalize=True)
+
+    def embed_fn(frames):
+        _, feat = extract(variables, np.asarray(frames, np.float32))
+        return np.asarray(feat)
+
+    shape = (args.image_size, args.image_size, 1)
+    images, labels = synthetic_faces(num_ids=args.identities, per_id=6,
+                                     size=args.image_size, seed=args.seed)
+    with RecognitionService(embed_fn, args.store, model.feature_dim,
+                            sim_threshold=args.sim_threshold,
+                            frame_shape=shape) as svc:
+        # enrollment through the state machine
+        for ident in range(args.identities):
+            frames = images[labels == ident][:4]
+            stored = svc.register(f"person_{ident}", frames)
+            print(f"enrolled person_{ident}: {stored} representative "
+                  f"feature(s); store size {len(svc.store)}")
+
+        # camera thread: stream frames of random identities
+        rng = np.random.default_rng(args.seed + 1)
+        truth = {}
+        stop = threading.Event()
+
+        def camera():
+            for seq in range(args.frames):
+                ident = int(rng.integers(0, args.identities))
+                pool = images[labels == ident]
+                truth[seq] = ident
+                svc.push_frame(pool[int(rng.integers(0, len(pool)))], seq=seq)
+                time.sleep(0.002)
+            stop.set()
+
+        t = threading.Thread(target=camera)
+        t.start()
+        correct = 0
+        seen = 0
+        while not stop.is_set() or True:
+            res = svc.identify_latest()
+            if res is None:
+                if stop.is_set():
+                    break
+                time.sleep(0.001)
+                continue
+            name, sim, seq = res
+            expected = f"person_{truth[seq]}"
+            ok = name == expected
+            correct += int(ok)
+            seen += 1
+            print(f"frame {seq:3d}: {name or '<unknown>'} (sim {sim:+.3f}) "
+                  f"expected {expected} {'OK' if ok else 'MISS'}")
+        t.join()
+        print(f"identified {correct}/{seen} sampled frames correctly "
+              f"(drop-stale queue skips backlog by design)")
+        return correct, seen
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ def build_parser():
     p.add_argument("--margin", type=float, default=0.2)
     p.add_argument("--alpha", type=float, default=0.1)
     p.add_argument("--mining", default="random",
-                   choices=["random", "semi_hard", "hard"])
+                   choices=["random", "semi_hard", "semi_hard_fused", "hard"])
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32)")
     p.add_argument("--no-mirror", action="store_true")

@@ -31,7 +31,7 @@ def build_parser():
     p.add_argument("--triplet-weight", type=float, default=0.1)
     p.add_argument("--triplet-margin", type=float, default=0.2)
     p.add_argument("--mining", default="random",
-                   choices=["random", "semi_hard", "hard"])
+                   choices=["random", "semi_hard", "semi_hard_fused", "hard"])
     p.add_argument("--sample-every", type=int, default=10)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)

@@ -40,7 +40,7 @@ def build_parser():
     p.add_argument("--lr", type=float, default=2.4e-4)
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--mining", default="random",
-                   choices=["random", "semi_hard", "hard"])
+                   choices=["random", "semi_hard", "semi_hard_fused", "hard"])
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p

@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=2.4e-4)
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--mining", default="random",
-                   choices=["random", "semi_hard", "hard"])
+                   choices=["random", "semi_hard", "semi_hard_fused", "hard"])
+    p.add_argument("--normalize-embeddings", action="store_true",
+                   help="FaceNet-style triplet on L2-normalized head outputs "
+                        "(better generalization; reference uses raw outputs)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard_map over all visible devices")
     p.add_argument("--resume", action="store_true")
@@ -91,8 +94,9 @@ def main(argv=None):
                                feats[:1])
 
     axis = "data" if args.data_parallel else None
-    train_step = make_head_train_step(model, tx, margin=args.margin,
-                                      mining_mode=args.mining, axis_name=axis)
+    train_step = make_head_train_step(
+        model, tx, margin=args.margin, mining_mode=args.mining,
+        axis_name=axis, normalize_embeddings=args.normalize_embeddings)
     eval_step = make_head_eval_step(model, margin=args.margin,
                                     mining_mode=args.mining, axis_name=axis)
     if args.data_parallel:

@@ -29,6 +29,29 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_multislice_mesh(
+    ici_size: int | None = None,
+    dcn_axis: str = "dcn",
+    ici_axis: str = DATA_AXIS,
+) -> Mesh:
+    """2-D mesh for multislice pods: outer DCN axis x inner ICI axis.
+
+    Collectives along ``ici_axis`` ride the fast intra-slice interconnect;
+    gradient aggregation across slices goes over DCN (SURVEY.md §5.8's
+    multislice note). On a single slice this degenerates to (1, n).
+    """
+    devices = jax.devices()
+    n = len(devices)
+    if ici_size is None:
+        # one slice per process by default; single-process -> single slice
+        ici_size = n // max(jax.process_count(), 1)
+    if n % ici_size:
+        raise ValueError(f"{n} devices do not split into ICI groups of "
+                         f"{ici_size}")
+    arr = np.asarray(devices).reshape(n // ici_size, ici_size)
+    return Mesh(arr, (dcn_axis, ici_axis))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Batch-dim sharding: leading axis split over the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -123,3 +123,29 @@ def test_profiler_trace_smoke(tmp_path):
         _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     # trace directory exists and contains profiler output
     assert os.path.isdir(str(tmp_path / "trace"))
+
+
+def test_projector_export_roundtrip(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.eval.projector import (
+        export_projector,
+        load_projector,
+    )
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(12, 8)).astype(np.float32)
+    labels = np.arange(12) % 3
+    d = export_projector(emb, labels, str(tmp_path / "proj"),
+                         names=["a", "b", "c"])
+    vec, meta = load_projector(d)
+    np.testing.assert_allclose(vec, emb, rtol=1e-4)
+    assert meta[:4] == ["a", "b", "c", "a"]
+
+
+def test_multislice_mesh_shape():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.parallel.mesh import (
+        make_multislice_mesh,
+    )
+
+    mesh = make_multislice_mesh(ici_size=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("dcn", "data")

@@ -198,3 +198,54 @@ def test_select_main_face_largest_centered():
     ])
     det = select_main_face(boxes, (100, 100, 3))
     np.testing.assert_allclose(det[0], [40, 40, 60, 60])
+
+
+def test_similarity_transform_recovers_known_warp():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.landmarks import (
+        apply_affine,
+        similarity_transform,
+    )
+
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 100, (5, 2)).astype(np.float32)
+    theta = 0.3
+    scale = 1.7
+    rot = scale * np.asarray([[np.cos(theta), -np.sin(theta)],
+                              [np.sin(theta), np.cos(theta)]])
+    t = np.asarray([5.0, -3.0])
+    dst = src @ rot.T + t
+    m = similarity_transform(src, dst)
+    np.testing.assert_allclose(apply_affine(src, m), dst, rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_align_face_places_landmarks_on_template():
+    import cv2
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.landmarks import (
+        ARCFACE_TEMPLATE_112,
+        align_face,
+        apply_affine,
+        similarity_transform,
+    )
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((200, 200, 3)) * 255).astype(np.uint8)
+    # synthetic landmarks: the template shifted+scaled into the image
+    lmk = ARCFACE_TEMPLATE_112 * 1.3 + np.asarray([40.0, 50.0])
+    out = align_face(img, lmk, size=112)
+    assert out.shape == (112, 112, 3)
+    m = similarity_transform(lmk, ARCFACE_TEMPLATE_112)
+    mapped = apply_affine(lmk, m)
+    np.testing.assert_allclose(mapped, ARCFACE_TEMPLATE_112, atol=0.1)
+
+
+def test_mtcnn_points_layout_conversion():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.landmarks import (
+        mtcnn_points_to_xy,
+    )
+
+    pts = np.arange(10, dtype=np.float32).reshape(10, 1)
+    xy = mtcnn_points_to_xy(pts, 0)
+    np.testing.assert_allclose(xy[:, 0], [0, 1, 2, 3, 4])  # xs
+    np.testing.assert_allclose(xy[:, 1], [5, 6, 7, 8, 9])  # ys
