@@ -9,6 +9,9 @@
 - ``slice_dataset``   <- feature_extraction/c_version/slice_celeb1m.py
 - ``lfw_eval``        (new: generates the LFW baseline; SURVEY.md §6)
 - ``align``           <- feature_extraction/facenet_version/align_dataset_mtcnn.py
+- ``pack_dataset``    <- the implied im2rec RecordIO packing step
+- ``train_began``     (README-only BEGAN-CS + triplet capability)
+- ``serve_demo``      <- the C++ runtime's live recognition loop (§3.4)
 
 Run as ``python -m improving_face_recognition_performance_using_triplet_loss_tpu.cli.<name>``.
 """

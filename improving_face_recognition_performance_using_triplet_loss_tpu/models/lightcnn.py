@@ -131,9 +131,10 @@ class LightCNN29(nn.Module):
         x = x.reshape((x.shape[0], -1))
         fc1 = nn.Dense(1026, dtype=d, name="fc1")(x)
         feat = efm3(fc1)  # 684-d (lightcnn.py:123-128)
-        # Feature branch: BatchNorm (lightcnn.py:113-114)
+        # Feature branch: BatchNorm (lightcnn.py:113-114); momentum matches
+        # gluon's default 0.9 (flax defaults to 0.99)
         feat_out = nn.BatchNorm(use_running_average=not train, dtype=d,
-                                name="fc1_bn")(feat)
+                                momentum=0.9, name="fc1_bn")(feat)
         # ID branch: Dropout(0.7) + Dense (lightcnn.py:116-118)
         h = nn.Dropout(rate=0.7, deterministic=not train, name="fc2_drop")(feat)
         logits = nn.Dense(self.num_classes, dtype=d, name="fc2")(h)

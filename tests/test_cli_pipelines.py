@@ -133,3 +133,35 @@ def test_lfw_eval_cli_with_images(tmp_path):
     ])
     assert 0.0 <= result["accuracy_mean"] <= 1.0
     assert json.load(open(tmp_path / "lfw.json"))["n_pairs"] == 16
+
+
+def test_pack_dataset_cli(tmp_path):
+    import cv2
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        pack_dataset,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+        load_image_store,
+    )
+
+    src = tmp_path / "tree"
+    rng = np.random.default_rng(0)
+    for cls in ("alice", "bob", "carol"):
+        (src / cls).mkdir(parents=True)
+        for i in range(3):
+            img = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(src / cls / f"{i}.jpg"), img)
+    out = str(tmp_path / "packed.npz")
+    n, k = pack_dataset.main([str(src), out, "--image-size", "32",
+                              "--train-frac", "0.67"])
+    assert n == 9 and k == 3
+    images, labels = load_image_store(out)
+    assert images.shape == (9, 32, 32, 1) and images.dtype == np.uint8
+    assert sorted(set(labels.tolist())) == [0, 1, 2]
+    tr_i, tr_l = load_image_store(str(tmp_path / "packed_train.npz"))
+    te_i, te_l = load_image_store(str(tmp_path / "packed_test.npz"))
+    assert tr_i.shape[0] + te_i.shape[0] == 9
+    assert set(tr_l) & set(te_l) == set()  # identity-disjoint
+    assert json.load(open(tmp_path / "packed.classes.json"))["classes"] == [
+        "alice", "bob", "carol"]
