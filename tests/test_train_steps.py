@@ -215,3 +215,37 @@ def test_backbone_shard_map_8dev():
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["pos_cos"].shape == (8,)
+
+
+def test_multislice_2d_mesh_matches_single_device():
+    """The same step functions run over a 2-D (dcn x data) mesh with tuple
+    axis names — the multislice scaling path (SURVEY.md §5.8)."""
+    from jax.sharding import PartitionSpec as P
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.parallel.mesh import (
+        make_multislice_mesh,
+    )
+
+    mesh = make_multislice_mesh(ici_size=4)  # 2 x 4 over the virtual devices
+    rng = np.random.default_rng(11)
+    anc, pos, labels = _head_batch(rng, b=32)
+    model = LinearHead(out_dim=8)
+    tx = sgd_wd(lr=0.05)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    axis = ("dcn", "data")
+    step = jax.jit(jax.shard_map(
+        make_head_train_step(model, tx, mining_mode="semi_hard",
+                             axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), {"loss": P(), "pos_cos": P(axis),
+                         "neg_cos": P(axis)})))
+    s2, m2 = step(state, anc, pos, labels)
+    single = jax.jit(make_head_train_step(model, tx, mining_mode="semi_hard"))
+    s1, m1 = single(state, anc, pos, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
+                               atol=1e-6)
