@@ -178,3 +178,35 @@ def test_recognition_service_end_to_end(tmp_path):
         svc.push_frame(base_a, seq=99)
         name, sim, seq = svc.identify_latest()
         assert name == "alice" and seq == 99 and sim > 0.9
+
+
+def test_tpu_gallery_matcher_matches_native():
+    """Device-side bulk matcher agrees with the AVX scan row-by-row."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.gallery import (
+        match_gallery_tpu,
+    )
+
+    rng = np.random.default_rng(11)
+    gallery = rng.normal(size=(300, 64)).astype(np.float32)
+    queries = np.concatenate([
+        gallery[[5, 250]] * 2.0,                        # exact directions
+        rng.normal(size=(6, 64)).astype(np.float32),    # random
+    ])
+    idx, sim = match_gallery_tpu(gallery, queries, sim_th=-1.0)
+    for q, (i_tpu, s_tpu) in zip(queries, zip(idx, sim)):
+        i_ref, s_ref = N.native_match_gallery(gallery, q, sim_th=-1.0)
+        assert i_tpu == i_ref
+        assert abs(s_tpu - s_ref) < 1e-4
+    assert idx[0] == 5 and idx[1] == 250
+
+
+def test_tpu_gallery_matcher_threshold():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.gallery import (
+        match_gallery_tpu,
+    )
+
+    gallery = np.eye(4, dtype=np.float32)
+    q = np.asarray([[0.0, 1.0, 0.0, 0.0], [0.5, 0.5, 0.5, 0.5]], np.float32)
+    idx, sim = match_gallery_tpu(gallery, q, sim_th=0.9)
+    assert idx[0] == 1 and sim[0] > 0.99
+    assert idx[1] == -1  # 0.5 cosine, below threshold
