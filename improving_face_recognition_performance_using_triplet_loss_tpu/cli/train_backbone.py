@@ -39,6 +39,9 @@ def build_parser():
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--margin", type=float, default=0.2)
     p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--center-loss-weight", type=float, default=0.0,
+                   help="add center loss on anchor embeddings "
+                        "(facenet.py:64-77 capability)")
     p.add_argument("--mining", default="random",
                    choices=["random", "semi_hard", "semi_hard_fused", "hard"])
     p.add_argument("--bf16", action="store_true",
@@ -126,13 +129,17 @@ def main(argv=None):
                      decay_every_steps=steps_per_epoch * args.lr_decay_epochs,
                      factor=args.lr_factor,
                      weight_decay=args.weight_decay)
+    import jax.numpy as jnp
+    aux = (jnp.zeros((num_classes, model.feature_dim), jnp.float32)
+           if args.center_loss_weight > 0 else None)
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
-                               images[:1])
+                               images[:1], aux=aux)
 
     axis = "data" if args.data_parallel else None
     train_step = make_backbone_train_step(
         model, tx, margin=args.margin, alpha=args.alpha,
-        mining_mode=args.mining, axis_name=axis)
+        mining_mode=args.mining, axis_name=axis,
+        center_weight=args.center_loss_weight)
     eval_step = make_backbone_eval_step(
         model, margin=args.margin, alpha=args.alpha,
         mining_mode=args.mining, axis_name=axis)

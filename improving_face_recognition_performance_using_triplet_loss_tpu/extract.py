@@ -12,8 +12,6 @@ Target: >= 10k embeddings/sec/chip on LightCNN (BASELINE.md) — see bench.py.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 import numpy as np

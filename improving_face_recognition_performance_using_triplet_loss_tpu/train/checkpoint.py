@@ -49,6 +49,9 @@ class Checkpointer:
         )
         return self._mgr.restore(int(step), args=ocp.args.StandardRestore(abstract))
 
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -12,9 +12,8 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Iterable
+from typing import Callable, Iterable
 
-import jax
 import numpy as np
 
 from ..eval.cosine import CosineSimilaritySink
@@ -105,7 +104,7 @@ def train_loop(
         if on_epoch_end is not None:
             on_epoch_end(stats)
     if checkpointer is not None:
-        checkpointer._mgr.wait_until_finished()
+        checkpointer.wait()
     return state, history
 
 

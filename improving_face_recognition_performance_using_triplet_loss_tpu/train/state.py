@@ -24,6 +24,7 @@ class TrainState:
     batch_stats: Any
     step: jnp.ndarray
     base_key: jax.Array
+    aux: Any = None  # optional extra state (e.g. center-loss centers table)
 
 
 def create_train_state(
@@ -31,6 +32,7 @@ def create_train_state(
     tx: optax.GradientTransformation,
     rng: jax.Array,
     sample_input: jnp.ndarray,
+    aux: Any = None,
     **apply_kwargs,
 ) -> TrainState:
     """Initialize model variables + optimizer state."""
@@ -45,4 +47,5 @@ def create_train_state(
         batch_stats=batch_stats,
         step=jnp.zeros((), jnp.int32),
         base_key=base_key,
+        aux=aux,
     )

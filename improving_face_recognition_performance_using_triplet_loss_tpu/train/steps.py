@@ -145,12 +145,19 @@ def make_backbone_train_step(
     mining_mode: str = "random",
     axis_name: str | None = None,
     mine_anchor_half_only: bool = False,
+    center_weight: float = 0.0,
+    center_alfa: float = 0.95,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
 
     ``mine_anchor_half_only`` reproduces the reference's train-time candidate
     restriction to the anchor half (train_efm.py:235); default mines over the
     whole (globally gathered) batch.
+
+    ``center_weight > 0`` adds center loss (reference facenet.py:64-77) on
+    the anchor embeddings; the centers table must be provided as
+    ``state.aux`` ([num_classes, feature_dim] zeros to start) and is updated
+    every step.
     """
 
     def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
@@ -173,24 +180,34 @@ def make_backbone_train_step(
             total, id_loss, tl = joint_id_triplet_loss(
                 logits[:b], labels, anc, pos, neg,
                 margin=margin, alpha=alpha, normalize_embeddings=True)
+            new_centers = state.aux
+            if center_weight > 0.0:
+                from ..losses.center import center_loss
+
+                c_loss, new_centers = center_loss(anc, labels, state.aux,
+                                                  alfa=center_alfa)
+                total = total + center_weight * c_loss
             acc = jnp.mean((jnp.argmax(logits, -1) == labels2).astype(jnp.float32))
             metrics = {
                 "loss": total, "id_loss": id_loss, "tl_loss": tl, "acc": acc,
                 "pos_cos": rowwise_cosine(anc, pos),
                 "neg_cos": rowwise_cosine(anc, neg),
             }
-            return total, (new_bs, metrics)
+            return total, (new_bs, new_centers, metrics)
 
-        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (new_bs, new_centers, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             new_bs = jax.lax.pmean(new_bs, axis_name)
+            if center_weight > 0.0:
+                new_centers = jax.lax.pmean(new_centers, axis_name)
         metrics = _pmean_metrics(metrics, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params, opt_state=new_opt, batch_stats=new_bs,
-            step=state.step + 1)
+            step=state.step + 1, aux=new_centers)
         return new_state, metrics
 
     return step

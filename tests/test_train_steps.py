@@ -249,3 +249,28 @@ def test_multislice_2d_mesh_matches_single_device():
     p2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_backbone_center_loss_option():
+    """center_weight > 0 adds the facenet center loss and updates the
+    centers table threaded through state.aux."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    anc, pos, labels = _image_batch(rng)
+    model = EFMNet342(num_classes=3)
+    tx = adam_factor(base_lr=1e-3, decay_every_steps=100)
+    centers0 = jnp.zeros((3, 342), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc,
+                               aux=centers0)
+    step = jax.jit(make_backbone_train_step(model, tx, center_weight=0.5))
+    new_state, metrics = step(state, anc, pos, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    # centers moved toward the embeddings of the seen classes
+    assert not np.allclose(np.asarray(new_state.aux), 0.0)
+    # plain step (weight 0) leaves aux untouched
+    step0 = jax.jit(make_backbone_train_step(model, tx))
+    s0, m0 = step0(state, anc, pos, labels)
+    np.testing.assert_array_equal(np.asarray(s0.aux), np.asarray(centers0))
+    # center loss increases the total loss vs the plain step
+    assert float(metrics["loss"]) >= float(m0["loss"])
