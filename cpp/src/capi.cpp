@@ -57,6 +57,19 @@ int fx_store_register(void* s, const char* name, const float* fv,
                                                            dedup_th);
 }
 
+int fx_store_register_meta(void* s, const char* name, const char* meta,
+                           const float* fv, float dedup_th) {
+  return static_cast<facejax::IdentityStore*>(s)->Register(
+      name, fv, dedup_th, meta ? meta : "");
+}
+
+int fx_store_meta(void* s, int index, char* meta_out, int cap) {
+  auto* store = static_cast<facejax::IdentityStore*>(s);
+  if (index < 0 || index >= store->size()) return -1;
+  std::snprintf(meta_out, cap, "%s", store->meta(index).c_str());
+  return 0;
+}
+
 // Returns match index or -1; writes name (truncated to cap) and similarity.
 int fx_store_match(void* s, const float* fv, float sim_th, char* name_out,
                    int name_cap, float* sim_out) {

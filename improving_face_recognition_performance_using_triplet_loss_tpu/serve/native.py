@@ -72,6 +72,13 @@ def load_native() -> ctypes.CDLL:
     lib.fx_store_register.restype = ctypes.c_int
     lib.fx_store_register.argtypes = [ctypes.c_void_p, ctypes.c_char_p, f32p,
                                       ctypes.c_float]
+    lib.fx_store_register_meta.restype = ctypes.c_int
+    lib.fx_store_register_meta.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                           ctypes.c_char_p, f32p,
+                                           ctypes.c_float]
+    lib.fx_store_meta.restype = ctypes.c_int
+    lib.fx_store_meta.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_char_p, ctypes.c_int]
     lib.fx_store_match.restype = ctypes.c_int
     lib.fx_store_match.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float,
                                    ctypes.c_char_p, ctypes.c_int, f32p]
@@ -166,11 +173,31 @@ class NativeIdentityStore:
         return self._lib.fx_store_size(self._h)
 
     def register(self, name: str, fv: np.ndarray,
-                 dedup_th: float = 0.99999) -> int:
+                 dedup_th: float = 0.99999,
+                 meta: dict | str | None = None) -> int:
+        """Register a feature; ``meta`` carries the person-record fields of
+        the reference's PG schema (title/email/student_id/card_id/img_path,
+        Feature.hpp:33-146) as JSON."""
+        import json as _json
+
         fv, fp = _f32(fv)
         assert fv.size == self.dim
-        return int(self._lib.fx_store_register(self._h, name.encode(), fp,
-                                               dedup_th))
+        if meta is None:
+            return int(self._lib.fx_store_register(self._h, name.encode(),
+                                                   fp, dedup_th))
+        blob = meta if isinstance(meta, str) else _json.dumps(meta)
+        return int(self._lib.fx_store_register_meta(
+            self._h, name.encode(), blob.encode(), fp, dedup_th))
+
+    def meta(self, index: int) -> dict | None:
+        """Person-record JSON for a row (empty dict when none stored)."""
+        import json as _json
+
+        buf = ctypes.create_string_buffer(1 << 16)
+        if self._lib.fx_store_meta(self._h, index, buf, 1 << 16) != 0:
+            return None
+        raw = buf.value.decode()
+        return _json.loads(raw) if raw else {}
 
     def match(self, fv: np.ndarray, sim_th: float = 0.5):
         """Returns (name or None, similarity)."""

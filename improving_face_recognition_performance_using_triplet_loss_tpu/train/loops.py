@@ -31,10 +31,20 @@ class EpochStats:
     seconds: float = 0.0
 
 
-def _accumulate(sums: dict, counts: dict, metrics: dict) -> None:
+class NonFiniteLossError(RuntimeError):
+    """Raised when the training loss goes NaN/inf (failure detection,
+    SURVEY.md §5.3 — the reference had no such guard and would silently
+    train on garbage)."""
+
+
+def _accumulate(sums: dict, counts: dict, metrics: dict,
+                check_finite_key: str | None = None) -> None:
     for k, v in metrics.items():
         if getattr(v, "ndim", 0) == 0:
-            sums[k] = sums.get(k, 0.0) + float(v)
+            val = float(v)
+            if check_finite_key == k and not np.isfinite(val):
+                raise NonFiniteLossError(f"non-finite {k}: {val}")
+            sums[k] = sums.get(k, 0.0) + val
             counts[k] = counts.get(k, 0) + 1
 
 
@@ -73,7 +83,7 @@ def train_loop(
         for anchor, positive, labels in train_batches():
             state, metrics = train_step(state, put(anchor), put(positive),
                                          put(labels))
-            _accumulate(tsums, tcounts, metrics)
+            _accumulate(tsums, tcounts, metrics, check_finite_key="loss")
             if sink is not None:
                 sink.append(np.asarray(metrics["pos_cos"]),
                             np.asarray(metrics["neg_cos"]))

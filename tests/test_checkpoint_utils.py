@@ -149,3 +149,21 @@ def test_multislice_mesh_shape():
     mesh = make_multislice_mesh(ici_size=4)
     assert mesh.devices.shape == (2, 4)
     assert mesh.axis_names == ("dcn", "data")
+
+
+def test_nonfinite_loss_detection():
+    """train_loop aborts with a clear error when the loss goes NaN."""
+    import pytest
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train.loops import (
+        NonFiniteLossError,
+        train_loop,
+    )
+
+    def bad_step(state, a, p, l):
+        return state, {"loss": jnp.asarray(float("nan")),
+                       "pos_cos": jnp.zeros(2), "neg_cos": jnp.zeros(2)}
+
+    batch = (np.zeros((2, 4)), np.zeros((2, 4)), np.zeros(2))
+    with pytest.raises(NonFiniteLossError):
+        train_loop(object(), bad_step, lambda: iter([batch]), epochs=1)

@@ -210,3 +210,51 @@ def test_tpu_gallery_matcher_threshold():
     idx, sim = match_gallery_tpu(gallery, q, sim_th=0.9)
     assert idx[0] == 1 and sim[0] > 0.99
     assert idx[1] == -1  # 0.5 cosine, below threshold
+
+
+@pytest.mark.parametrize("sanitizer,flags", [
+    ("tsan", "-fsanitize=thread"),
+    ("asan", "-fsanitize=address,undefined"),
+])
+def test_native_under_sanitizers(sanitizer, flags):
+    """Race/memory detection for the concurrent native layer (SURVEY.md §5.2
+    rebuild: the reference had only by-construction correctness)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    binary = os.path.join(repo, "cpp", "build", f"test_native_{sanitizer}")
+    if not os.path.exists(binary):
+        r = subprocess.run(
+            ["g++", "-O1", "-g", "-std=c++17", *flags.split(), "-fopenmp",
+             "-I", os.path.join(repo, "cpp", "include"),
+             os.path.join(repo, "cpp", "src", "test_native.cpp"),
+             "-o", binary, "-lpthread"], capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"sanitizer build unavailable: {r.stderr[:200]}")
+    env = {**os.environ, "TSAN_OPTIONS": "halt_on_error=1"}
+    out = subprocess.run([binary], capture_output=True, text=True,
+                         timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "ALL NATIVE TESTS PASSED" in out.stdout
+
+
+def test_identity_store_person_metadata(tmp_path):
+    """C20 person-record capability: JSON metadata persists per row."""
+    import os
+
+    # force a rebuild of the shared lib if the source is newer
+    N.build_native()
+    path = str(tmp_path / "pdb.fjdb")
+    rng = np.random.default_rng(4)
+    fv = rng.normal(size=8).astype(np.float32)
+    record = {"title": "student", "email": "a@b.c", "student_id": "s123",
+              "card_id": "0xCAFE"}
+    with N.NativeIdentityStore(path, 8) as store:
+        idx = store.register("alice", fv, meta=record)
+        assert idx == 0
+        assert store.meta(0) == record
+        assert store.register("plain", rng.normal(size=8).astype(np.float32)) == 1
+        assert store.meta(1) == {}
+        assert store.meta(5) is None
+    with N.NativeIdentityStore(path, 8) as store:  # persists across reopen
+        assert store.meta(0)["student_id"] == "s123"
