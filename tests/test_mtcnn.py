@@ -249,3 +249,55 @@ def test_mtcnn_points_layout_conversion():
     xy = mtcnn_points_to_xy(pts, 0)
     np.testing.assert_allclose(xy[:, 0], [0, 1, 2, 3, 4])  # xs
     np.testing.assert_allclose(xy[:, 1], [5, 6, 7, 8, 9])  # ys
+
+
+def test_bulk_detect_runs_and_matches_shapes():
+    """Bulk path (detect_face.py:402-623 capability): resolution-bucketed
+    batched cascade returns per-image results shaped like the single path."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.bulk import (
+        detect_faces_bulk,
+    )
+
+    rng = np.random.default_rng(1)
+    det = MTCNNDetector(seed=0)
+    imgs = [
+        (rng.random((100, 80, 3)) * 255).astype(np.uint8),
+        (rng.random((100, 80, 3)) * 255).astype(np.uint8),
+        (rng.random((60, 60, 3)) * 255).astype(np.uint8),  # second bucket
+    ]
+    results = detect_faces_bulk(imgs, detection_window_size_ratio=0.2,
+                                detector=det, thresholds=(0.2, 0.2, 0.2))
+    assert len(results) == 3
+    for r in results:
+        if r is not None:
+            boxes, points = r
+            assert boxes.ndim == 2 and boxes.shape[1] == 5
+            assert points.shape[0] == 10 and points.shape[1] == boxes.shape[0]
+
+
+def test_bulk_detect_agrees_with_single_image_path():
+    """For one image, the bulk path must produce the same detections as the
+    single-image cascade run with the equivalent minsize."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.bulk import (
+        detect_faces_bulk,
+    )
+
+    rng = np.random.default_rng(7)
+    img = (rng.random((90, 90, 3)) * 255).astype(np.uint8)
+    det = MTCNNDetector(seed=3)
+    ratio = 0.25
+    minsize = max(int(ratio * 90), 12)
+    single = det.detect(img, minsize=minsize, thresholds=(0.15, 0.15, 0.15))
+    bulk = detect_faces_bulk([img], detection_window_size_ratio=ratio,
+                             detector=det, thresholds=(0.15, 0.15, 0.15))[0]
+    if bulk is None:
+        assert single[0].shape[0] == 0
+    else:
+        np.testing.assert_allclose(bulk[0], single[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(bulk[1], single[1], rtol=1e-4, atol=1e-4)
