@@ -101,11 +101,11 @@ def main(argv=None):
         t.start()
         correct = 0
         seen = 0
-        while not stop.is_set() or True:
+        while True:
             res = svc.identify_latest()
             if res is None:
                 if stop.is_set():
-                    break
+                    break  # producer done and queue drained
                 time.sleep(0.001)
                 continue
             name, sim, seq = res

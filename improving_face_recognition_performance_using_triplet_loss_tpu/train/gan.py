@@ -163,4 +163,4 @@ def shard_map_gan_step(step_fn, mesh, axis_name: str = DATA_AXIS):
     return jax.jit(jax.shard_map(
         step_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), mspec)))
+        out_specs=(P(), mspec), check_vma=False))

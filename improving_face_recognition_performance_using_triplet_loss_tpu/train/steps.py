@@ -364,9 +364,13 @@ def shard_map_step(
         for k in metric_keys
     }
     out_specs = (P(), mspec) if has_state_out else mspec
+    # check_vma=False: Pallas kernels (semi_hard_fused mining) inside
+    # shard_map cannot declare varying-across-mesh annotations on their
+    # out_shapes yet; the specs above fully determine the sharding.
     return jax.jit(jax.shard_map(
         step_fn,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=out_specs,
+        check_vma=False,
     ))
