@@ -109,7 +109,7 @@ def main(argv=None):
     from ..train import (
         Checkpointer, adam_factor, create_train_state,
         make_backbone_eval_step, make_backbone_train_step,
-        resume_if_available, shard_map_step, train_loop,
+        resume_if_available, shard_map_step, train_loop, PreemptionGuard,
     )
     from ..utils import enable_compilation_cache
 
@@ -170,13 +170,14 @@ def main(argv=None):
 
     sink = CosineSimilaritySink(
         os.path.join(args.out_dir, "cosine_similarity.csv"))
-    state, history = train_loop(
-        state, train_step, lambda: iter(train_batches),
-        epochs=args.epochs,
-        eval_step=eval_step if eval_batches else None,
-        eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
-        checkpoint_every_epochs=args.checkpoint_every,
-        start_epoch=start_epoch)
+    with PreemptionGuard() as guard:
+        state, history = train_loop(
+            state, train_step, lambda: iter(train_batches),
+            epochs=args.epochs,
+            eval_step=eval_step if eval_batches else None,
+            eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
+            checkpoint_every_epochs=args.checkpoint_every,
+            start_epoch=start_epoch, preemption_guard=guard)
     sink.flush()
 
     from ..serve.export import export_params

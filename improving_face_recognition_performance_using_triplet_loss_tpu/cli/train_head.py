@@ -77,7 +77,7 @@ def main(argv=None):
     from ..train import (
         Checkpointer, HEAD_METRIC_KEYS, create_train_state,
         make_head_eval_step, make_head_train_step, resume_if_available,
-        sgd_wd, shard_map_step, train_loop,
+        sgd_wd, shard_map_step, train_loop, PreemptionGuard,
     )
 
     log = setup_logging(os.path.join(args.out_dir, "log"), "train_head")
@@ -124,11 +124,12 @@ def main(argv=None):
 
     sink = CosineSimilaritySink(
         os.path.join(args.out_dir, "cosine_similarity.csv"))
-    state, history = train_loop(
-        state, train_step, lambda: iter(batcher),
-        epochs=args.epochs, eval_step=eval_step if eval_batches else None,
-        eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
-        start_epoch=start_epoch)
+    with PreemptionGuard() as guard:
+        state, history = train_loop(
+            state, train_step, lambda: iter(batcher),
+            epochs=args.epochs, eval_step=eval_step if eval_batches else None,
+            eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
+            start_epoch=start_epoch, preemption_guard=guard)
     sink.flush()
 
     from ..serve.export import export_params

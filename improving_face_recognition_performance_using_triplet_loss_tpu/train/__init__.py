@@ -12,4 +12,7 @@ from .steps import (  # noqa: F401
     HEAD_METRIC_KEYS,
 )
 from .checkpoint import Checkpointer  # noqa: F401
-from .loops import train_loop, resume_if_available, EpochStats  # noqa: F401
+from .loops import (  # noqa: F401
+    train_loop, resume_if_available, EpochStats, NonFiniteLossError,
+    PreemptionGuard,
+)

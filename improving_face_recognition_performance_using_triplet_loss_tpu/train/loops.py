@@ -10,6 +10,7 @@ device steps because metric arrays are only synced when the sink flushes.
 from __future__ import annotations
 
 import logging
+import signal
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
@@ -35,6 +36,34 @@ class NonFiniteLossError(RuntimeError):
     """Raised when the training loss goes NaN/inf (failure detection,
     SURVEY.md §5.3 — the reference had no such guard and would silently
     train on garbage)."""
+
+
+class PreemptionGuard:
+    """Graceful-preemption support: on SIGTERM/SIGINT, finish the current
+    batch, checkpoint, and exit cleanly so --resume continues where training
+    stopped (elastic-recovery capability the reference lacked, SURVEY §5.3).
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self.requested = False
+        self._signals = signals
+        self._previous = {}
+
+    def __enter__(self):
+        def handler(signum, frame):
+            self.requested = True
+
+        for sig in self._signals:
+            try:
+                self._previous[sig] = signal.signal(sig, handler)
+            except ValueError:
+                pass  # not the main thread; polling still works
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._previous.items():
+            signal.signal(sig, prev)
+        return False
 
 
 def _accumulate(sums: dict, counts: dict, metrics: dict,
@@ -66,6 +95,7 @@ def train_loop(
     start_epoch: int = 0,
     device_put: Callable | None = None,
     on_epoch_end: Callable[[EpochStats], None] | None = None,
+    preemption_guard: PreemptionGuard | None = None,
 ):
     """Run ``epochs`` epochs; returns (final_state, [EpochStats]).
 
@@ -84,6 +114,14 @@ def train_loop(
             state, metrics = train_step(state, put(anchor), put(positive),
                                          put(labels))
             _accumulate(tsums, tcounts, metrics, check_finite_key="loss")
+            if preemption_guard is not None and preemption_guard.requested:
+                if checkpointer is not None:
+                    # save under the PREVIOUS completed epoch so --resume
+                    # replays this partial epoch from its start
+                    checkpointer.save(max(epoch - 1, 0), state, wait=True)
+                log.warning("preemption requested: checkpointed and "
+                            "stopping at epoch %d", epoch)
+                return state, history
             if sink is not None:
                 sink.append(np.asarray(metrics["pos_cos"]),
                             np.asarray(metrics["neg_cos"]))

@@ -167,3 +167,37 @@ def test_nonfinite_loss_detection():
     batch = (np.zeros((2, 4)), np.zeros((2, 4)), np.zeros(2))
     with pytest.raises(NonFiniteLossError):
         train_loop(object(), bad_step, lambda: iter([batch]), epochs=1)
+
+
+def test_preemption_guard_checkpoints_and_stops(tmp_path):
+    """Simulated preemption: the loop checkpoints mid-training and stops;
+    resume picks up from the last completed epoch."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        train_loop,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train.loops import (
+        PreemptionGuard,
+    )
+
+    state, step, batch = _setup(tmp_path)
+    ck = Checkpointer(str(tmp_path / "pre"))
+    guard = PreemptionGuard(signals=())  # poll-only (no real signal needed)
+
+    calls = {"n": 0}
+
+    def counting_step(s, a, p, l):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            guard.requested = True  # "SIGTERM" arrives during batch 3
+        return step(s, a, p, l)
+
+    batches = lambda: iter([batch] * 5)
+    out_state, history = train_loop(
+        state, counting_step, batches, epochs=4, checkpointer=ck,
+        preemption_guard=guard)
+    assert calls["n"] == 3          # stopped right after the signal
+    assert ck.latest_step() == 0    # saved as "epoch 0 complete"
+    restored, epoch0 = resume_if_available(ck, state)
+    assert epoch0 == 1
+    assert int(restored.step) == 3  # optimizer steps preserved
+    ck.close()
