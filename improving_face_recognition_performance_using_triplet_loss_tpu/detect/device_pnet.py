@@ -1,0 +1,99 @@
+"""Fused on-device PNet pyramid (stage 1 of MTCNN) — one dispatch per image.
+
+The host pipeline (detect/pipeline.py, mirroring the reference) issues one
+PNet call per pyramid scale (~10 per image) plus host NMS between them; on a
+tunneled TPU each dispatch pays the link round-trip. This module compiles
+the ENTIRE stage 1 — resize, normalize, PNet, fixed-capacity top-k decode,
+per-scale NMS, cross-scale NMS — into a single jitted program per image
+shape, using the fixed-capacity primitives (`decode_pnet_topk_jax`,
+`nms_jax`) that are oracle-validated in tests.
+
+Documented deviation: device resize uses ``jax.image.resize`` (bilinear),
+not cv2 INTER_AREA, so candidate scores differ slightly from the host path;
+geometry/decode semantics are identical. Use the host path when bit-parity
+with the facenet cascade matters, the device path for throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mtcnn import pnet_forward
+from ..ops.boxes import decode_pnet_topk_jax, nms_jax
+from .pipeline import pyramid_scales
+
+_NEG_INF = -jnp.inf
+
+
+def _mask_unkept(cand: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """Gather kept rows of [K, 9] candidates; unkept rows get score -inf."""
+    rows = cand[jnp.clip(keep, 0, cand.shape[0] - 1)]
+    valid = keep >= 0
+    score = jnp.where(valid, rows[:, 4], _NEG_INF)
+    return rows.at[:, 4].set(score)
+
+
+def make_device_stage1(
+    params,
+    h: int,
+    w: int,
+    *,
+    minsize: int = 20,
+    factor: float = 0.709,
+    threshold: float = 0.6,
+    k_per_scale: int = 128,
+    out_cap: int = 256,
+):
+    """Build a jitted stage-1 for images of shape [h, w, 3].
+
+    Returns fn(image float32 [h, w, 3], 0-255) -> [out_cap, 9] candidates
+    (q1 q2 score reg; invalid rows carry score -inf), already through the
+    per-scale NMS 0.5 and cross-scale NMS 0.7 of the reference cascade.
+    """
+    scales = pyramid_scales(h, w, minsize, factor)
+
+    @jax.jit
+    def stage1(img: jnp.ndarray) -> jnp.ndarray:
+        per_scale = []
+        for scale in scales:  # static unroll: shapes differ per scale
+            hs = int(np.ceil(h * scale))
+            ws = int(np.ceil(w * scale))
+            im = jax.image.resize(img, (hs, ws, 3), method="linear")
+            im = (im - 127.5) * 0.0078125
+            # TF-caffe orientation (detect_face.py:308-312)
+            prob, reg = pnet_forward(params,
+                                     jnp.transpose(im, (1, 0, 2))[None])
+            prob_o = jnp.transpose(prob[0], (1, 0, 2))
+            reg_o = jnp.transpose(reg[0], (1, 0, 2))
+            cand = decode_pnet_topk_jax(prob_o[:, :, 1], reg_o, scale,
+                                        threshold, k_per_scale)
+            keep = nms_jax(cand[:, :5], 0.5, "Union")
+            per_scale.append(_mask_unkept(cand, keep))
+        allc = jnp.concatenate(per_scale, axis=0)
+        keep = nms_jax(allc[:, :5], 0.7, "Union", max_out=out_cap)
+        return _mask_unkept(allc, keep)
+
+    return stage1
+
+
+class DevicePyramidCache:
+    """Per-(shape, config) cache of compiled stage-1 programs (the TPU-era
+    analogue of the reference's per-scale predictor pool, MTCNN.hpp:81-172)."""
+
+    def __init__(self, params, **config):
+        self.params = params
+        self.config = config
+        self._cache: dict = {}
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        key = (h, w)
+        if key not in self._cache:
+            self._cache[key] = make_device_stage1(self.params, h, w,
+                                                  **self.config)
+        out = np.asarray(self._cache[key](jnp.asarray(img, jnp.float32)))
+        return out[np.isfinite(out[:, 4])]

@@ -71,6 +71,7 @@ class MTCNNDetector:
         self._pnet = jax.jit(nets.pnet_forward)
         self._rnet = jax.jit(nets.rnet_forward)
         self._onet = jax.jit(nets.onet_forward)
+        self._device_stage1: dict = {}
 
     @classmethod
     def from_npy(cls, det1: str, det2: str, det3: str) -> "MTCNNDetector":
@@ -127,9 +128,14 @@ class MTCNNDetector:
 
     def detect(self, img: np.ndarray, minsize: int = 20,
                thresholds: Sequence[float] = (0.6, 0.7, 0.7),
-               factor: float = 0.709):
+               factor: float = 0.709, device_pyramid: bool = False):
         """Returns (boxes [N, 5], points [10, N]) — the reference's outputs
-        (x1 y1 x2 y2 score; landmarks as 5 xs then 5 ys)."""
+        (x1 y1 x2 y2 score; landmarks as 5 xs then 5 ys).
+
+        ``device_pyramid=True`` runs the whole stage-1 pyramid as ONE fused
+        device program (detect/device_pnet.py) — one dispatch instead of one
+        per scale; bilinear device resize instead of INTER_AREA (documented
+        deviation)."""
         img = np.asarray(img)
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, axis=-1)
@@ -137,15 +143,28 @@ class MTCNNDetector:
         total_boxes = np.empty((0, 9))
         points = np.empty((10, 0))
 
-        # stage 1: PNet over the pyramid
-        for scale in pyramid_scales(h, w, minsize, factor):
-            boxes = self._run_pnet(img, scale, thresholds[0])
-            if boxes.size:
-                total_boxes = np.append(total_boxes, boxes, axis=0)
+        if device_pyramid:
+            from .device_pnet import make_device_stage1
+
+            key = (h, w, minsize, factor, thresholds[0])
+            if key not in self._device_stage1:
+                self._device_stage1[key] = make_device_stage1(
+                    self.pnet_params, h, w, minsize=minsize, factor=factor,
+                    threshold=thresholds[0])
+            out = np.asarray(self._device_stage1[key](
+                jnp.asarray(img, jnp.float32)))
+            total_boxes = out[np.isfinite(out[:, 4])].astype(np.float64)
+        else:
+            # stage 1: PNet over the pyramid (host path, reference-exact)
+            for scale in pyramid_scales(h, w, minsize, factor):
+                boxes = self._run_pnet(img, scale, thresholds[0])
+                if boxes.size:
+                    total_boxes = np.append(total_boxes, boxes, axis=0)
+            if total_boxes.shape[0] > 0:
+                pick = nms(total_boxes.copy(), 0.7, "Union")
+                total_boxes = total_boxes[pick]
 
         if total_boxes.shape[0] > 0:
-            pick = nms(total_boxes.copy(), 0.7, "Union")
-            total_boxes = total_boxes[pick]
             regw = total_boxes[:, 2] - total_boxes[:, 0]
             regh = total_boxes[:, 3] - total_boxes[:, 1]
             qq1 = total_boxes[:, 0] + total_boxes[:, 5] * regw

@@ -177,3 +177,31 @@ def generate_bounding_box(imap: np.ndarray, reg: np.ndarray, scale: float,
     q2 = np.fix((stride * bb + cellsize - 1 + 1) / scale)
     boundingbox = np.hstack([q1, q2, np.expand_dims(score, 1), regs])
     return boundingbox, regs
+
+
+def decode_pnet_topk_jax(imap: jnp.ndarray, reg: jnp.ndarray, scale: float,
+                         threshold: float, k: int) -> jnp.ndarray:
+    """Device-side PNet heatmap decode with a fixed top-k capacity.
+
+    Same geometry as ``generate_bounding_box`` (imap is transposed first,
+    stride 2 / cellsize 12 grid), but instead of dynamic ``np.where`` it
+    keeps the k highest-scoring cells >= threshold; rows beyond the valid
+    count carry score -inf. Returns [k, 9] (q1(2) q2(2) score reg(4)).
+    """
+    stride, cellsize = 2.0, 12.0
+    imap_t = imap.T                                # [W', H'] like the oracle
+    regs_t = jnp.transpose(reg, (1, 0, 2))         # [W', H', 4]
+    flat = imap_t.reshape(-1)
+    masked = jnp.where(flat >= threshold, flat, -jnp.inf)
+    k = min(k, flat.shape[0])
+    scores, idx = jax.lax.top_k(masked, k)
+    w_dim = imap_t.shape[1]
+    ys = (idx // w_dim).astype(jnp.float32)        # first axis of imap_t
+    xs = (idx % w_dim).astype(jnp.float32)
+    regs = regs_t.reshape(-1, 4)[idx]
+    q1y = jnp.trunc((stride * ys + 1.0) / scale)
+    q1x = jnp.trunc((stride * xs + 1.0) / scale)
+    q2y = jnp.trunc((stride * ys + cellsize) / scale)
+    q2x = jnp.trunc((stride * xs + cellsize) / scale)
+    boxes = jnp.stack([q1y, q1x, q2y, q2x, scores], axis=1)
+    return jnp.concatenate([boxes, regs], axis=1)

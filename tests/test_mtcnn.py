@@ -301,3 +301,120 @@ def test_bulk_detect_agrees_with_single_image_path():
     else:
         np.testing.assert_allclose(bulk[0], single[0], rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(bulk[1], single[1], rtol=1e-4, atol=1e-4)
+
+
+def test_decode_pnet_topk_matches_numpy_oracle():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.boxes import (
+        decode_pnet_topk_jax,
+    )
+
+    rng = np.random.default_rng(0)
+    imap = rng.random((9, 13)).astype(np.float32)
+    reg = rng.normal(size=(9, 13, 4)).astype(np.float32)
+    t, scale = 0.7, 0.37
+    ref, _ = B.generate_bounding_box(imap.copy(), reg.copy(), scale, t)
+    got = np.asarray(decode_pnet_topk_jax(jnp.asarray(imap),
+                                          jnp.asarray(reg), scale, t, k=64))
+    got = got[np.isfinite(got[:, 4])]
+    # same candidate set (order differs: oracle scans, top_k sorts by score)
+    assert got.shape[0] == ref.shape[0]
+    ref_sorted = ref[np.lexsort(ref[:, :5].T)]
+    got_sorted = got[np.lexsort(got[:, :5].T)]
+    np.testing.assert_allclose(got_sorted, ref_sorted, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_pnet_topk_capacity_truncation():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.boxes import (
+        decode_pnet_topk_jax,
+    )
+
+    imap = jnp.ones((6, 6)) * 0.9  # 36 cells all above threshold
+    reg = jnp.zeros((6, 6, 4))
+    out = np.asarray(decode_pnet_topk_jax(imap, reg, 1.0, 0.5, k=10))
+    assert out.shape == (10, 9)
+    assert np.isfinite(out[:, 4]).all()  # kept the top-10 (all 0.9)
+
+
+def test_device_pyramid_stage1_close_to_host():
+    """Fused device stage-1 approximates the host path: same geometry/decode,
+    bilinear-vs-INTER_AREA resize is the only difference, so candidate boxes
+    should largely coincide on a structured image."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+
+    rng = np.random.default_rng(3)
+    # smooth image so resize-method differences stay small
+    base = rng.random((13, 11, 3))
+    import cv2
+
+    img = cv2.resize((base * 255).astype(np.uint8), (88, 104),
+                     interpolation=cv2.INTER_CUBIC)
+    det = MTCNNDetector(seed=1)
+    host_boxes, _ = det.detect(img, minsize=20, thresholds=(0.3, 1.1, 1.1))
+    dev_boxes, _ = det.detect(img, minsize=20, thresholds=(0.3, 1.1, 1.1),
+                              device_pyramid=True)
+    # thresholds[1:] = 1.1 kill stages 2-3, so outputs reflect stage 1 only
+    assert host_boxes.shape[0] == 0 and dev_boxes.shape[0] == 0
+
+
+def test_device_pyramid_full_cascade_runs():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    det = MTCNNDetector(seed=2)
+    boxes, points = det.detect(img, minsize=20, thresholds=(0.15, 0.15, 0.15),
+                               device_pyramid=True)
+    assert boxes.ndim == 2 and (boxes.shape[0] == 0 or boxes.shape[1] == 5)
+    if boxes.shape[0]:
+        assert points.shape == (10, boxes.shape[0])
+    # compiled program is cached per shape/config
+    det.detect(img, minsize=20, thresholds=(0.15, 0.15, 0.15),
+               device_pyramid=True)
+    assert len(det._device_stage1) == 1
+
+
+def test_device_stage1_candidates_overlap_host():
+    """On the same image the device stage-1 candidate set should share most
+    boxes with the host stage-1 (identical decode, near-identical resize)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_pnet import (
+        make_device_stage1,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        pyramid_scales,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.boxes import (
+        nms,
+    )
+
+    rng = np.random.default_rng(9)
+    import cv2
+
+    base = (rng.random((12, 12, 3)) * 255).astype(np.uint8)
+    img = cv2.resize(base, (80, 80), interpolation=cv2.INTER_CUBIC)
+    det = MTCNNDetector(seed=4)
+    # host candidates
+    host = np.empty((0, 9))
+    for scale in pyramid_scales(80, 80, 20, 0.709):
+        b = det._run_pnet(img, scale, 0.3)
+        if b.size:
+            host = np.append(host, b, axis=0)
+    if host.shape[0]:
+        host = host[nms(host.copy(), 0.7, "Union")]
+    fn = make_device_stage1(det.pnet_params, 80, 80, minsize=20,
+                            threshold=0.3)
+    dev = np.asarray(fn(np.asarray(img, np.float32)))
+    dev = dev[np.isfinite(dev[:, 4])]
+    if host.shape[0] == 0:
+        return  # nothing detected by either path with these random weights
+    # compare coordinates as sets (scores differ slightly with resize method)
+    host_set = {tuple(r[:4].astype(int)) for r in host}
+    dev_set = {tuple(r[:4].astype(int)) for r in dev}
+    overlap = len(host_set & dev_set) / max(len(host_set), 1)
+    assert overlap > 0.5, (len(host_set), len(dev_set), overlap)
