@@ -1,0 +1,200 @@
+"""Fully-fused on-device MTCNN cascade (stages 2-3 + the stage-1 pyramid).
+
+Extends detect/device_pnet.py to the whole cascade: fixed-capacity box sets
+flow through device crop-resize (``jax.image.scale_and_translate``, which
+zero-pads out-of-image samples like the reference's ``pad`` copy), RNet and
+ONet, thresholding, jax box regression/squaring, and fixed-capacity NMS —
+three total dispatches per image collapse into ONE compiled program per
+image shape.
+
+Deviations from the reference-exact host path (both documented): bilinear
+resize instead of cv2 INTER_AREA, and fixed candidate capacities (top-k per
+stage) instead of unbounded dynamic box lists.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mtcnn import onet_forward, rnet_forward
+from ..ops.boxes import nms_jax
+from .device_pnet import make_device_stage1
+
+_NEG_INF = -jnp.inf
+
+
+def bbreg_jax(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized box regression ([N, 5] boxes, [N, 4] reg)."""
+    w = boxes[:, 2] - boxes[:, 0] + 1
+    h = boxes[:, 3] - boxes[:, 1] + 1
+    return boxes.at[:, :4].set(jnp.stack([
+        boxes[:, 0] + reg[:, 0] * w,
+        boxes[:, 1] + reg[:, 1] * h,
+        boxes[:, 2] + reg[:, 2] * w,
+        boxes[:, 3] + reg[:, 3] * h,
+    ], axis=1))
+
+
+def rerec_jax(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized square expansion about centers."""
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    l = jnp.maximum(w, h)
+    x1 = boxes[:, 0] + w * 0.5 - l * 0.5
+    y1 = boxes[:, 1] + h * 0.5 - l * 0.5
+    return boxes.at[:, :4].set(jnp.stack(
+        [x1, y1, x1 + l, y1 + l], axis=1))
+
+
+def crop_resize_boxes(img: jnp.ndarray, boxes: jnp.ndarray,
+                      size: int) -> jnp.ndarray:
+    """[H, W, 3] + [N, >=4] boxes -> [N, size, size, 3] crops (bilinear,
+    zero-padded outside the image, like the reference's pad+imresample)."""
+
+    def one(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        bw = x2 - x1 + 1.0
+        bh = y2 - y1 + 1.0
+        sy = size / bh
+        sx = size / bw
+        return jax.image.scale_and_translate(
+            img, (size, size, 3), (0, 1),
+            jnp.stack([sy, sx]),
+            jnp.stack([-(y1 - 1.0) * sy, -(x1 - 1.0) * sx]),
+            method="linear")
+
+    return jax.vmap(one)(boxes)
+
+
+def make_device_cascade(
+    pnet_params,
+    rnet_params,
+    onet_params,
+    h: int,
+    w: int,
+    *,
+    minsize: int = 20,
+    factor: float = 0.709,
+    thresholds=(0.6, 0.7, 0.7),
+    stage1_cap: int = 256,
+    stage2_cap: int = 128,
+    out_cap: int = 64,
+):
+    """One jitted program: image [h, w, 3] float (0-255) ->
+    (boxes [out_cap, 5], points [out_cap, 10]); invalid rows score -inf."""
+    stage1 = make_device_stage1(pnet_params, h, w, minsize=minsize,
+                                factor=factor, threshold=thresholds[0],
+                                out_cap=stage1_cap)
+
+    def _norm_crops(crops):
+        crops = (crops - 127.5) * 0.0078125
+        return jnp.transpose(crops, (0, 2, 1, 3))  # TF-caffe orientation
+
+    def _masked(boxes, score, valid):
+        return boxes.at[:, 4].set(jnp.where(valid, score, _NEG_INF))
+
+    @jax.jit
+    def cascade(img: jnp.ndarray):
+        cand = stage1(img)                                  # [S1, 9]
+        valid = jnp.isfinite(cand[:, 4])
+        regw = cand[:, 2] - cand[:, 0]
+        regh = cand[:, 3] - cand[:, 1]
+        boxes = jnp.stack([
+            cand[:, 0] + cand[:, 5] * regw,
+            cand[:, 1] + cand[:, 6] * regh,
+            cand[:, 2] + cand[:, 7] * regw,
+            cand[:, 3] + cand[:, 8] * regh,
+            cand[:, 4]], axis=1)
+        boxes = rerec_jax(boxes)
+        boxes = boxes.at[:, :4].set(jnp.trunc(boxes[:, :4]))
+        boxes = _masked(boxes, boxes[:, 4], valid)
+
+        # stage 2: RNet over stage-1 candidates (take top stage2_cap)
+        top = jnp.argsort(-boxes[:, 4])[:stage2_cap]
+        boxes2 = boxes[top]
+        crops = _norm_crops(crop_resize_boxes(img, boxes2, 24))
+        prob, reg = rnet_forward(rnet_params, crops)
+        score2 = prob[:, 1]
+        valid2 = (score2 > thresholds[1]) & jnp.isfinite(boxes2[:, 4])
+        boxes2 = _masked(boxes2, score2, valid2)
+        keep = nms_jax(boxes2[:, :5], 0.7, "Union")
+        kept = boxes2[jnp.clip(keep, 0, stage2_cap - 1)]
+        kept_reg = reg[jnp.clip(keep, 0, stage2_cap - 1)]
+        kept = _masked(kept, kept[:, 4], (keep >= 0)
+                       & jnp.isfinite(kept[:, 4]))
+        boxes2 = rerec_jax(bbreg_jax(kept, kept_reg))
+        boxes2 = boxes2.at[:, :4].set(jnp.trunc(boxes2[:, :4]))
+
+        # stage 3: ONet over stage-2 survivors (top out_cap)
+        top3 = jnp.argsort(-boxes2[:, 4])[:out_cap]
+        boxes3 = boxes2[top3]
+        crops3 = _norm_crops(crop_resize_boxes(img, boxes3, 48))
+        prob3, reg3, lmk = onet_forward(onet_params, crops3)
+        score3 = prob3[:, 1]
+        valid3 = (score3 > thresholds[2]) & jnp.isfinite(boxes3[:, 4])
+        boxes3 = _masked(boxes3, score3, valid3)
+        bw = boxes3[:, 2] - boxes3[:, 0] + 1
+        bh = boxes3[:, 3] - boxes3[:, 1] + 1
+        pts = jnp.concatenate([
+            bw[:, None] * lmk[:, 0:5] + boxes3[:, 0:1] - 1,
+            bh[:, None] * lmk[:, 5:10] + boxes3[:, 1:2] - 1,
+        ], axis=1)                                          # [N, 10]
+        boxes3 = bbreg_jax(boxes3, reg3)
+        keep3 = nms_jax(boxes3[:, :5], 0.7, "Min")
+        rows = jnp.clip(keep3, 0, out_cap - 1)
+        out_boxes = boxes3[rows]
+        out_boxes = _masked(out_boxes, out_boxes[:, 4],
+                            (keep3 >= 0) & jnp.isfinite(out_boxes[:, 4]))
+        out_pts = pts[rows]
+        return out_boxes, out_pts
+
+    return cascade
+
+
+class DeviceCascade:
+    """Per-shape cache of fully-fused cascade programs; numpy in/out."""
+
+    def __init__(self, detector, **config):
+        self.det = detector
+        self.config = config
+        self._cache: dict = {}
+
+    def _fn(self, h: int, w: int):
+        if (h, w) not in self._cache:
+            self._cache[(h, w)] = make_device_cascade(
+                self.det.pnet_params, self.det.rnet_params,
+                self.det.onet_params, h, w, **self.config)
+        return self._cache[(h, w)]
+
+    def detect(self, img: np.ndarray):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        h, w = img.shape[:2]
+        boxes, pts = self._fn(h, w)(jnp.asarray(img, jnp.float32))
+        boxes = np.asarray(boxes)
+        pts = np.asarray(pts)
+        sel = np.isfinite(boxes[:, 4])
+        return boxes[sel], pts[sel].T  # points as [10, N] like the reference
+
+    def detect_batch(self, images: np.ndarray):
+        """Same-shape image batch [N, H, W, 3] in ONE dispatch (vmapped
+        cascade) — amortizes per-call link latency for dataset sweeps.
+        Returns a list of (boxes, points[10, k]) per image."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = np.repeat(images[..., None], 3, axis=-1)
+        n, h, w = images.shape[:3]
+        key = ("batch", h, w)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(jax.vmap(self._fn(h, w)))
+        boxes, pts = self._cache[key](jnp.asarray(images, jnp.float32))
+        boxes = np.asarray(boxes)
+        pts = np.asarray(pts)
+        out = []
+        for i in range(n):
+            sel = np.isfinite(boxes[i, :, 4])
+            out.append((boxes[i][sel], pts[i][sel].T))
+        return out

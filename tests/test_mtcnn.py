@@ -418,3 +418,80 @@ def test_device_stage1_candidates_overlap_host():
     dev_set = {tuple(r[:4].astype(int)) for r in dev}
     overlap = len(host_set & dev_set) / max(len(host_set), 1)
     assert overlap > 0.5, (len(host_set), len(dev_set), overlap)
+
+
+def test_bbreg_rerec_jax_match_numpy():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        bbreg_jax,
+        rerec_jax,
+    )
+
+    rng = np.random.default_rng(0)
+    boxes = np.hstack([rng.uniform(0, 50, (6, 2)),
+                       rng.uniform(60, 100, (6, 2)),
+                       rng.uniform(0, 1, (6, 1))])
+    reg = rng.normal(scale=0.1, size=(6, 4))
+    np.testing.assert_allclose(
+        np.asarray(bbreg_jax(jnp.asarray(boxes), jnp.asarray(reg))),
+        B.bbreg(boxes.copy(), reg), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rerec_jax(jnp.asarray(boxes))),
+        B.rerec(boxes.copy()), rtol=1e-5)
+
+
+def test_crop_resize_boxes_zero_pads_and_samples():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        crop_resize_boxes,
+    )
+
+    img = jnp.ones((20, 20, 3)) * 100.0
+    # box fully inside: all ~100; box half outside: zeros appear
+    boxes = jnp.asarray([[5.0, 5.0, 12.0, 12.0, 0.9],
+                         [-10.0, -10.0, 5.0, 5.0, 0.8]])
+    crops = np.asarray(crop_resize_boxes(img, boxes, 8))
+    assert crops.shape == (2, 8, 8, 3)
+    np.testing.assert_allclose(crops[0], 100.0, rtol=1e-4)
+    assert crops[1].min() < 1.0          # zero-padded region
+    assert crops[1].max() > 90.0         # in-image region
+
+
+def test_device_cascade_full_runs_and_valid_outputs():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        DeviceCascade,
+    )
+
+    rng = np.random.default_rng(6)
+    img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    det = MTCNNDetector(seed=2)
+    cascade = DeviceCascade(det, thresholds=(0.15, 0.15, 0.15))
+    boxes, points = cascade.detect(img)
+    assert boxes.ndim == 2 and (boxes.shape[0] == 0 or boxes.shape[1] == 5)
+    if boxes.shape[0]:
+        assert points.shape == (10, boxes.shape[0])
+        assert np.isfinite(boxes).all()
+    # per-shape compile cache
+    cascade.detect(img)
+    assert len(cascade._cache) == 1
+
+
+def test_device_cascade_batch_matches_single():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        DeviceCascade,
+    )
+
+    rng = np.random.default_rng(8)
+    imgs = (rng.random((3, 72, 72, 3)) * 255).astype(np.uint8)
+    det = MTCNNDetector(seed=2)
+    cascade = DeviceCascade(det, thresholds=(0.15, 0.15, 0.15))
+    batched = cascade.detect_batch(imgs)
+    assert len(batched) == 3
+    for i in range(3):
+        single_b, single_p = cascade.detect(imgs[i])
+        np.testing.assert_allclose(batched[i][0], single_b, rtol=1e-4,
+                                   atol=1e-3)
