@@ -68,6 +68,7 @@ def align_directory(
     thresholds=(0.6, 0.7, 0.7),
     factor: float = 0.709,
     detect_multiple: bool = False,
+    device_cascade: bool = False,
 ) -> AlignResult:
     """Align every image under input_dir/<class>/<img>; mirrors the
     reference CLI behavior including the bounding_boxes log and
@@ -75,6 +76,12 @@ def align_directory(
     import cv2
 
     detector = detector or MTCNNDetector()
+    cascade = None
+    if device_cascade:
+        from .device_cascade import DeviceCascade
+
+        cascade = DeviceCascade(detector, minsize=minsize, factor=factor,
+                                thresholds=tuple(thresholds))
     os.makedirs(output_dir, exist_ok=True)
     res = AlignResult()
     log_path = os.path.join(output_dir, "bounding_boxes.txt")
@@ -94,7 +101,11 @@ def align_directory(
                     log.write(f"{path}\n")
                     continue
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                boxes, _ = detector.detect(img, minsize, thresholds, factor)
+                if cascade is not None:
+                    boxes, _ = cascade.detect(img)
+                else:
+                    boxes, _ = detector.detect(img, minsize, thresholds,
+                                               factor)
                 if boxes.shape[0] == 0:
                     res.skipped += 1
                     log.write(f"{path}\n")

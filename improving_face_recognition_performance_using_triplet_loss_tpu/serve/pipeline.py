@@ -1,0 +1,86 @@
+"""End-to-end fused recognition pipeline: detect -> crop -> embed -> match.
+
+The reference's serving path (SURVEY.md §3.4) crosses the host/device
+boundary dozens of times per frame: per-scale PNet calls, host NMS, crop
+loops, the embedding forward, then the CPU gallery scan. Here the ENTIRE
+identification pass — MTCNN cascade, best-face selection, grayscale
+crop-resize to the embedding input, the embedding net, L2 normalization,
+and the cosine gallery argmax — compiles into ONE XLA program per frame
+shape. On the tunneled single chip that is one ~60 ms link round-trip
+instead of dozens; on directly-attached hardware it is the speed-of-light
+serving path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detect.device_cascade import crop_resize_boxes, make_device_cascade
+from ..ops.distances import l2_normalize
+
+
+def make_recognition_pipeline(
+    detector,
+    embed_model,
+    embed_variables,
+    gallery: np.ndarray,
+    *,
+    frame_h: int,
+    frame_w: int,
+    embed_size: int = 128,
+    margin: int = 16,
+    minsize: int = 20,
+    thresholds=(0.6, 0.7, 0.7),
+    sim_threshold: float = 0.5,
+):
+    """Build the fused pipeline for frames of [frame_h, frame_w, 3] (0-255).
+
+    Returns fn(frame) -> dict with ``found`` (bool), ``box`` [4], ``score``
+    (face prob), ``index`` (gallery row, -1 below threshold), ``similarity``.
+    Selection rule: largest-centered detection, the alignment CLI's rule
+    (align_dataset_mtcnn.py:86-95).
+    """
+    cascade = make_device_cascade(
+        detector.pnet_params, detector.rnet_params, detector.onet_params,
+        frame_h, frame_w, minsize=minsize, thresholds=thresholds)
+    gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
+
+    @jax.jit
+    def pipeline(frame: jnp.ndarray):
+        boxes, _ = cascade(frame)                     # [cap, 5]
+        valid = jnp.isfinite(boxes[:, 4])
+        found = jnp.any(valid)
+        # largest-centered selection (area - 2 * center offset^2)
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5 - frame_w / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5 - frame_h / 2.0
+        rank = jnp.where(valid, area - 2.0 * (cx * cx + cy * cy), -jnp.inf)
+        best = jnp.argmax(rank)
+        box = boxes[best, :4]
+        # margin pad + clip (crop_face semantics, align_dataset_mtcnn:99-107)
+        box = jnp.stack([
+            jnp.maximum(box[0] - margin / 2, 0.0),
+            jnp.maximum(box[1] - margin / 2, 0.0),
+            jnp.minimum(box[2] + margin / 2, float(frame_w)),
+            jnp.minimum(box[3] + margin / 2, float(frame_h)),
+        ])
+        crop = crop_resize_boxes(frame, box[None], embed_size)[0]
+        gray = jnp.mean(crop, axis=-1, keepdims=True) / 255.0  # 1/255 scale
+        _, feat = embed_model.apply(embed_variables, gray[None], train=False)
+        emb = l2_normalize(feat)[0]
+        sims = gallery_n @ emb
+        sims = jnp.where(jnp.isnan(sims), -2.0, sims)
+        idx = jnp.argmax(sims)
+        sim = sims[idx]
+        matched = found & (sim >= sim_threshold)
+        return {
+            "found": found,
+            "box": box,
+            "score": boxes[best, 4],
+            "index": jnp.where(matched, idx, -1).astype(jnp.int32),
+            "similarity": jnp.where(found, sim, -2.0),
+        }
+
+    return pipeline

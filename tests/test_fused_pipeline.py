@@ -1,0 +1,80 @@
+"""The fully-fused detect->crop->embed->match serving pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.detect import (
+    MTCNNDetector,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+    EFMNet342,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+    make_recognition_pipeline,
+)
+
+
+def test_fused_recognition_pipeline_end_to_end():
+    h = w = 64
+    det = MTCNNDetector(seed=0)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+
+    # gallery: embeddings of two reference crops through the same model
+    rng = np.random.default_rng(0)
+    frames = (rng.random((2, h, w, 3)) * 255).astype(np.float32)
+    pipe = make_recognition_pipeline(
+        det, model, variables, gallery=rng.normal(size=(5, 342)),
+        frame_h=h, frame_w=w, embed_size=32,
+        thresholds=(0.1, 0.1, 0.1), sim_threshold=-1.0)
+    out = pipe(jnp.asarray(frames[0]))
+    assert set(out) == {"found", "box", "score", "index", "similarity"}
+    assert out["box"].shape == (4,)
+    if bool(out["found"]):
+        assert -1 <= int(out["index"]) < 5
+        assert np.isfinite(float(out["similarity"]))
+        b = np.asarray(out["box"])
+        assert (b[0] >= 0) and (b[1] >= 0) and (b[2] <= w) and (b[3] <= h)
+
+
+def test_fused_pipeline_gallery_match_consistency():
+    """If the gallery contains the embedding the pipeline itself produces,
+    the match must hit that row with similarity ~1."""
+    h = w = 64
+    det = MTCNNDetector(seed=1)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(1),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(2)
+    frame = (rng.random((h, w, 3)) * 255).astype(np.float32)
+
+    probe = make_recognition_pipeline(
+        det, model, variables, gallery=rng.normal(size=(3, 342)),
+        frame_h=h, frame_w=w, embed_size=32,
+        thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    first = probe(jnp.asarray(frame))
+    if not bool(first["found"]):
+        return  # random weights found nothing; covered by the other test
+
+    # recover the pipeline's own embedding by re-running its crop/embed path
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        crop_resize_boxes,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.distances import (
+        l2_normalize,
+    )
+
+    crop = crop_resize_boxes(jnp.asarray(frame),
+                             jnp.asarray(first["box"])[None], 32)[0]
+    gray = jnp.mean(crop, -1, keepdims=True) / 255.0
+    _, feat = model.apply(variables, gray[None])
+    emb = np.asarray(l2_normalize(feat))[0]
+    gallery = np.stack([rng.normal(size=342), emb, rng.normal(size=342)])
+    pipe = make_recognition_pipeline(
+        det, model, variables, gallery=gallery, frame_h=h, frame_w=w,
+        embed_size=32, thresholds=(0.05, 0.05, 0.05), sim_threshold=0.9)
+    out = pipe(jnp.asarray(frame))
+    assert int(out["index"]) == 1
+    assert float(out["similarity"]) > 0.999
