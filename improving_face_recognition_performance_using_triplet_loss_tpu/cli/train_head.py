@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--normalize-embeddings", action="store_true",
                    help="FaceNet-style triplet on L2-normalized head outputs "
                         "(better generalization; reference uses raw outputs)")
+    p.add_argument("--export-projector", action="store_true",
+                   help="write before/after embedding-projector TSVs "
+                        "(the reference's TB projector visual, C13)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard_map over all visible devices")
     p.add_argument("--resume", action="store_true")
@@ -131,6 +134,19 @@ def main(argv=None):
             eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
             start_epoch=start_epoch, preemption_guard=guard)
     sink.flush()
+
+    if args.export_projector:
+        import jax.numpy as jnp
+
+        from ..eval.projector import export_projector
+
+        head_out = np.asarray(model.apply({"params": state.params},
+                                          jnp.asarray(feats)))
+        export_projector(feats, labels,
+                         os.path.join(args.out_dir, "projector_before"))
+        export_projector(head_out, labels,
+                         os.path.join(args.out_dir, "projector_after"))
+        log.info("projector TSVs written (before/after triplet)")
 
     from ..serve.export import export_params
     export_params(os.path.join(args.out_dir, "export"), state.params,
