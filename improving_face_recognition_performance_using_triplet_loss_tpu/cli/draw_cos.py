@@ -24,6 +24,10 @@ def main(argv=None):
     from ..eval.cosine import read_similarity_csv, separation_score
     from ..eval.plots import draw_similarity_figures
 
+    import os
+
+    if not os.path.exists(args.csv):
+        raise SystemExit(f"similarity csv not found: {args.csv}")
     pos, neg = read_similarity_csv(args.csv, desire_epoch=args.desire_epoch)
     out = draw_similarity_figures(pos, neg, args.out, bins=args.bins)
     print(f"wrote {out}; separation AUC = {separation_score(pos, neg):.4f} "

@@ -47,6 +47,11 @@ def build_parser():
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32)")
     p.add_argument("--no-mirror", action="store_true")
+    p.add_argument("--device-augment", action="store_true",
+                   help="fuse rand-mirror into the jitted step instead of "
+                        "host numpy")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="prefetch N batches to device ahead of compute")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--checkpoint-every", type=int, default=1)
@@ -139,7 +144,8 @@ def main(argv=None):
     train_step = make_backbone_train_step(
         model, tx, margin=args.margin, alpha=args.alpha,
         mining_mode=args.mining, axis_name=axis,
-        center_weight=args.center_loss_weight)
+        center_weight=args.center_loss_weight,
+        mirror_augment=args.device_augment and not args.no_mirror)
     eval_step = make_backbone_eval_step(
         model, margin=args.margin, alpha=args.alpha,
         mining_mode=args.mining, axis_name=axis)
@@ -158,7 +164,8 @@ def main(argv=None):
         log.info("resumed at epoch %d", start_epoch)
 
     batcher = PairBatcher(images, labels, batch, shuffle=True, seed=args.seed)
-    train_batches = _MirrorBatches(batcher, not args.no_mirror, args.seed)
+    host_mirror = not args.no_mirror and not args.device_augment
+    train_batches = _MirrorBatches(batcher, host_mirror, args.seed)
     eval_batches = None
     if args.eval_images:
         from ..data.records import load_image_store
@@ -170,9 +177,15 @@ def main(argv=None):
 
     sink = CosineSimilaritySink(
         os.path.join(args.out_dir, "cosine_similarity.csv"))
+    batch_source = (lambda: iter(train_batches))
+    if args.prefetch > 0:
+        from ..data.prefetch import prefetch_to_device
+
+        batch_source = (lambda: prefetch_to_device(iter(train_batches),
+                                                   size=args.prefetch))
     with PreemptionGuard() as guard:
         state, history = train_loop(
-            state, train_step, lambda: iter(train_batches),
+            state, train_step, batch_source,
             epochs=args.epochs,
             eval_step=eval_step if eval_batches else None,
             eval_batches=eval_batches, sink=sink, checkpointer=ckpt,

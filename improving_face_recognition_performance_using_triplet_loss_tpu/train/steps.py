@@ -147,6 +147,7 @@ def make_backbone_train_step(
     mine_anchor_half_only: bool = False,
     center_weight: float = 0.0,
     center_alfa: float = 0.95,
+    mirror_augment: bool = False,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
 
@@ -158,6 +159,10 @@ def make_backbone_train_step(
     the anchor embeddings; the centers table must be provided as
     ``state.aux`` ([num_classes, feature_dim] zeros to start) and is updated
     every step.
+
+    ``mirror_augment`` applies per-row random horizontal mirroring INSIDE
+    the jitted step (ImageRecordIter rand_mirror fused on device instead of
+    the reference's 14 host preprocess threads, train_efm.py:179).
     """
 
     def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
@@ -166,6 +171,11 @@ def make_backbone_train_step(
         k_mine, k_drop = _step_keys(state, axis_name)
         labels = labels.astype(jnp.int32)
         images = jnp.concatenate([anchor, positive], axis=0)
+        if mirror_augment:
+            from ..data.records import augment_batch
+
+            images = augment_batch(jax.random.fold_in(k_drop, 7), images,
+                                   mirror=True)
         labels2 = jnp.concatenate([labels, labels], axis=0)
 
         def loss_fn(params):

@@ -274,3 +274,17 @@ def test_backbone_center_loss_option():
     np.testing.assert_array_equal(np.asarray(s0.aux), np.asarray(centers0))
     # center loss increases the total loss vs the plain step
     assert float(metrics["loss"]) >= float(m0["loss"])
+
+
+def test_backbone_device_mirror_augment_runs():
+    rng = np.random.default_rng(13)
+    anc, pos, labels = _image_batch(rng)
+    model = EFMNet342(num_classes=3)
+    tx = adam_factor(base_lr=1e-3, decay_every_steps=100)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+    step = jax.jit(make_backbone_train_step(model, tx, mirror_augment=True))
+    s1, m1 = step(state, anc, pos, labels)
+    assert np.isfinite(float(m1["loss"]))
+    # augmentation is deterministic per (base_key, step): replay matches
+    s2, m2 = step(state, anc, pos, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]))
