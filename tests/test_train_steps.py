@@ -288,3 +288,14 @@ def test_backbone_device_mirror_augment_runs():
     # augmentation is deterministic per (base_key, step): replay matches
     s2, m2 = step(state, anc, pos, labels)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]))
+
+
+def test_distributed_noop_on_single_host():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.parallel.distributed import (
+        initialize_distributed,
+        process_info,
+    )
+
+    assert initialize_distributed() is False  # no coordinator env set
+    idx, count = process_info()
+    assert idx == 0 and count == 1
