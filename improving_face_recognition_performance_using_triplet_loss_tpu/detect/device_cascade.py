@@ -84,6 +84,11 @@ def make_device_cascade(
 ):
     """One jitted program: image [h, w, 3] float (0-255) ->
     (boxes [out_cap, 5], points [out_cap, 10]); invalid rows score -inf."""
+    if not (out_cap <= stage2_cap <= stage1_cap):
+        raise ValueError(
+            f"capacities must narrow through the cascade: out_cap "
+            f"({out_cap}) <= stage2_cap ({stage2_cap}) <= stage1_cap "
+            f"({stage1_cap})")
     stage1 = make_device_stage1(pnet_params, h, w, minsize=minsize,
                                 factor=factor, threshold=thresholds[0],
                                 out_cap=stage1_cap)

@@ -78,22 +78,3 @@ def make_device_stage1(
         return _mask_unkept(allc, keep)
 
     return stage1
-
-
-class DevicePyramidCache:
-    """Per-(shape, config) cache of compiled stage-1 programs (the TPU-era
-    analogue of the reference's per-scale predictor pool, MTCNN.hpp:81-172)."""
-
-    def __init__(self, params, **config):
-        self.params = params
-        self.config = config
-        self._cache: dict = {}
-
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        h, w = img.shape[:2]
-        key = (h, w)
-        if key not in self._cache:
-            self._cache[key] = make_device_stage1(self.params, h, w,
-                                                  **self.config)
-        out = np.asarray(self._cache[key](jnp.asarray(img, jnp.float32)))
-        return out[np.isfinite(out[:, 4])]
