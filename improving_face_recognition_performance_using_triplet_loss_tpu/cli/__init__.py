@@ -12,6 +12,8 @@
 - ``pack_dataset``    <- the implied im2rec RecordIO packing step
 - ``train_began``     (README-only BEGAN-CS + triplet capability)
 - ``serve_demo``      <- the C++ runtime's live recognition loop (§3.4)
+- ``identify``        <- Register_DB*/Compare_Face_DB flows (headless
+                         enroll + batch identification on the native store)
 
 Run as ``python -m improving_face_recognition_performance_using_triplet_loss_tpu.cli.<name>``.
 """

@@ -258,3 +258,53 @@ def test_identity_store_person_metadata(tmp_path):
         assert store.meta(5) is None
     with N.NativeIdentityStore(path, 8) as store:  # persists across reopen
         assert store.meta(0)["student_id"] == "s123"
+
+
+def test_identify_cli_enroll_and_match(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+        synthetic_features,
+    )
+
+    gallery_f, gallery_l = synthetic_features(num_ids=5, per_id=6, dim=32,
+                                              seed=0, noise=0.05)
+    save_feature_store(str(tmp_path / "gal.npz"), gallery_f, gallery_l)
+    # probes: same identities, new noise
+    probe_f, probe_l = synthetic_features(num_ids=5, per_id=2, dim=32,
+                                          seed=0, noise=0.05)
+    save_feature_store(str(tmp_path / "probe.npz"), probe_f, probe_l)
+    (tmp_path / "classes.json").write_text(
+        '{"classes": ["a", "b", "c", "d", "e"]}')
+
+    store = str(tmp_path / "db.fjdb")
+    stored = identify.main(["enroll", "--store", store, "--features",
+                            str(tmp_path / "gal.npz"),
+                            "--names-json", str(tmp_path / "classes.json")])
+    assert stored >= 5
+    results = identify.main(["match", "--store", store, "--features",
+                             str(tmp_path / "probe.npz"), "--sim-th", "0.8",
+                             "--out", str(tmp_path / "res.jsonl")])
+    names = "abcde"
+    correct = sum(1 for r in results
+                  if r["name"] == names[r["label"]])
+    assert correct == len(results)  # clean synthetic clusters: all correct
+    assert len(open(tmp_path / "res.jsonl").readlines()) == len(results)
+
+
+def test_identify_cli_match_empty_store(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+        synthetic_features,
+    )
+
+    f, l = synthetic_features(num_ids=2, per_id=2, dim=8)
+    save_feature_store(str(tmp_path / "p.npz"), f, l)
+    with pytest.raises(SystemExit):
+        identify.main(["match", "--store", str(tmp_path / "none.fjdb"),
+                       "--features", str(tmp_path / "p.npz")])
