@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the fixed-capacity device
+primitives — the code where a subtle indexing bug would silently corrupt
+results rather than crash."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.ops import (
+    boxes as B,
+    distances as D,
+    mining as M,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.ops.pallas import (
+    semi_hard_mining_pallas,
+)
+
+_settings = settings(max_examples=25, deadline=None)
+
+
+@_settings
+@given(st.integers(0, 2**31 - 1), st.integers(1, 40),
+       st.sampled_from(["Union", "Min"]),
+       st.floats(0.1, 0.9))
+def test_nms_jax_always_matches_oracle(seed, n, method, threshold):
+    rng = np.random.default_rng(seed)
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 80, n)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(1, 40, n),
+                      y1 + rng.uniform(1, 40, n),
+                      rng.uniform(0, 1, n)], 1)
+    ref = B.nms(boxes, threshold, method)
+    got = np.asarray(B.nms_jax(jnp.asarray(boxes), threshold, method))
+    got = got[got >= 0]
+    np.testing.assert_array_equal(ref, got)
+
+
+@_settings
+@given(st.integers(0, 2**31 - 1), st.integers(2, 6), st.integers(2, 5))
+def test_random_mining_never_picks_same_label(seed, ids, per):
+    rng = np.random.default_rng(seed)
+    labels = np.repeat(np.arange(ids), per)
+    rng.shuffle(labels)
+    idx = M.mine_random_negative(jax.random.PRNGKey(seed),
+                                 jnp.asarray(labels), jnp.asarray(labels))
+    assert (labels[np.asarray(idx)] != labels).all()
+
+
+@_settings
+@given(st.integers(0, 2**31 - 1))
+def test_semi_hard_kernel_matches_oracle_random_cases(seed):
+    rng = np.random.default_rng(seed)
+    b = int(rng.integers(1, 5)) * 8
+    n = int(rng.integers(1, 5)) * 16
+    d = int(rng.integers(4, 48))
+    ids = int(rng.integers(2, 8))
+    anc = rng.normal(size=(b, d)).astype(np.float32)
+    pool = rng.normal(size=(n, d)).astype(np.float32)
+    anc /= np.linalg.norm(anc, axis=1, keepdims=True)
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    alab = rng.integers(0, ids, b)
+    plab = rng.integers(0, ids, n)
+    pos_sq = rng.uniform(0.0, 4.0, b).astype(np.float32)
+    got = np.asarray(semi_hard_mining_pallas(
+        jnp.asarray(anc), jnp.asarray(pos_sq), jnp.asarray(alab),
+        jnp.asarray(pool), jnp.asarray(plab), tile_b=8, tile_n=16,
+        interpret=True))
+    sq = D.pairwise_sq_l2(jnp.asarray(anc), jnp.asarray(pool))
+    ref = np.asarray(M.mine_semi_hard_negative(
+        sq, jnp.asarray(pos_sq), jnp.asarray(alab), jnp.asarray(plab)))
+    np.testing.assert_array_equal(got, ref)
+
+
+@_settings
+@given(st.integers(0, 2**31 - 1), st.integers(1, 30))
+def test_rerec_outputs_squares_containing_center(seed, n):
+    rng = np.random.default_rng(seed)
+    x1 = rng.uniform(0, 50, n)
+    y1 = rng.uniform(0, 50, n)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(1, 30, n),
+                      y1 + rng.uniform(1, 30, n), rng.uniform(0, 1, n)], 1)
+    sq = B.rerec(boxes.copy())
+    w = sq[:, 2] - sq[:, 0]
+    h = sq[:, 3] - sq[:, 1]
+    np.testing.assert_allclose(w, h, rtol=1e-6)
+    # original center preserved
+    np.testing.assert_allclose((sq[:, 0] + sq[:, 2]) / 2,
+                               (boxes[:, 0] + boxes[:, 2]) / 2, rtol=1e-6)
