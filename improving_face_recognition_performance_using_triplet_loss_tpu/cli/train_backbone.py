@@ -24,7 +24,11 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--images", help=".npz image store (images+labels)")
+    p.add_argument("--images", help=".npz image store (images+labels), or a "
+                                    "directory = streaming mmap store "
+                                    "(pack_dataset --mmap)")
+    p.add_argument("--shuffle-window", type=int, default=65536,
+                   help="two-level shuffle window for the mmap store loader")
     p.add_argument("--eval-images", help="optional eval .npz image store")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=int, default=64)
@@ -70,17 +74,23 @@ def _model_by_name(name, num_classes, bf16):
 
 
 def _load_images(args):
-    from ..data.records import load_image_store
+    """Returns (images, labels, is_mmap). mmap stores stay uint8 memmaps —
+    batches normalize on device inside the jitted step."""
+    from ..data.records import load_image_store, load_image_store_mmap
     from ..data.synthetic import synthetic_faces
 
     if args.synthetic:
-        return synthetic_faces(num_ids=16, per_id=16, size=args.synthetic_size,
-                               seed=args.seed)
+        images, labels = synthetic_faces(
+            num_ids=16, per_id=16, size=args.synthetic_size, seed=args.seed)
+        return images, labels, False
     if args.images:
+        if os.path.isdir(args.images):
+            images, labels = load_image_store_mmap(args.images)
+            return images, labels, True
         images, labels = load_image_store(args.images)
         if images.dtype == np.uint8:
             images = images.astype(np.float32) / 255.0
-        return images, labels
+        return images, labels, False
     raise SystemExit("provide --images or --synthetic")
 
 
@@ -122,12 +132,12 @@ def main(argv=None):
     log = setup_logging(os.path.join(args.out_dir, "log"), "train_backbone")
     log_config(log, args)
 
-    images, labels = _load_images(args)
+    images, labels, is_mmap = _load_images(args)
     num_classes = int(labels.max()) + 1
     batch = min(args.batch_size, images.shape[0])
     steps_per_epoch = max(images.shape[0] // batch, 1)
-    log.info("images %s, %d classes, %d steps/epoch", images.shape,
-             num_classes, steps_per_epoch)
+    log.info("images %s%s, %d classes, %d steps/epoch", images.shape,
+             " [mmap]" if is_mmap else "", num_classes, steps_per_epoch)
 
     model = _model_by_name(args.model, num_classes, args.bf16)
     tx = adam_factor(base_lr=args.lr,
@@ -137,8 +147,11 @@ def main(argv=None):
     import jax.numpy as jnp
     aux = (jnp.zeros((num_classes, model.feature_dim), jnp.float32)
            if args.center_loss_weight > 0 else None)
+    init_sample = np.asarray(images[:1])
+    if init_sample.dtype == np.uint8:
+        init_sample = init_sample.astype(np.float32) / 255.0
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
-                               images[:1], aux=aux)
+                               init_sample, aux=aux)
 
     axis = "data" if args.data_parallel else None
     train_step = make_backbone_train_step(
@@ -163,7 +176,18 @@ def main(argv=None):
         state, start_epoch = resume_if_available(ckpt, state)
         log.info("resumed at epoch %d", start_epoch)
 
-    batcher = PairBatcher(images, labels, batch, shuffle=True, seed=args.seed)
+    if is_mmap:
+        # streaming shard loader: this host's contiguous row shard, windowed
+        # shuffle, uint8 batches (device-normalized in the step)
+        from ..data.streaming import ShardedPairBatcher
+
+        batcher = ShardedPairBatcher(
+            (images, labels), batch,
+            host_id=jax.process_index(), num_hosts=jax.process_count(),
+            shuffle=True, shuffle_window=args.shuffle_window, seed=args.seed)
+    else:
+        batcher = PairBatcher(images, labels, batch, shuffle=True,
+                              seed=args.seed)
     host_mirror = not args.no_mirror and not args.device_augment
     train_batches = _MirrorBatches(batcher, host_mirror, args.seed)
     eval_batches = None

@@ -76,9 +76,12 @@ def main(argv=None):
     log_config(log, args)
 
     from .train_backbone import _load_images
-    images, labels = _load_images(args)
-    # BEGAN trains on [-1, 1] RGB/gray images
-    images = images.astype(np.float32) * 2.0 - 1.0
+    images, labels, _ = _load_images(args)
+    # BEGAN trains on [-1, 1] RGB/gray images (uint8 mmap stores load raw)
+    images = np.asarray(images, np.float32)
+    if images.max() > 1.5:
+        images = images / 255.0
+    images = images * 2.0 - 1.0
     size = images.shape[1]
     channels = images.shape[3]
     batch = min(args.batch_size, images.shape[0])

@@ -65,7 +65,9 @@ def main(argv=None):
     log = setup_logging(os.path.join(args.out_dir, "log"), "train_final")
     log_config(log, args)
 
-    images, labels = _load_images(args)
+    images, labels, _ = _load_images(args)
+    if images.dtype == np.uint8:  # mmap stores load raw uint8
+        images = np.asarray(images, np.float32) / 255.0
     batch = min(args.batch_size, images.shape[0])
 
     # frozen backbone

@@ -2,6 +2,7 @@
 synthetic data, LFW pairs."""
 
 from .pairs import build_positive_index, PairBatcher  # noqa: F401
+from .streaming import ShardedPairBatcher, shard_bounds  # noqa: F401
 from .feature_store import (  # noqa: F401
     write_feature_csv,
     read_feature_csv,

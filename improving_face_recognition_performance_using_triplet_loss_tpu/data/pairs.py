@@ -34,10 +34,11 @@ def build_positive_index(labels: np.ndarray) -> np.ndarray:
     labels = np.asarray(labels).astype(np.int64).ravel()
     n_classes = int(labels.max()) + 1 if labels.size else 0
     index = np.full((n_classes,), -1, dtype=np.int64)
-    # reversed scan keeps the FIRST occurrence, matching define_pos's
-    # "if label not in pos_img" insert-once behavior (train_efm.py:42-43)
-    for i in range(labels.shape[0] - 1, -1, -1):
-        index[labels[i]] = i
+    # np.unique's return_index is the FIRST occurrence per value, matching
+    # define_pos's "if label not in pos_img" insert-once behavior
+    # (train_efm.py:42-43) — vectorized for 4.6M-row label arrays.
+    uniq, first = np.unique(labels, return_index=True)
+    index[uniq] = first
     return index
 
 

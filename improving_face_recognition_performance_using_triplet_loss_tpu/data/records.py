@@ -50,6 +50,87 @@ def load_image_store_mmap(dirpath: str):
     return images, labels
 
 
+_NPY_MAGIC = b"\x93NUMPY\x01\x00"
+_NPY_HEADER_TOTAL = 128  # magic(6) + version(2) + hlen(2) + padded dict
+
+
+def _npy_header_bytes(count: int, item_shape: tuple[int, ...]) -> bytes:
+    """Fixed-width (patchable in place) v1 .npy header for a uint8 array of
+    shape ``(count, *item_shape)``. Always ``_NPY_HEADER_TOTAL`` bytes, so the
+    count can be rewritten after streaming appends without moving data."""
+    shape = (count,) + tuple(int(s) for s in item_shape)
+    d = ("{'descr': '|u1', 'fortran_order': False, "
+         f"'shape': {shape!r}, }}")
+    pad = _NPY_HEADER_TOTAL - len(_NPY_MAGIC) - 2 - 1 - len(d)
+    if pad < 0:
+        raise ValueError(f"header overflow for shape {shape}")
+    header = d + " " * pad + "\n"
+    import struct
+
+    return _NPY_MAGIC + struct.pack("<H", len(header)) + header.encode()
+
+
+class ImageStoreWriter:
+    """Streaming writer for the mmap image-store layout (images.npy +
+    labels.npy) with O(batch) RAM.
+
+    The reference streams Celeb1M through RecordIO files built by im2rec
+    (train_efm.py:135-136, 179); this is the packed-store equivalent: images
+    append straight to ``images.npy`` behind a placeholder header that is
+    patched with the final count on :meth:`close`, so the result is readable
+    by ``np.load(mmap_mode='r')`` / :func:`load_image_store_mmap`. At 4.6M
+    images nothing but the current batch is ever resident.
+
+    Use as a context manager, or call ``close()`` explicitly.
+    """
+
+    def __init__(self, dirpath: str, image_shape: tuple[int, int, int]):
+        os.makedirs(dirpath, exist_ok=True)
+        self.dirpath = dirpath
+        self.image_shape = tuple(int(s) for s in image_shape)
+        self._path = os.path.join(dirpath, "images.npy")
+        self._f = open(self._path, "wb")
+        self._f.write(_npy_header_bytes(0, self.image_shape))
+        self._labels: list[np.ndarray] = []
+        self.count = 0
+        self._closed = False
+
+    def append(self, images: np.ndarray, labels: np.ndarray) -> None:
+        images = np.ascontiguousarray(images)
+        if images.dtype != np.uint8:
+            images = np.clip(images * 255.0, 0, 255).astype(np.uint8)
+        if images.ndim == len(self.image_shape):  # single image
+            images = images[None]
+        if tuple(images.shape[1:]) != self.image_shape:
+            raise ValueError(
+                f"image shape {images.shape[1:]} != store {self.image_shape}")
+        labels = np.atleast_1d(np.asarray(labels, np.int64))
+        if labels.shape[0] != images.shape[0]:
+            raise ValueError("images/labels length mismatch")
+        self._f.write(images.tobytes())
+        self._labels.append(labels)
+        self.count += images.shape[0]
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._f.flush()
+        self._f.seek(0)
+        self._f.write(_npy_header_bytes(self.count, self.image_shape))
+        self._f.close()
+        labels = (np.concatenate(self._labels) if self._labels
+                  else np.zeros((0,), np.int64))
+        np.save(os.path.join(self.dirpath, "labels.npy"), labels)
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def normalize_uint8(images: jnp.ndarray) -> jnp.ndarray:
     """uint8 [0,255] -> float32 [0,1] (ImageRecordIter scale=1/255)."""
     return images.astype(jnp.float32) / 255.0

@@ -42,6 +42,16 @@ HEAD_METRIC_KEYS = ("loss", "pos_cos", "neg_cos")
 _PER_ROW_METRICS = frozenset({"pos_cos", "neg_cos"})
 
 
+def _as_float_images(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 batches normalize on device (ImageRecordIter scale=1/255,
+    train_efm.py:179) — the streaming loader ships uint8 to keep host RAM
+    and host->device traffic at 1x. Traced once per dtype; float passes
+    through untouched."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def _apply_model(model, params, batch_stats, x, *, train: bool, drop_key=None):
     """Apply a flax model with optional batch_stats collection / dropout rng."""
     variables = {"params": params}
@@ -170,7 +180,7 @@ def make_backbone_train_step(
         b = anchor.shape[0]
         k_mine, k_drop = _step_keys(state, axis_name)
         labels = labels.astype(jnp.int32)
-        images = jnp.concatenate([anchor, positive], axis=0)
+        images = _as_float_images(jnp.concatenate([anchor, positive], axis=0))
         if mirror_augment:
             from ..data.records import augment_batch
 
@@ -239,7 +249,7 @@ def make_backbone_eval_step(
         b = anchor.shape[0]
         k_mine, _ = _step_keys(state, axis_name)
         labels = labels.astype(jnp.int32)
-        images = jnp.concatenate([anchor, positive], axis=0)
+        images = _as_float_images(jnp.concatenate([anchor, positive], axis=0))
         labels2 = jnp.concatenate([labels, labels], axis=0)
         (logits, feat), _ = _apply_model(
             model, state.params, state.batch_stats, images, train=False)
