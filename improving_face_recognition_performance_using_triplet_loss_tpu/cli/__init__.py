@@ -8,6 +8,8 @@
 - ``draw_cos``        <- draw_cos_dis_real.py
 - ``slice_dataset``   <- feature_extraction/c_version/slice_celeb1m.py
 - ``lfw_eval``        (new: generates the LFW baseline; SURVEY.md §6)
+- ``lfw_run``         (new: one-command LFW tarball+pairs.txt -> align ->
+                       embed -> 10-fold accuracy/VAL table; facenet.py:428-520)
 - ``align``           <- feature_extraction/facenet_version/align_dataset_mtcnn.py
 - ``pack_dataset``    <- the implied im2rec RecordIO packing step
 - ``train_began``     (README-only BEGAN-CS + triplet capability)

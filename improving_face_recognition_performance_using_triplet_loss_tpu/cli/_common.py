@@ -9,17 +9,23 @@ import os
 import sys
 
 
-def setup_logging(out_dir: str, name: str) -> logging.Logger:
-    os.makedirs(out_dir, exist_ok=True)
-    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
-    logging.basicConfig(
-        filename=os.path.join(out_dir, f"{name}{stamp}.log"),
-        level=logging.INFO,
-        force=True,
-    )
+def setup_logging(out_dir: str | None, name: str) -> logging.Logger:
+    """Timestamped file + stdout logging; ``out_dir=None`` = stdout only."""
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+        logging.basicConfig(
+            filename=os.path.join(out_dir, f"{name}{stamp}.log"),
+            level=logging.INFO,
+            force=True,
+        )
+    else:
+        logging.basicConfig(level=logging.INFO, force=True,
+                            stream=sys.stdout)
     root = logging.getLogger()
-    handler = logging.StreamHandler(sys.stdout)
-    root.addHandler(handler)
+    if out_dir is not None:
+        handler = logging.StreamHandler(sys.stdout)
+        root.addHandler(handler)
     root.setLevel(logging.INFO)
     return logging.getLogger(name)
 

@@ -24,7 +24,8 @@ def build_parser():
     p.add_argument("--export-dir", help="exported model (serve/export.py); "
                                         "random init if omitted")
     p.add_argument("--model", default="lightcnn29",
-                   choices=["lightcnn29", "efmnet342", "lightcnn9"])
+                   choices=["lightcnn29", "efmnet342", "lightcnn9",
+                            "deepface"])
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--out-dir", default="runs/extract")
     p.add_argument("--batch-size", type=int, default=256)
@@ -73,8 +74,10 @@ def main(argv=None):
 
     splits = {}
     if args.synthetic:
-        tr = synthetic_faces(num_ids=8, per_id=8, size=64)
-        va = synthetic_faces(num_ids=8, per_id=4, size=64, seed=1)
+        size, ch = ((72, 3) if args.model == "deepface" else (64, 1))
+        tr = synthetic_faces(num_ids=8, per_id=8, size=size, channels=ch)
+        va = synthetic_faces(num_ids=8, per_id=4, size=size, channels=ch,
+                             seed=1)
         splits = {"train": tr, "valid": va}
     else:
         if args.train_images:

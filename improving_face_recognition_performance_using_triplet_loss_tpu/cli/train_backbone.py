@@ -32,8 +32,11 @@ def build_parser():
     p.add_argument("--eval-images", help="optional eval .npz image store")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--synthetic-channels", type=int, default=0,
+                   help="0 = per-model default (3 for deepface, else 1)")
     p.add_argument("--model", default="lightcnn29",
-                   choices=["lightcnn29", "efmnet342", "lightcnn9"])
+                   choices=["lightcnn29", "efmnet342", "lightcnn9",
+                            "deepface"])
     p.add_argument("--out-dir", default="runs/train_backbone")
     p.add_argument("--epochs", type=int, default=280)
     p.add_argument("--batch-size", type=int, default=64)
@@ -65,11 +68,11 @@ def build_parser():
 
 def _model_by_name(name, num_classes, bf16):
     import jax.numpy as jnp
-    from ..models import EFMNet342, LightCNN29, LightCNN9
+    from ..models import DeepFace, EFMNet342, LightCNN29, LightCNN9
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     cls = {"lightcnn29": LightCNN29, "efmnet342": EFMNet342,
-           "lightcnn9": LightCNN9}[name]
+           "lightcnn9": LightCNN9, "deepface": DeepFace}[name]
     return cls(num_classes=num_classes, dtype=dtype)
 
 
@@ -80,8 +83,17 @@ def _load_images(args):
     from ..data.synthetic import synthetic_faces
 
     if args.synthetic:
+        # DeepFace is the RGB 152x152 pipeline (paper canonical input;
+        # README.md:8,15) — its synthetic stand-in defaults to 3-channel
+        # and respects its >=65px VALID-conv floor.
+        channels = args.synthetic_channels or (
+            3 if args.model == "deepface" else 1)
+        size = args.synthetic_size
+        if args.model == "deepface" and size < 65:
+            size = 72
         images, labels = synthetic_faces(
-            num_ids=16, per_id=16, size=args.synthetic_size, seed=args.seed)
+            num_ids=16, per_id=16, size=size, channels=channels,
+            seed=args.seed)
         return images, labels, False
     if args.images:
         if os.path.isdir(args.images):

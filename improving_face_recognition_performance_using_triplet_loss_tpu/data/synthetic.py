@@ -35,21 +35,26 @@ def synthetic_faces(
     per_id: int = 8,
     size: int = 64,
     seed: int = 0,
+    channels: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Identity-structured grayscale 'face' images in [0, 1]:
-    [N, size, size, 1] float32 + [N] int labels. Each identity is a fixed
-    low-frequency pattern plus per-image noise."""
+    """Identity-structured 'face' images in [0, 1]:
+    [N, size, size, channels] float32 + [N] int labels. Each identity is a
+    fixed low-frequency pattern (per-channel phase shift for RGB) plus
+    per-image noise."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     images, labels = [], []
     for i in range(num_ids):
-        fx, fy, ph = rng.uniform(1, 6), rng.uniform(1, 6), rng.uniform(0, 6)
-        base = 0.5 + 0.4 * np.sin(2 * np.pi * (fx * xx + fy * yy) + ph)
+        fx, fy = rng.uniform(1, 6), rng.uniform(1, 6)
+        phases = rng.uniform(0, 6, size=channels)
+        base = np.stack(
+            [0.5 + 0.4 * np.sin(2 * np.pi * (fx * xx + fy * yy) + ph)
+             for ph in phases], axis=-1)
         for _ in range(per_id):
-            img = base + 0.05 * rng.normal(size=(size, size))
+            img = base + 0.05 * rng.normal(size=(size, size, channels))
             images.append(np.clip(img, 0, 1))
             labels.append(i)
     order = rng.permutation(len(images))
-    images = np.asarray(images, np.float32)[order][..., None]
+    images = np.asarray(images, np.float32)[order]
     labels = np.asarray(labels, np.int64)[order]
     return images, labels

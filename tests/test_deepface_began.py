@@ -149,3 +149,33 @@ def test_began_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "samples_0001.jpg"))
     assert os.path.exists(os.path.join(out, "convergence.jpg"))
     assert os.path.exists(os.path.join(out, "export_gen", "manifest.json"))
+
+
+def test_deepface_cli_end_to_end(tmp_path):
+    """VERDICT round-1 item 2 done-criterion: `train_backbone --model
+    deepface --synthetic` trains (RGB >=65px path), extracts features with
+    the export, and eval_cos consumes them."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        eval_cos,
+        extract_features,
+        train_backbone,
+    )
+
+    out = str(tmp_path / "df")
+    state, history = train_backbone.main(
+        ["--synthetic", "--model", "deepface", "--synthetic-size", "72",
+         "--epochs", "1", "--batch-size", "8", "--out-dir", out])
+    assert np.isfinite(history[0].train["loss"])
+
+    ex = str(tmp_path / "ex")
+    results = extract_features.main(
+        ["--synthetic", "--model", "deepface", "--num-classes", "16",
+         "--export-dir", out + "/export", "--out-dir", ex,
+         "--batch-size", "16"])
+    feats, labels, _ = results["valid"]
+    assert feats.shape[1] == 4096  # F7 embedding dim
+
+    ec = str(tmp_path / "ec")
+    eval_cos.main(["--features", ex + "/valid.npz", "--out-dir", ec,
+                   "--batch-size", "16"])
+    assert (tmp_path / "ec" / "cosine_similarity.csv").exists()

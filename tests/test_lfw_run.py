@@ -1,0 +1,113 @@
+"""One-command LFW harness on a synthetic mini-LFW fixture (VERDICT round-1
+item 3: prove the tarball -> align -> embed -> table chain in CI)."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+    lfw_run,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.data.synthetic import (
+    synthetic_faces,
+)
+
+
+def _mini_lfw(root, n_ids=4, per_id=3, size=48):
+    """LFW-layout tree of synthetic identity images + a pairs.txt."""
+    import cv2
+
+    imgs, labels = synthetic_faces(num_ids=n_ids, per_id=per_id, size=size,
+                                   seed=7)
+    names = [f"Person_{chr(65 + i)}" for i in range(n_ids)]
+    counters = {n: 0 for n in names}
+    tree = os.path.join(root, "lfw")
+    index = []  # (name, num) per image
+    for img, lab in zip(imgs, labels):
+        name = names[int(lab)]
+        counters[name] += 1
+        d = os.path.join(tree, name)
+        os.makedirs(d, exist_ok=True)
+        num = counters[name]
+        u8 = (img[..., 0] * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(d, f"{name}_{num:04d}.jpg"), u8)
+        index.append((name, num))
+
+    pairs_path = os.path.join(root, "pairs.txt")
+    with open(pairs_path, "w") as f:
+        f.write("1\t6\n")  # header (folds / pairs-per-fold), skipped
+        for i in range(n_ids):  # positive pairs
+            f.write(f"{names[i]}\t1\t2\n")
+        for i in range(n_ids - 1):  # negative pairs
+            f.write(f"{names[i]}\t1\t{names[i + 1]}\t2\n")
+    return tree, pairs_path
+
+
+def test_lfw_run_from_tree_random_model(tmp_path):
+    tree, pairs = _mini_lfw(str(tmp_path))
+    out = str(tmp_path / "res.json")
+    rows = lfw_run.main([
+        "--lfw", tree, "--pairs", pairs, "--model", "lightcnn9",
+        "--num-classes", "8", "--folds", "2", "--batch-size", "8",
+        "--out", out])
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r["accuracy_mean"] <= 1.0 and np.isfinite(r["val"])
+    assert r["n_pairs"] == 7
+    with open(out) as f:
+        assert json.load(f)[0]["name"].startswith("lightcnn9")
+
+
+def test_lfw_run_from_tarball_with_export_and_baseline(tmp_path):
+    """Full chain: train a tiny model -> export -> tarball LFW -> table
+    appended to a baseline file. Trained-on-distribution model must beat
+    chance on the synthetic identities."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        train_backbone,
+    )
+
+    tree, pairs = _mini_lfw(str(tmp_path), size=48)
+    tgz = str(tmp_path / "lfw.tgz")
+    with tarfile.open(tgz, "w:gz") as tf:
+        tf.add(tree, arcname="lfw")
+
+    run = str(tmp_path / "run")
+    train_backbone.main([
+        "--synthetic", "--synthetic-size", "48", "--model", "lightcnn9",
+        "--epochs", "2", "--batch-size", "16", "--out-dir", run])
+
+    baseline = str(tmp_path / "BASE.md")
+    with open(baseline, "w") as f:
+        f.write("# base\n")
+    rows = lfw_run.main([
+        "--lfw", tgz, "--pairs", pairs,
+        "--export-dir", os.path.join(run, "export"),
+        "--folds", "2", "--batch-size", "8", "--num-classes", "16",
+        "--append-baseline", baseline])
+    assert rows[0]["n_pairs"] == 7
+    text = open(baseline).read()
+    assert "LFW 10-fold results" in text and "| Model |" in text
+    # synthetic identities are low-frequency patterns: even a barely-trained
+    # lightcnn9 separates them above chance
+    assert rows[0]["accuracy_mean"] >= 0.5
+
+
+@pytest.mark.slow
+def test_lfw_run_align_path(tmp_path):
+    """--align drives the MTCNN cascade over the mini tree; unalignable
+    synthetic images are skipped with accounting, not crashes."""
+    tree, pairs = _mini_lfw(str(tmp_path), n_ids=2, per_id=2, size=64)
+    try:
+        rows = lfw_run.main([
+            "--lfw", tree, "--pairs", pairs, "--align", "--align-size", "48",
+            "--align-margin", "8", "--model", "lightcnn9",
+            "--num-classes", "8", "--folds", "2", "--batch-size", "4"])
+    except SystemExit as e:
+        # synthetic textures may produce zero MTCNN detections -> zero
+        # resolvable pairs; the chain must fail with THAT message, not crash
+        assert "no resolvable pairs" in str(e)
+    else:
+        assert len(rows) == 1 and np.isfinite(rows[0]["accuracy_mean"])
