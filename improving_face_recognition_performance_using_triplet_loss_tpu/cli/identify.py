@@ -34,12 +34,124 @@ def build_parser():
     m.add_argument("--features", required=True)
     m.add_argument("--sim-th", type=float, default=0.5)
     m.add_argument("--out", help="write results JSONL here")
+
+    # ---- person-level flows (reference PG side, Feature.hpp:679-932) ----
+    ep = sub.add_parser("enroll-person",
+                        help="register one person with N face features "
+                             "(Register_PDB)")
+    ep.add_argument("--store", required=True, help="person .sqlite db")
+    ep.add_argument("--features", required=True,
+                    help=".npz feature store; --label selects this "
+                         "person's rows")
+    ep.add_argument("--label", type=int, required=True)
+    ep.add_argument("--name", default="")
+    ep.add_argument("--student-id", default="")
+    ep.add_argument("--card-id", default="")
+    ep.add_argument("--email", default="")
+    ep.add_argument("--role-title", default="")
+    ep.add_argument("--data-root", help="save crops under this root")
+
+    mp = sub.add_parser("match-person",
+                        help="identify probes against the person db "
+                             "(Compare_Face_DB)")
+    mp.add_argument("--store", required=True)
+    mp.add_argument("--features", required=True)
+    mp.add_argument("--sim-th", type=float, default=0.5)
+    mp.add_argument("--out", help="write results JSONL here")
+
+    rc = sub.add_parser("register-card",
+                        help="card-only pre-registration "
+                             "(Register_PDB_onlyCard)")
+    rc.add_argument("--store", required=True)
+    rc.add_argument("--features", required=True)
+    rc.add_argument("--label", type=int, required=True)
+    rc.add_argument("--card-id", required=True)
+
+    li = sub.add_parser("lookup-id",
+                        help="find a person by student-id number "
+                             "(isExistIDNumber)")
+    li.add_argument("--store", required=True)
+    li.add_argument("--id-number", required=True)
+
+    pr = sub.add_parser("promote",
+                        help="promote a pending card registration to a "
+                             "real person")
+    pr.add_argument("--store", required=True)
+    pr.add_argument("--rid", type=int, required=True)
+    pr.add_argument("--name", default="")
+    pr.add_argument("--student-id", default="")
     return p
+
+
+def _person_main(args):
+    import numpy as np
+
+    from ..data import load_feature_store
+    from ..serve.person_store import Person, PersonStore
+
+    if args.command == "lookup-id":
+        with PersonStore(args.store, 1) as store:
+            p = store.exists_id_number(args.id_number)
+            print(json.dumps(None if p is None else p.__dict__))
+            return p
+
+    if args.command == "promote":
+        with PersonStore(args.store, 1) as store:
+            pid = store.promote_registration(
+                args.rid, Person(name=args.name,
+                                 student_id=args.student_id))
+            print(f"promoted rid {args.rid} -> pid {pid}")
+            return pid
+
+    feats, labels = load_feature_store(args.features)
+    dim = feats.shape[1]
+    if args.command == "enroll-person":
+        rows = feats[labels == args.label]
+        if rows.shape[0] == 0:
+            raise SystemExit(f"no rows with label {args.label}")
+        with PersonStore(args.store, dim,
+                         data_root=args.data_root) as store:
+            pid = store.register_person(
+                Person(name=args.name, student_id=args.student_id,
+                       card_id=args.card_id, email=args.email,
+                       role_title=args.role_title), list(rows))
+            print(f"registered pid {pid} with {rows.shape[0]} faces")
+            return pid
+    if args.command == "register-card":
+        rows = feats[labels == args.label]
+        with PersonStore(args.store, dim) as store:
+            rid = store.register_card_only(args.card_id, list(rows))
+            print(f"pending registration rid {rid} "
+                  f"({rows.shape[0]} faces, card {args.card_id})")
+            return rid
+    # match-person
+    results = []
+    with PersonStore(args.store, dim) as store:
+        for i, fv in enumerate(feats):
+            res = store.match(fv, args.sim_th)
+            results.append({
+                "probe": int(i),
+                "label": int(labels[i]) if labels is not None else None,
+                "pid": None if res.person is None else res.person.pid,
+                "name": None if res.person is None else res.person.name,
+                "similarity": round(float(res.similarity), 6),
+            })
+    matched = sum(1 for r in results if r["pid"] is not None)
+    print(f"matched {matched}/{len(results)} probes above {args.sim_th}")
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+    return results
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import numpy as np
+
+    if args.command in ("enroll-person", "match-person", "register-card",
+                        "lookup-id", "promote"):
+        return _person_main(args)
 
     from ..data import load_feature_store
     from ..serve.native import (NativeIdentityStore,

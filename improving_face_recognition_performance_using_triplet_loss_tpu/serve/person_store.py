@@ -1,0 +1,375 @@
+"""Person-level identity database (reference C20: the PostgreSQL side).
+
+The reference's serving runtime models PERSONS with N face-feature rows
+each, card-id registration flows, and profile/face crops stored under a
+data root (Feature.hpp:679-932: ``Select_Registed_Data``, ``Register_PDB``,
+``Register_PDB_onlyCard``, ``isExistIDNumber``, ``Compare_Face_DB``; the
+``Valid_person``/``Valid_Face`` views). Rebuilt here on stdlib ``sqlite3``
+(no PG server in this image; the schema and semantics carry over 1:1):
+
+- ``person(pid, name, role_title, email, student_id, card_id, person_flag,
+  profile_img)`` — ``person_flag != 0`` marks valid rows (the Valid_person
+  view);
+- ``face(fid, pid, simd_dot, img_path, feature BLOB)`` — float32 features
+  with the precomputed L2 norm (``sqrt_simdot``), like the reference's
+  SIMD_DOT cache;
+- ``wanna_regist(rid, card_id)`` + ``regist_face(rid, fid)`` — the
+  card-only pre-registration queue (Register_PDB_onlyCard), with faces
+  parked under a reserved temp person;
+- crops land under ``data_root/not_verify/<student_id>/`` (profile.png +
+  <fid>.png) and ``data_root/regist_list/<rid>/`` exactly like the
+  reference's directory contract.
+
+Matching (`match`) is Compare_Face_DB semantics — max cosine over every
+valid face row, threshold-gated — vectorized over a cached feature matrix
+instead of the reference's per-row ``omp critical`` max.
+
+`export_reg_face`/`import_reg_face` interop with the flat SQLite
+``reg_face`` schema of the C version (Feature.hpp:433-441,453-480) including
+its >0.99999 enroll dedup.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from dataclasses import dataclass
+
+import numpy as np
+
+TMP_PID = 0  # reserved person for card-only pre-registrations ("TMP" rows)
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS person (
+    pid INTEGER PRIMARY KEY AUTOINCREMENT,
+    name TEXT NOT NULL DEFAULT '',
+    role_title TEXT NOT NULL DEFAULT '',
+    email TEXT NOT NULL DEFAULT '',
+    student_id TEXT NOT NULL DEFAULT '',
+    card_id TEXT NOT NULL DEFAULT '',
+    person_flag INTEGER NOT NULL DEFAULT 1,
+    profile_img TEXT NOT NULL DEFAULT ''
+);
+CREATE TABLE IF NOT EXISTS face (
+    fid INTEGER PRIMARY KEY AUTOINCREMENT,
+    pid INTEGER NOT NULL REFERENCES person(pid),
+    simd_dot REAL NOT NULL,
+    img_path TEXT NOT NULL DEFAULT '',
+    feature BLOB NOT NULL
+);
+CREATE TABLE IF NOT EXISTS wanna_regist (
+    rid INTEGER PRIMARY KEY AUTOINCREMENT,
+    card_id TEXT NOT NULL
+);
+CREATE TABLE IF NOT EXISTS regist_face (
+    rid INTEGER NOT NULL REFERENCES wanna_regist(rid),
+    fid INTEGER NOT NULL REFERENCES face(fid)
+);
+CREATE INDEX IF NOT EXISTS idx_face_pid ON face(pid);
+CREATE VIEW IF NOT EXISTS valid_person AS
+    SELECT * FROM person WHERE person_flag != 0 AND pid != 0;
+CREATE VIEW IF NOT EXISTS valid_face AS
+    SELECT f.* FROM face f JOIN person p ON f.pid = p.pid
+    WHERE p.person_flag != 0 AND p.pid != 0;
+"""
+
+
+@dataclass
+class Person:
+    """The reference's Person struct (Feature.hpp Select_Registed_Data)."""
+
+    pid: int = -1
+    name: str = ""
+    role_title: str = ""
+    email: str = ""
+    student_id: str = ""
+    card_id: str = ""
+    person_flag: int = 1
+    profile_img: str = ""
+
+
+@dataclass
+class MatchResult:
+    person: Person | None
+    similarity: float
+    fid: int = -1
+
+
+class PersonStore:
+    """SQLite person/face store with the reference's registration flows."""
+
+    def __init__(self, db_path: str, feature_dim: int,
+                 data_root: str | None = None):
+        self.db = sqlite3.connect(db_path)
+        self.db.executescript(_SCHEMA)
+        self.feature_dim = int(feature_dim)
+        self.data_root = data_root
+        # reserved TMP person (pid 0) parks card-only faces; person_flag=0
+        # keeps it out of the valid_* views
+        self.db.execute(
+            "INSERT OR IGNORE INTO person (pid, name, person_flag) "
+            "VALUES (0, 'TMP', 0)")
+        self.db.commit()
+        self._cache = None  # (features [N,D], norms [N], fids, pids)
+
+    # ------------------------------------------------------------ helpers
+
+    def _invalidate(self):
+        self._cache = None
+
+    def _feature_blob(self, fv: np.ndarray) -> bytes:
+        fv = np.ascontiguousarray(fv, np.float32).ravel()
+        if fv.shape[0] != self.feature_dim:
+            raise ValueError(
+                f"feature dim {fv.shape[0]} != store {self.feature_dim}")
+        return fv.tobytes()
+
+    def _save_crop(self, rel_path: str, img: np.ndarray | None) -> None:
+        if img is None or self.data_root is None:
+            return
+        import cv2
+
+        full = os.path.join(self.data_root, rel_path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        cv2.imwrite(full, np.asarray(img))
+
+    # -------------------------------------------------------- registration
+
+    def insert_face(self, pid: int, feature: np.ndarray,
+                    img_path: str = "") -> int:
+        norm = float(np.linalg.norm(np.asarray(feature, np.float32)))
+        cur = self.db.execute(
+            "INSERT INTO face (pid, simd_dot, img_path, feature) "
+            "VALUES (?, ?, ?, ?)",
+            (pid, norm, img_path, self._feature_blob(feature)))
+        self._invalidate()
+        return int(cur.lastrowid)
+
+    def register_person(
+        self,
+        person: Person,
+        features: list[np.ndarray] | np.ndarray = (),
+        crops: list[np.ndarray] | None = None,
+        profile_img: np.ndarray | None = None,
+    ) -> int:
+        """Register_PDB (Feature.hpp:806-859): insert the person row, save
+        the profile crop under ``not_verify/<student_id>/profile.png``, then
+        one face row + crop per feature."""
+        person_dir = f"not_verify/{person.student_id}/"
+        profile_rel = person_dir + "profile.png"
+        self._save_crop(profile_rel, profile_img)
+        cur = self.db.execute(
+            "INSERT INTO person (name, role_title, email, student_id, "
+            "card_id, person_flag, profile_img) VALUES (?, ?, ?, ?, ?, ?, ?)",
+            (person.name, person.role_title, person.email, person.student_id,
+             person.card_id, person.person_flag,
+             profile_rel if profile_img is not None else person.profile_img))
+        pid = int(cur.lastrowid)
+        for i, fv in enumerate(features):
+            fid = self.insert_face(pid, fv, person_dir)
+            img_rel = f"{person_dir}{fid}.png"
+            self._save_crop(img_rel,
+                            crops[i] if crops is not None else None)
+            self.db.execute("UPDATE face SET img_path = ? WHERE fid = ?",
+                            (img_rel, fid))
+        self.db.commit()
+        self._invalidate()
+        return pid
+
+    def register_card_only(
+        self,
+        card_id: str,
+        features: list[np.ndarray] | np.ndarray,
+        crops: list[np.ndarray] | None = None,
+    ) -> int:
+        """Register_PDB_onlyCard (Feature.hpp:861-896): park faces under the
+        TMP person, queue the card id, link rid<->fid; crops land under
+        ``regist_list/<rid>/<fid>.png``."""
+        cur = self.db.execute(
+            "INSERT INTO wanna_regist (card_id) VALUES (?)", (str(card_id),))
+        rid = int(cur.lastrowid)
+        reg_dir = f"regist_list/{rid}/"
+        for i, fv in enumerate(features):
+            fid = self.insert_face(TMP_PID, fv, "TMP")
+            img_rel = f"{reg_dir}{fid}.png"
+            self._save_crop(img_rel,
+                            crops[i] if crops is not None else None)
+            self.db.execute("UPDATE face SET img_path = ? WHERE fid = ?",
+                            (img_rel, fid))
+            self.db.execute(
+                "INSERT INTO regist_face (rid, fid) VALUES (?, ?)",
+                (rid, fid))
+        self.db.commit()
+        self._invalidate()
+        return rid
+
+    def pending_registrations(self) -> list[tuple[int, str, list[int]]]:
+        """(rid, card_id, [fid...]) rows of the pre-registration queue."""
+        out = []
+        for rid, card in self.db.execute(
+                "SELECT rid, card_id FROM wanna_regist ORDER BY rid"):
+            fids = [r[0] for r in self.db.execute(
+                "SELECT fid FROM regist_face WHERE rid = ?", (rid,))]
+            out.append((int(rid), card, fids))
+        return out
+
+    def promote_registration(self, rid: int, person: Person) -> int:
+        """Turn a card-only registration into a real person: create the
+        person row (card id from the queue) and re-home its parked faces."""
+        row = self.db.execute(
+            "SELECT card_id FROM wanna_regist WHERE rid = ?",
+            (rid,)).fetchone()
+        if row is None:
+            raise KeyError(f"no pending registration rid={rid}")
+        person.card_id = person.card_id or row[0]
+        pid = self.register_person(person)
+        self.db.execute(
+            "UPDATE face SET pid = ? WHERE fid IN "
+            "(SELECT fid FROM regist_face WHERE rid = ?)", (pid, rid))
+        self.db.execute("DELETE FROM regist_face WHERE rid = ?", (rid,))
+        self.db.execute("DELETE FROM wanna_regist WHERE rid = ?", (rid,))
+        self.db.commit()
+        self._invalidate()
+        return pid
+
+    # ------------------------------------------------------------- lookup
+
+    def _person_from_row(self, row) -> Person:
+        return Person(pid=int(row[0]), name=row[1], role_title=row[2],
+                      email=row[3], student_id=row[4], card_id=row[5],
+                      person_flag=int(row[6]), profile_img=row[7])
+
+    def get_person(self, pid: int) -> Person | None:
+        row = self.db.execute("SELECT * FROM person WHERE pid = ?",
+                              (pid,)).fetchone()
+        return self._person_from_row(row) if row else None
+
+    def exists_id_number(self, id_number: int | str) -> Person | None:
+        """isExistIDNumber (Feature.hpp:899-931): find the valid person
+        whose student_id parses to this number (atol semantics: compare as
+        integers, so leading zeros don't matter)."""
+        target = int(id_number)
+        for row in self.db.execute("SELECT * FROM valid_person"):
+            try:
+                if int(row[4]) == target:
+                    return self._person_from_row(row)
+            except ValueError:
+                continue
+        return None
+
+    def find_by_card(self, card_id: str) -> Person | None:
+        row = self.db.execute(
+            "SELECT * FROM valid_person WHERE card_id = ?",
+            (str(card_id),)).fetchone()
+        return self._person_from_row(row) if row else None
+
+    def persons(self) -> list[Person]:
+        """Valid persons ordered by pid (Select_Registed_Data's
+        'select * from Valid_person order by pid')."""
+        return [self._person_from_row(r) for r in self.db.execute(
+            "SELECT * FROM valid_person ORDER BY pid")]
+
+    def faces_of(self, pid: int) -> np.ndarray:
+        rows = self.db.execute(
+            "SELECT feature FROM face WHERE pid = ?", (pid,)).fetchall()
+        if not rows:
+            return np.zeros((0, self.feature_dim), np.float32)
+        return np.stack([np.frombuffer(r[0], np.float32) for r in rows])
+
+    # ------------------------------------------------------------ matching
+
+    def _matrix(self):
+        if self._cache is None:
+            rows = self.db.execute(
+                "SELECT fid, pid, simd_dot, feature FROM valid_face"
+            ).fetchall()
+            if rows:
+                feats = np.stack(
+                    [np.frombuffer(r[3], np.float32) for r in rows])
+                norms = np.asarray([r[2] for r in rows], np.float32)
+                fids = np.asarray([r[0] for r in rows], np.int64)
+                pids = np.asarray([r[1] for r in rows], np.int64)
+            else:
+                feats = np.zeros((0, self.feature_dim), np.float32)
+                norms = np.zeros((0,), np.float32)
+                fids = pids = np.zeros((0,), np.int64)
+            self._cache = (feats, norms, fids, pids)
+        return self._cache
+
+    def match(self, feature: np.ndarray, sim_th: float = 0.5) -> MatchResult:
+        """Compare_Face_DB (Feature.hpp:766-804): max cosine over every
+        valid face; the owning person wins if it clears the threshold."""
+        feats, norms, fids, pids = self._matrix()
+        if feats.shape[0] == 0:
+            return MatchResult(None, 0.0)
+        fv = np.asarray(feature, np.float32).ravel()
+        denom = norms * max(float(np.linalg.norm(fv)), 1e-12)
+        sims = (feats @ fv) / np.maximum(denom, 1e-12)
+        best = int(np.argmax(sims))
+        sim = float(sims[best])
+        if sim < sim_th:
+            return MatchResult(None, sim)
+        return MatchResult(self.get_person(int(pids[best])), sim,
+                           fid=int(fids[best]))
+
+    # ------------------------------------------------- reg_face interop
+
+    def export_reg_face(self, path: str) -> int:
+        """Write the C version's flat SQLite schema (Feature.hpp:433-441):
+        reg_face(IDS, NAME, FEATEXE, SIMD_DOT) — one row per valid face,
+        NAME = owning person's name."""
+        out = sqlite3.connect(path)
+        out.execute("CREATE TABLE IF NOT EXISTS `reg_face` ( `IDS` INTEGER "
+                    "PRIMARY KEY AUTOINCREMENT, `NAME` TEXT, `FEATEXE` "
+                    "BLOB, `SIMD_DOT` REAL)")
+        n = 0
+        for pid, name in self.db.execute(
+                "SELECT pid, name FROM valid_person"):
+            for (blob, dot) in self.db.execute(
+                    "SELECT feature, simd_dot FROM face WHERE pid = ?",
+                    (pid,)):
+                out.execute(
+                    "INSERT INTO reg_face (NAME, FEATEXE, SIMD_DOT) "
+                    "VALUES (?, ?, ?)", (name, blob, dot))
+                n += 1
+        out.commit()
+        out.close()
+        return n
+
+    def import_reg_face(self, path: str,
+                        dedup_threshold: float = 0.99999) -> int:
+        """Load a reg_face db: one person per distinct NAME, faces deduped
+        at >threshold cosine (Register_DB_File's same-feature guard,
+        Feature.hpp:467-471)."""
+        src = sqlite3.connect(path)
+        n = 0
+        by_name: dict[str, int] = {
+            p.name: p.pid for p in self.persons()}
+        for name, blob, dot in src.execute(
+                "SELECT NAME, FEATEXE, SIMD_DOT FROM reg_face"):
+            fv = np.frombuffer(blob, np.float32)
+            res = self.match(fv, sim_th=dedup_threshold)
+            if res.person is not None:
+                continue  # same feature vector already present
+            pid = by_name.get(name)
+            if pid is None:
+                pid = self.register_person(Person(name=name))
+                by_name[name] = pid
+            self.insert_face(pid, fv)
+            n += 1
+        src.close()
+        self.db.commit()
+        self._invalidate()
+        return n
+
+    # ----------------------------------------------------------- lifecycle
+
+    def close(self):
+        self.db.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -1,0 +1,173 @@
+"""Person-level identity DB (reference C20: Feature.hpp:679-932 —
+Register_PDB / Register_PDB_onlyCard / isExistIDNumber / Compare_Face_DB
+semantics on sqlite, plus reg_face flat-schema interop)."""
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.data.synthetic import (
+    synthetic_features,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.person_store import (
+    Person,
+    PersonStore,
+    TMP_PID,
+)
+
+DIM = 32
+
+
+def _clustered(n_ids=3, per_id=4, seed=0):
+    return synthetic_features(num_ids=n_ids, per_id=per_id, dim=DIM,
+                              noise=0.1, seed=seed)
+
+
+def test_register_and_match_person(tmp_path):
+    feats, labels = _clustered()
+    db = str(tmp_path / "p.sqlite")
+    with PersonStore(db, DIM) as store:
+        pids = {}
+        for ident in np.unique(labels):
+            pids[int(ident)] = store.register_person(
+                Person(name=f"person{ident}", student_id=f"90{ident}"),
+                list(feats[labels == ident]))
+        # every probe matches its own person at high sim
+        for i, fv in enumerate(feats):
+            res = store.match(fv, sim_th=0.5)
+            assert res.person is not None
+            assert res.person.pid == pids[int(labels[i])]
+            assert res.similarity > 0.9
+        # an orthogonal-ish probe stays below threshold
+        probe = np.zeros(DIM, np.float32)
+        probe[0] = 1.0
+        res = store.match(probe, sim_th=0.99)
+        assert res.person is None
+
+
+def test_n_faces_per_person_relation(tmp_path):
+    feats, labels = _clustered(n_ids=2, per_id=5)
+    with PersonStore(str(tmp_path / "p.sqlite"), DIM) as store:
+        pid = store.register_person(Person(name="a"),
+                                    list(feats[labels == 0]))
+        assert store.faces_of(pid).shape == (5, DIM)
+        np.testing.assert_allclose(store.faces_of(pid),
+                                   feats[labels == 0], rtol=1e-6)
+
+
+def test_exists_id_number_atol_semantics(tmp_path):
+    with PersonStore(str(tmp_path / "p.sqlite"), DIM) as store:
+        store.register_person(Person(name="x", student_id="00123"))
+        store.register_person(Person(name="y", student_id="not-a-number"))
+        p = store.exists_id_number(123)  # atol('00123') == 123
+        assert p is not None and p.name == "x"
+        assert store.exists_id_number(999) is None
+
+
+def test_card_only_registration_and_promote(tmp_path):
+    feats, labels = _clustered(n_ids=2, per_id=3)
+    with PersonStore(str(tmp_path / "p.sqlite"), DIM) as store:
+        rid = store.register_card_only("CARD42", list(feats[labels == 0]))
+        # parked faces live under TMP and are invisible to matching
+        res = store.match(feats[labels == 0][0], sim_th=0.5)
+        assert res.person is None
+        pending = store.pending_registrations()
+        assert len(pending) == 1
+        assert pending[0][0] == rid and pending[0][1] == "CARD42"
+        assert len(pending[0][2]) == 3
+
+        pid = store.promote_registration(rid, Person(name="bob",
+                                                     student_id="777"))
+        assert store.pending_registrations() == []
+        p = store.get_person(pid)
+        assert p.card_id == "CARD42"  # card id carried from the queue
+        # faces re-homed: now matchable
+        res = store.match(feats[labels == 0][0], sim_th=0.5)
+        assert res.person is not None and res.person.pid == pid
+        # TMP person itself never matches
+        assert store.faces_of(TMP_PID).shape[0] == 0
+
+
+def test_invalid_person_excluded_from_matching(tmp_path):
+    feats, labels = _clustered(n_ids=2, per_id=2)
+    with PersonStore(str(tmp_path / "p.sqlite"), DIM) as store:
+        store.register_person(Person(name="gone", person_flag=0),
+                              list(feats[labels == 0]))
+        keep = store.register_person(Person(name="kept"),
+                                     list(feats[labels == 1]))
+        res = store.match(feats[labels == 0][0], sim_th=0.5)
+        # flagged-invalid person's faces are out of valid_face
+        assert res.person is None or res.person.pid == keep
+        assert [p.name for p in store.persons()] == ["kept"]
+
+
+def test_crop_directory_contract(tmp_path):
+    """Crops land under not_verify/<student_id>/ and regist_list/<rid>/
+    exactly like the reference's data-root layout."""
+    pytest.importorskip("cv2")
+    root = str(tmp_path / "root")
+    img = np.full((8, 8, 3), 128, np.uint8)
+    fv = np.ones(DIM, np.float32)
+    with PersonStore(str(tmp_path / "p.sqlite"), DIM,
+                     data_root=root) as store:
+        store.register_person(Person(name="a", student_id="55"), [fv],
+                              crops=[img], profile_img=img)
+        assert os.path.exists(os.path.join(root, "not_verify/55/profile.png"))
+        files = os.listdir(os.path.join(root, "not_verify/55"))
+        assert any(f != "profile.png" and f.endswith(".png") for f in files)
+
+
+def test_reg_face_export_import_roundtrip(tmp_path):
+    feats, labels = _clustered(n_ids=2, per_id=2)
+    src_db = str(tmp_path / "p.sqlite")
+    flat = str(tmp_path / "reg_face.sqlite")
+    with PersonStore(src_db, DIM) as store:
+        for ident in np.unique(labels):
+            store.register_person(Person(name=f"n{ident}"),
+                                  list(feats[labels == ident]))
+        n = store.export_reg_face(flat)
+    assert n == 4
+    # flat schema is the C version's exact table
+    con = sqlite3.connect(flat)
+    cols = [r[1] for r in con.execute("PRAGMA table_info(reg_face)")]
+    assert cols == ["IDS", "NAME", "FEATEXE", "SIMD_DOT"]
+    con.close()
+
+    with PersonStore(str(tmp_path / "q.sqlite"), DIM) as store2:
+        added = store2.import_reg_face(flat)
+        assert added == 4
+        # re-import dedups at >0.99999 (Register_DB_File guard)
+        assert store2.import_reg_face(flat) == 0
+        res = store2.match(feats[0], sim_th=0.5)
+        assert res.person is not None and res.person.name == f"n{labels[0]}"
+
+
+def test_identify_cli_person_flows(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        feature_store,
+    )
+
+    feats, labels = _clustered(n_ids=2, per_id=3)
+    fpath = str(tmp_path / "f.npz")
+    feature_store.save_feature_store(fpath, feats, labels)
+    db = str(tmp_path / "persons.sqlite")
+
+    pid = identify.main(["enroll-person", "--store", db, "--features",
+                         fpath, "--label", "0", "--name", "alice",
+                         "--student-id", "901"])
+    results = identify.main(["match-person", "--store", db, "--features",
+                             fpath, "--sim-th", "0.5"])
+    own = [r for r in results if r["label"] == 0]
+    assert all(r["pid"] == pid for r in own)
+
+    rid = identify.main(["register-card", "--store", db, "--features",
+                         fpath, "--label", "1", "--card-id", "C9"])
+    identify.main(["promote", "--store", db, "--rid", str(rid),
+                   "--name", "bob", "--student-id", "902"])
+    p = identify.main(["lookup-id", "--store", db, "--id-number", "902"])
+    assert p is not None and p.name == "bob" and p.card_id == "C9"

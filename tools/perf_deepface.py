@@ -75,11 +75,15 @@ def main():
 
     train_s = timed_scan(train_once, state, n_iters, "train step")
 
-    def extract_once(acc):
-        _, feat = model.apply({"params": state.params}, x, train=False)
-        return acc + feat.sum()
+    # params ride as a carry element (NOT a closure constant — 233M f32
+    # constants overflow the remote-compile request)
+    def extract_once(carry):
+        acc, params = carry
+        _, feat = model.apply({"params": params}, x, train=False)
+        return acc + feat.sum(), params
 
-    ext_s = timed_scan(extract_once, jnp.zeros(()), n_iters, "extract")
+    ext_s = timed_scan(extract_once, (jnp.zeros(()), state.params), n_iters,
+                       "extract")
 
     print(json.dumps({
         "model": "deepface", "batch": batch,
