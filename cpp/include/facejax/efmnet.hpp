@@ -1,0 +1,245 @@
+// Native EFMNet342 forward — the in-process embedding engine the export
+// format promised (reference parity: the C++ runtime runs the embedding net
+// itself via MXPredCreatePartialOut, Feature.hpp:163-205; here the net is
+// the 342-d EFM symbol ladder, efm_symbol.py:22-110, executed from
+// weights.npz with zero Python in the loop).
+//
+// Layout notes (must mirror the flax model exactly, models/efm_symbol.py):
+//   - activations NHWC; conv kernels [KH, KW, Cin, Cout]; dense [In, Out]
+//   - efm3: split channels in 3, concat(max3, min3) => C -> 2C/3
+//   - all convs SAME padding stride 1; pools 2x2/2; flatten is NHWC order
+// Convs run as im2col + a small OpenMP/FMA GEMM — single-frame serving
+// latency, not throughput, is the target (the TPU path owns bulk work).
+
+#pragma once
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <map>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+#include "facejax/npz.hpp"
+
+namespace facejax {
+
+struct Tensor {
+  int h = 0, w = 0, c = 0;      // NHWC with N == 1
+  std::vector<float> data;
+
+  void resize(int h_, int w_, int c_) {
+    h = h_;
+    w = w_;
+    c = c_;
+    data.assign(static_cast<size_t>(h) * w * c, 0.0f);
+  }
+  float& at(int y, int x, int ch) {
+    return data[(static_cast<size_t>(y) * w + x) * c + ch];
+  }
+  float at(int y, int x, int ch) const {
+    return data[(static_cast<size_t>(y) * w + x) * c + ch];
+  }
+};
+
+namespace nn {
+
+// out[M,N] = patches[M,K] @ kernel[K,N] + bias[N]
+inline void Gemm(const std::vector<float>& a, int m, int k,
+                 const float* b, const float* bias, int n,
+                 std::vector<float>& out) {
+  out.assign(static_cast<size_t>(m) * n, 0.0f);
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < m; ++i) {
+    float* orow = out.data() + static_cast<size_t>(i) * n;
+    if (bias) std::copy(bias, bias + n, orow);
+    const float* arow = a.data() + static_cast<size_t>(i) * k;
+    for (int kk = 0; kk < k; ++kk) {
+      const float av = arow[kk];
+      if (av == 0.0f) continue;  // SAME-padding zeros are common
+      const float* brow = b + static_cast<size_t>(kk) * n;
+      for (int j = 0; j < n; ++j) orow[j] += av * brow[j];
+    }
+  }
+}
+
+inline void ConvSame(const Tensor& in, const NpyArray& kernel,
+                     const NpyArray& bias, Tensor& out) {
+  const int kh = static_cast<int>(kernel.shape[0]);
+  const int kw = static_cast<int>(kernel.shape[1]);
+  const int cin = static_cast<int>(kernel.shape[2]);
+  const int cout = static_cast<int>(kernel.shape[3]);
+  if (cin != in.c) throw std::runtime_error("conv: channel mismatch");
+  const int ph = (kh - 1) / 2, pw = (kw - 1) / 2;
+  const int m = in.h * in.w, k = kh * kw * cin;
+
+  // im2col in kernel's [KH, KW, Cin] order
+  std::vector<float> patches(static_cast<size_t>(m) * k, 0.0f);
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < in.h; ++y) {
+    for (int x = 0; x < in.w; ++x) {
+      float* row = patches.data() +
+                   (static_cast<size_t>(y) * in.w + x) * k;
+      for (int dy = 0; dy < kh; ++dy) {
+        const int sy = y + dy - ph;
+        if (sy < 0 || sy >= in.h) continue;
+        for (int dx = 0; dx < kw; ++dx) {
+          const int sx = x + dx - pw;
+          if (sx < 0 || sx >= in.w) continue;
+          std::copy(&in.data[(static_cast<size_t>(sy) * in.w + sx) * cin],
+                    &in.data[(static_cast<size_t>(sy) * in.w + sx) * cin] +
+                        cin,
+                    row + (static_cast<size_t>(dy) * kw + dx) * cin);
+        }
+      }
+    }
+  }
+  std::vector<float> res;
+  Gemm(patches, m, k, kernel.f32(), bias.f32(), cout, res);
+  out.h = in.h;
+  out.w = in.w;
+  out.c = cout;
+  out.data = std::move(res);
+}
+
+inline void Efm3(Tensor& t) {
+  if (t.c % 3 != 0) throw std::runtime_error("efm3: channels % 3 != 0");
+  const int third = t.c / 3, out_c = 2 * third;
+  std::vector<float> out(static_cast<size_t>(t.h) * t.w * out_c);
+  const int hw = t.h * t.w;
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < hw; ++i) {
+    const float* src = t.data.data() + static_cast<size_t>(i) * t.c;
+    float* dst = out.data() + static_cast<size_t>(i) * out_c;
+    for (int ch = 0; ch < third; ++ch) {
+      const float a = src[ch], b = src[third + ch], c = src[2 * third + ch];
+      dst[ch] = std::max(a, std::max(b, c));
+      dst[third + ch] = std::min(a, std::min(b, c));
+    }
+  }
+  t.c = out_c;
+  t.data = std::move(out);
+}
+
+inline void MaxPool2(Tensor& t) {
+  const int oh = t.h / 2, ow = t.w / 2;
+  std::vector<float> out(static_cast<size_t>(oh) * ow * t.c);
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < oh; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      for (int ch = 0; ch < t.c; ++ch) {
+        out[(static_cast<size_t>(y) * ow + x) * t.c + ch] = std::max(
+            std::max(t.at(2 * y, 2 * x, ch), t.at(2 * y, 2 * x + 1, ch)),
+            std::max(t.at(2 * y + 1, 2 * x, ch),
+                     t.at(2 * y + 1, 2 * x + 1, ch)));
+      }
+    }
+  }
+  t.h = oh;
+  t.w = ow;
+  t.data = std::move(out);
+}
+
+}  // namespace nn
+
+// The EFM symbol ladder (efm_symbol.py:84-101) over exported weights.
+class EfmNet342 {
+ public:
+  explicit EfmNet342(const std::string& weights_npz)
+      : w_(LoadNpz(weights_npz)) {
+    // fail fast if this is not an efmnet342 export
+    require("params/conv1/kernel");
+    require("params/fc1/kernel");
+    feature_dim_ = static_cast<int>(get("params/fc1/kernel").shape[1]) / 3 * 2;
+  }
+
+  int feature_dim() const { return feature_dim_; }
+
+  // img: HxW float32 in [0, 1] (grayscale, scale 1/255 applied by caller);
+  // out: feature_dim floats (the 342-d pre-dropout EFM feature).
+  void Extract(const float* img, int h, int w, float* out) const {
+    Tensor x;
+    x.resize(h, w, 1);
+    std::copy(img, img + static_cast<size_t>(h) * w, x.data.begin());
+
+    Tensor y;
+    nn::ConvSame(x, get("params/conv1/kernel"), get("params/conv1/bias"), y);
+    nn::Efm3(y);
+    nn::MaxPool2(y);
+
+    static const int kLadder[4][3] = {
+        {99, 198, 1}, {198, 387, 2}, {387, 261, 3}, {261, 261, 4}};
+    for (int s = 0; s < 4; ++s) {
+      const int num_r = kLadder[s][0], tar = kLadder[s][2];
+      const std::string stage = "params/stage" + std::to_string(s + 2);
+      const int out_ch = num_r * 2 / 3;
+      if (y.c != out_ch) throw std::runtime_error("ladder channel mismatch");
+      for (int i = 0; i < tar; ++i) {
+        Tensor hY = y;  // residual branch
+        nn::Efm3(hY);
+        Tensor t;
+        nn::ConvSame(hY, get(stage + "_res/conv_a_" + std::to_string(i) +
+                             "/kernel"),
+                     get(stage + "_res/conv_a_" + std::to_string(i) +
+                         "/bias"),
+                     t);
+        nn::Efm3(t);
+        nn::ConvSame(t, get(stage + "_res/conv_b_" + std::to_string(i) +
+                            "/kernel"),
+                     get(stage + "_res/conv_b_" + std::to_string(i) +
+                         "/bias"),
+                     hY);
+        for (size_t j = 0; j < y.data.size(); ++j) y.data[j] += hY.data[j];
+      }
+      Tensor t;
+      nn::ConvSame(y, get(stage + "_conv1x1/kernel"),
+                   get(stage + "_conv1x1/bias"), t);
+      nn::Efm3(t);
+      nn::ConvSame(t, get(stage + "_conv/kernel"), get(stage + "_conv/bias"),
+                   y);
+      nn::Efm3(y);
+      nn::MaxPool2(y);
+    }
+
+    // flatten (NHWC) -> fc1 -> efm3
+    const NpyArray& fck = get("params/fc1/kernel");
+    const NpyArray& fcb = get("params/fc1/bias");
+    const int in_dim = static_cast<int>(fck.shape[0]);
+    const int fc_out = static_cast<int>(fck.shape[1]);
+    if (static_cast<int>(y.data.size()) != in_dim)
+      throw std::runtime_error(
+          "fc1 input mismatch: export was trained at a different input "
+          "size");
+    std::vector<float> fc1(fc_out);
+    const float* kk = fck.f32();
+    const float* bb = fcb.f32();
+#pragma omp parallel for schedule(static)
+    for (int j = 0; j < fc_out; ++j) {
+      float acc = bb[j];
+      for (int i = 0; i < in_dim; ++i)
+        acc += y.data[i] * kk[static_cast<size_t>(i) * fc_out + j];
+      fc1[j] = acc;
+    }
+    const int third = fc_out / 3;
+    for (int ch = 0; ch < third; ++ch) {
+      const float a = fc1[ch], b = fc1[third + ch], c = fc1[2 * third + ch];
+      out[ch] = std::max(a, std::max(b, c));
+      out[third + ch] = std::min(a, std::min(b, c));
+    }
+  }
+
+ private:
+  const NpyArray& get(const std::string& key) const {
+    auto it = w_.find(key);
+    if (it == w_.end())
+      throw std::runtime_error("missing tensor: " + key);
+    return it->second;
+  }
+  void require(const std::string& key) const { get(key); }
+
+  std::map<std::string, NpyArray> w_;
+  int feature_dim_;
+};
+
+}  // namespace facejax

@@ -5,6 +5,7 @@
 #include <string>
 
 #include "facejax/clustering.hpp"
+#include "facejax/efmnet.hpp"
 #include "facejax/identity_store.hpp"
 #include "facejax/matcher.hpp"
 #include "facejax/nms.hpp"
@@ -174,6 +175,45 @@ int fx_sm_handle(void* sm, int event) {
              static_cast<facejax::Event>(event))
              ? 1
              : 0;
+}
+
+// ---- native embedding net (export-format consumer, Feature.hpp:163-205
+// parity: the serving process runs the net itself, no Python attached) ----
+
+void* fx_efmnet_open(const char* weights_npz, char* err, int err_cap) {
+  try {
+    return new facejax::EfmNet342(weights_npz);
+  } catch (const std::exception& e) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return nullptr;
+  }
+}
+
+void fx_efmnet_close(void* net) {
+  delete static_cast<facejax::EfmNet342*>(net);
+}
+
+int fx_efmnet_feature_dim(void* net) {
+  return static_cast<facejax::EfmNet342*>(net)->feature_dim();
+}
+
+// img: h*w float32 grayscale in [0,1]; out: feature_dim floats. Returns 0
+// on success, -1 on error (message in err).
+int fx_efmnet_extract(void* net, const float* img, int h, int w, float* out,
+                      char* err, int err_cap) {
+  try {
+    static_cast<facejax::EfmNet342*>(net)->Extract(img, h, w, out);
+    return 0;
+  } catch (const std::exception& e) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return -1;
+  }
 }
 
 }  // extern "C"

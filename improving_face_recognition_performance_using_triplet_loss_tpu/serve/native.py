@@ -105,6 +105,16 @@ def load_native() -> ctypes.CDLL:
     lib.fx_sm_state.argtypes = [ctypes.c_void_p]
     lib.fx_sm_handle.restype = ctypes.c_int
     lib.fx_sm_handle.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.fx_efmnet_open.restype = ctypes.c_void_p
+    lib.fx_efmnet_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_int]
+    lib.fx_efmnet_close.argtypes = [ctypes.c_void_p]
+    lib.fx_efmnet_feature_dim.restype = ctypes.c_int
+    lib.fx_efmnet_feature_dim.argtypes = [ctypes.c_void_p]
+    lib.fx_efmnet_extract.restype = ctypes.c_int
+    lib.fx_efmnet_extract.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
+                                      ctypes.c_int, f32p, ctypes.c_char_p,
+                                      ctypes.c_int]
     _lib = lib
     return lib
 
@@ -275,3 +285,68 @@ class NativeStateMachine:
         if self._h:
             self._lib.fx_sm_destroy(self._h)
             self._h = None
+
+
+class NativeEmbedder:
+    """In-process native EFMNet342 forward over an export artifact
+    (reference Feature.hpp:163-205: the C++ runtime runs the embedding net
+    itself via MXPredCreatePartialOut; here the engine is cpp/include/
+    facejax/efmnet.hpp reading weights.npz directly — no JAX/Python compute
+    in the loop).
+
+    Accepts an export DIR (serve/export.py layout) or a weights.npz path.
+    """
+
+    def __init__(self, export_dir_or_npz: str):
+        import os
+
+        self._lib = load_native()
+        path = export_dir_or_npz
+        self.manifest = None
+        if os.path.isdir(path):
+            import json
+
+            with open(os.path.join(path, "manifest.json")) as f:
+                self.manifest = json.load(f)
+            if self.manifest.get("model") not in ("efmnet342",):
+                raise NativeUnavailable(
+                    f"native forward supports efmnet342 exports, got "
+                    f"{self.manifest.get('model')!r}")
+            path = os.path.join(path, "weights.npz")
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.fx_efmnet_open(path.encode(), err, 256)
+        if not self._h:
+            raise NativeUnavailable(
+                f"fx_efmnet_open: {err.value.decode()}")
+        self.feature_dim = self._lib.fx_efmnet_feature_dim(self._h)
+
+    def extract(self, img: np.ndarray) -> np.ndarray:
+        """Grayscale [H, W] (or [H, W, 1]) image -> [feature_dim] floats.
+        uint8 inputs are scaled by 1/255 (manifest scale contract)."""
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img[..., 0]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        arr, ptr = _f32(img)
+        out = np.empty(self.feature_dim, np.float32)
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.fx_efmnet_extract(
+            self._h, ptr, arr.shape[0], arr.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), err, 256)
+        if rc != 0:
+            raise NativeUnavailable(
+                f"fx_efmnet_extract: {err.value.decode()}")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.fx_efmnet_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
