@@ -30,7 +30,81 @@ def build_parser():
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--sim-threshold", type=float, default=0.6)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--video", help="video source: a file path (CI fixture) "
+                                   "or camera index — replaces the "
+                                   "synthetic frame stream "
+                                   "(StreamLoop, CameraSettings.h:21)")
+    p.add_argument("--register-name", default="live_person",
+                   help="with --video: enroll this name from the first "
+                        "--register-frames frames")
+    p.add_argument("--register-frames", type=int, default=4)
+    p.add_argument("--fps-cap", type=float, default=30.0,
+                   help="with --video file sources: max producer fps")
     return p
+
+
+def _video_main(args, model, variables):
+    """--video flow matching the reference runtime: acquire registration
+    frames first (RegImageAcq), enroll via the state machine, then identify
+    the remaining stream."""
+    import os
+    import time
+
+    import numpy as np
+
+    from ..extract import make_extract_fn
+    from ..serve.recognition import RecognitionService
+    from ..serve.video import VideoProducer
+
+    extract = make_extract_fn(model, normalize=True)
+
+    def embed_fn(frames):
+        _, feat = extract(variables, np.asarray(frames, np.float32))
+        return np.asarray(feat)
+
+    if os.path.exists(args.store):
+        os.remove(args.store)
+    source = (int(args.video) if args.video.isdigit() else args.video)
+    shape = (args.image_size, args.image_size, 1)
+    # warm the jit cache BEFORE the stream starts: the first embed compiles
+    # for seconds, and a drop-stale queue would discard the whole fixture
+    # (both batch shapes: per-frame identify and the registration batch)
+    embed_fn(np.zeros((1,) + shape, np.float32))
+    embed_fn(np.zeros((args.register_frames,) + shape, np.float32))
+    with RecognitionService(embed_fn, args.store, model.feature_dim,
+                            sim_threshold=args.sim_threshold,
+                            frame_shape=shape) as svc:
+        reg_frames: list[np.ndarray] = []
+        results = []
+        with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
+            while True:
+                got = svc.queue.consume(int(np.prod(shape)),
+                                        remove_old=True)
+                if got is None:
+                    if producer.finished.is_set():
+                        break
+                    time.sleep(0.001)
+                    continue
+                flat, seq = got
+                frame = flat.reshape(shape)
+                if len(reg_frames) < args.register_frames:
+                    reg_frames.append(frame)
+                    if len(reg_frames) == args.register_frames:
+                        stored = svc.register(args.register_name,
+                                              np.stack(reg_frames))
+                        print(f"registered '{args.register_name}' from "
+                              f"{args.register_frames} frames "
+                              f"({stored} features)")
+                    continue
+                emb = np.asarray(embed_fn(frame[None]))[0]
+                name, sim = svc.store.match(emb, args.sim_threshold)
+                results.append((seq, name, sim))
+                print(f"frame {seq:4d}: {name or '<unknown>'} "
+                      f"(sim {sim:+.3f})")
+        matched = sum(1 for _, n, _ in results if n == args.register_name)
+        print(f"identified {matched}/{len(results)} streamed frames as "
+              f"'{args.register_name}'")
+        return results
 
 
 def main(argv=None):
@@ -64,6 +138,8 @@ def main(argv=None):
             np.zeros((1, args.image_size, args.image_size, 1), np.float32))
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
+    if args.video:
+        return _video_main(args, model, variables)
     extract = make_extract_fn(model, normalize=True)
 
     def embed_fn(frames):
