@@ -47,18 +47,25 @@ def make_device_stage1(
     threshold: float = 0.6,
     k_per_scale: int = 128,
     out_cap: int = 256,
+    with_counts: bool = False,
 ):
     """Build a jitted stage-1 for images of shape [h, w, 3].
 
     Returns fn(image float32 [h, w, 3], 0-255) -> [out_cap, 9] candidates
     (q1 q2 score reg; invalid rows carry score -inf), already through the
     per-scale NMS 0.5 and cross-scale NMS 0.7 of the reference cascade.
+
+    ``with_counts``: the fn additionally returns the number of
+    above-threshold candidates DROPPED by the per-scale ``k_per_scale`` caps
+    (saturation accounting — the host path is unbounded, so any non-zero
+    drop count marks a fidelity gap on crowded frames).
     """
     scales = pyramid_scales(h, w, minsize, factor)
 
     @jax.jit
-    def stage1(img: jnp.ndarray) -> jnp.ndarray:
+    def stage1(img: jnp.ndarray):
         per_scale = []
+        dropped = jnp.zeros((), jnp.int32)
         for scale in scales:  # static unroll: shapes differ per scale
             hs = int(np.ceil(h * scale))
             ws = int(np.ceil(w * scale))
@@ -69,12 +76,17 @@ def make_device_stage1(
                                      jnp.transpose(im, (1, 0, 2))[None])
             prob_o = jnp.transpose(prob[0], (1, 0, 2))
             reg_o = jnp.transpose(reg[0], (1, 0, 2))
+            n_above = jnp.sum(prob_o[:, :, 1] > threshold).astype(jnp.int32)
+            dropped = dropped + jnp.maximum(n_above - k_per_scale, 0)
             cand = decode_pnet_topk_jax(prob_o[:, :, 1], reg_o, scale,
                                         threshold, k_per_scale)
             keep = nms_jax(cand[:, :5], 0.5, "Union")
             per_scale.append(_mask_unkept(cand, keep))
         allc = jnp.concatenate(per_scale, axis=0)
         keep = nms_jax(allc[:, :5], 0.7, "Union", max_out=out_cap)
-        return _mask_unkept(allc, keep)
+        out = _mask_unkept(allc, keep)
+        if with_counts:
+            return out, dropped
+        return out
 
     return stage1

@@ -63,14 +63,16 @@ class CosineSimilaritySink:
 
 
 def read_similarity_csv(path: str, desire_epoch: int = 1):
-    """Read the last ``1/desire_epoch`` fraction of rows (the reference's
-    epoch-slicing rule, draw_cos_dis_real.py:16-21)."""
+    """Read the last ``1/desire_epoch`` fraction of rows — the reference's
+    exact ``i > len - len/desire_epoch`` slice (draw_cos_dis_real.py:16-21),
+    including its off-by-one: at ``desire_epoch=1`` the cutoff is 0, so the
+    FIRST row is skipped."""
     with open(path) as f:
         data = [l for l in f if l.strip()]
     pos, neg = [], []
     cutoff = len(data) - int(len(data) / desire_epoch)
     for i, line in enumerate(data):
-        if i > cutoff or desire_epoch == 1:
+        if i > cutoff:
             a, b = line.split(" ")[:2]
             pos.append(float(a))
             neg.append(float(b))

@@ -49,7 +49,7 @@ def make_recognition_pipeline(
 
     @jax.jit
     def pipeline(frame: jnp.ndarray):
-        boxes, _ = cascade(frame)                     # [cap, 5]
+        boxes, _, counts = cascade(frame)             # [cap, 5]
         valid = jnp.isfinite(boxes[:, 4])
         found = jnp.any(valid)
         # largest-centered selection (area - 2 * center offset^2)
@@ -81,6 +81,9 @@ def make_recognition_pipeline(
             "score": boxes[best, 4],
             "index": jnp.where(matched, idx, -1).astype(jnp.int32),
             "similarity": jnp.where(found, sim, -2.0),
+            # candidates dropped by the cascade's fixed caps this frame
+            # (no-silent-caps accounting; 0 on uncrowded frames)
+            "cap_dropped": counts[0] + counts[1] + counts[2],
         }
 
     return pipeline

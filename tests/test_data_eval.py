@@ -102,8 +102,10 @@ def test_cosine_sink_format_and_reader(tmp_path):
         sink.append([0.9, 0.8], [0.1, 0.2])
         sink.append([0.7], [0.3])
     pos, neg = read_similarity_csv(p)
-    np.testing.assert_allclose(pos, [0.9, 0.8, 0.7])
-    np.testing.assert_allclose(neg, [0.1, 0.2, 0.3])
+    # reference slice skips the FIRST row at desire_epoch=1 (the i > 0
+    # off-by-one of draw_cos_dis_real.py:17, kept for exact parity)
+    np.testing.assert_allclose(pos, [0.8, 0.7])
+    np.testing.assert_allclose(neg, [0.2, 0.3])
     # reference format: space-delimited pairs (train_efm.py:252-255)
     assert " " in open(p).readline()
 
