@@ -57,6 +57,10 @@ def build_parser():
     p.add_argument("--device-augment", action="store_true",
                    help="fuse rand-mirror into the jitted step instead of "
                         "host numpy")
+    p.add_argument("--crop-size", type=int,
+                   help="rand_crop parity (train_efm.py:179): pack images "
+                        "LARGER (e.g. 144) and random-crop to this size on "
+                        "device every step (eval center-crops)")
     p.add_argument("--prefetch", type=int, default=0,
                    help="prefetch N batches to device ahead of compute")
     p.add_argument("--data-parallel", action="store_true")
@@ -162,6 +166,13 @@ def main(argv=None):
     init_sample = np.asarray(images[:1])
     if init_sample.dtype == np.uint8:
         init_sample = init_sample.astype(np.float32) / 255.0
+    if args.crop_size:
+        if args.crop_size > images.shape[1]:
+            raise SystemExit(
+                f"--crop-size {args.crop_size} exceeds packed size "
+                f"{images.shape[1]} — pack larger (rand_crop recipe)")
+        # params are sized by the CROPPED input the model actually sees
+        init_sample = init_sample[:, :args.crop_size, :args.crop_size, :]
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
                                init_sample, aux=aux)
 
@@ -170,10 +181,11 @@ def main(argv=None):
         model, tx, margin=args.margin, alpha=args.alpha,
         mining_mode=args.mining, axis_name=axis,
         center_weight=args.center_loss_weight,
-        mirror_augment=args.device_augment and not args.no_mirror)
+        mirror_augment=args.device_augment and not args.no_mirror,
+        crop_size=args.crop_size)
     eval_step = make_backbone_eval_step(
         model, margin=args.margin, alpha=args.alpha,
-        mining_mode=args.mining, axis_name=axis)
+        mining_mode=args.mining, axis_name=axis, crop_size=args.crop_size)
     if args.data_parallel:
         mesh = make_mesh()
         train_step = shard_map_step(train_step, mesh, has_state_out=True)
@@ -230,10 +242,12 @@ def main(argv=None):
     sink.flush()
 
     from ..serve.export import export_params
+    in_hw = ((args.crop_size, args.crop_size) if args.crop_size
+             else images.shape[1:3])
     export_params(
         os.path.join(args.out_dir, "export"), state.params,
         model_name=args.model, feature_dim=model.feature_dim,
-        input_hw=images.shape[1:3], input_channels=images.shape[3],
+        input_hw=in_hw, input_channels=images.shape[3],
         batch_stats=state.batch_stats)
 
     from ..eval.plots import draw_curve

@@ -158,6 +158,7 @@ def make_backbone_train_step(
     center_weight: float = 0.0,
     center_alfa: float = 0.95,
     mirror_augment: bool = False,
+    crop_size: int | None = None,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
 
@@ -173,6 +174,12 @@ def make_backbone_train_step(
     ``mirror_augment`` applies per-row random horizontal mirroring INSIDE
     the jitted step (ImageRecordIter rand_mirror fused on device instead of
     the reference's 14 host preprocess threads, train_efm.py:179).
+
+    ``crop_size`` enables rand_crop parity (train_efm.py:179): batches are
+    packed LARGER than the model input (e.g. 144) and each row takes an
+    independent random crop to ``crop_size`` on device every step. Requires
+    ``mirror_augment``-style device augmentation (the crop runs in the same
+    fused augment).
     """
 
     def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
@@ -181,11 +188,12 @@ def make_backbone_train_step(
         k_mine, k_drop = _step_keys(state, axis_name)
         labels = labels.astype(jnp.int32)
         images = _as_float_images(jnp.concatenate([anchor, positive], axis=0))
-        if mirror_augment:
+        if mirror_augment or crop_size is not None:
             from ..data.records import augment_batch
 
             images = augment_batch(jax.random.fold_in(k_drop, 7), images,
-                                   mirror=True)
+                                   mirror=mirror_augment,
+                                   crop_size=crop_size)
         labels2 = jnp.concatenate([labels, labels], axis=0)
 
         def loss_fn(params):
@@ -240,9 +248,12 @@ def make_backbone_eval_step(
     alpha: float = 0.1,
     mining_mode: str = "random",
     axis_name: str | None = None,
+    crop_size: int | None = None,
 ) -> Callable[..., Metrics]:
     """Validation step (train_efm.py:260-280): same losses, no grad, negatives
-    drawn from the full anchor+positive batch."""
+    drawn from the full anchor+positive batch. With ``crop_size`` (rand_crop
+    recipe), eval takes the deterministic CENTER crop — the RecordIter
+    val-iter convention for a larger record."""
 
     def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
              labels: jnp.ndarray):
@@ -250,6 +261,10 @@ def make_backbone_eval_step(
         k_mine, _ = _step_keys(state, axis_name)
         labels = labels.astype(jnp.int32)
         images = _as_float_images(jnp.concatenate([anchor, positive], axis=0))
+        if crop_size is not None and crop_size < images.shape[1]:
+            y0 = (images.shape[1] - crop_size) // 2
+            x0 = (images.shape[2] - crop_size) // 2
+            images = images[:, y0:y0 + crop_size, x0:x0 + crop_size, :]
         labels2 = jnp.concatenate([labels, labels], axis=0)
         (logits, feat), _ = _apply_model(
             model, state.params, state.batch_stats, images, train=False)
