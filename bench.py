@@ -32,7 +32,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_lightcnn9_extraction(batch_size: int = 256, n_batches: int = 32) -> float:
+# analytic conv+fc FLOPs per image at 128px (tools/perf_layers.py table)
+FLOPS_PER_IMAGE = 1.95e9
+PEAK_BF16_TFLOPS = 197.0  # v5e nominal
+
+
+def bench_lightcnn9_extraction(batch_size: int = 256, n_batches: int = 128) -> float:
     """Time ``n_batches`` forward passes chained in ONE lax.scan program with
     a scalar fetch at the end. A host-side dispatch loop cannot be trusted
     here: on the tunneled device, block_until_ready returns before execution
@@ -95,6 +100,8 @@ def main():
         "value": round(emb_per_sec, 1),
         "unit": "embeddings/s",
         "vs_baseline": round(emb_per_sec / BASELINE_EMB_PER_SEC, 3),
+        "mfu_pct": round(emb_per_sec * FLOPS_PER_IMAGE
+                         / (PEAK_BF16_TFLOPS * 1e12) * 100, 1),
     }))
 
 

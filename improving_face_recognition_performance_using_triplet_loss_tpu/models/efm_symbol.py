@@ -43,10 +43,12 @@ class EFMNet342(nn.Module):
         d = self.dtype
         x = x.astype(d)
 
-        # stage 1 (efm_symbol.py:84): conv 5x5 -> 99 -> EFM3 -> pool
-        x = nn.Conv(99, (5, 5), padding="SAME", dtype=d, name="conv1")(x)
-        x = efm3(x)
-        x = _maxpool2(x)
+        # stage 1 (efm_symbol.py:84): conv 5x5 -> 99 -> EFM3 -> pool,
+        # s2d-fused at inference (same params either way)
+        from .lightcnn import FusedStem
+
+        x = FusedStem(features=99, maxout=3, dtype=d, name="conv1")(
+            x, fused=not train)
 
         # stages 2-5 (efm_symbol.py:85-92): (num_r, num, tar_num)
         res_block_cls = nn.remat(EFMResBlock) if self.remat else EFMResBlock

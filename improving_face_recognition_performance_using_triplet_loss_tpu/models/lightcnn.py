@@ -27,6 +27,57 @@ import jax.numpy as jnp
 from ..ops.mfm import efm3, mfm2
 
 
+class FusedStem(nn.Module):
+    """The 5x5 Cin=1 stem conv + maxout + 2x2 pool, space-to-depth fused.
+
+    Param tree is IDENTICAL to ``nn.Conv(features, (5, 5), name=...)``
+    (kernel [5,5,1,F] + bias [F], lecun_normal/zeros init), so checkpoints,
+    exports, and the native C++ forward are unaffected. At inference on TPU
+    with even spatial dims it runs the Pallas fused kernel
+    (ops/pallas/stem_kernel.py — conv-as-matmul with the maxout+pool
+    epilogue in VMEM, measured 1.4x the unfused stem; tools/perf_stem.py);
+    during training, on CPU, or for ineligible shapes it runs the reference
+    conv+maxout+pool path with the same params. Numerics are identical
+    (monotone-rounding argument in ops/s2d_stem.py tests).
+    """
+
+    features: int
+    maxout: int = 2  # 2 = mfm2 (LightCNN9), 3 = efm3 (EFM nets)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, fused: bool = True) -> jnp.ndarray:
+        import jax
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 5, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+        h, w, c = x.shape[1], x.shape[2], x.shape[3]
+        eligible = (c == 1 and h % 2 == 0 and w % 2 == 0
+                    and (x.shape[0] * (h // 2) * (w // 2)) % 8 == 0)
+        import os
+
+        # OFF by default: the Pallas stem wins 1.4x in isolation but acts as
+        # a fusion/pipelining barrier inside the full scanned network and
+        # loses ~4% end-to-end (docs/DESIGN.md round-2 kernel findings).
+        # Opt in per-process for single-op workloads.
+        if not os.environ.get("FACEJAX_FUSED_STEM"):
+            fused = False
+        if fused and eligible and jax.default_backend() == "tpu":
+            from ..ops.pallas.stem_kernel import stem_conv_maxout_pool_pallas
+
+            return stem_conv_maxout_pool_pallas(x, k, b, maxout=self.maxout)
+        from ..ops.s2d_stem import reference_stem
+
+        if c != 1:  # stem contract is grayscale; fail loudly like nn.Conv
+            raise ValueError(f"FusedStem expects 1 input channel, got {c}")
+        return reference_stem(x, k, b, maxout=self.maxout)
+
+
 class EFMConv(nn.Module):
     """Conv + 3-way EFM, with an optional 1x1-conv+EFM pre-stage.
 
@@ -57,6 +108,19 @@ class EFMConv(nn.Module):
             name="conv",
         )(x)
         return efm3(x)
+
+
+class FusedEFMStem(nn.Module):
+    """group1-compatible wrapper: FusedStem under a child named ``conv`` so
+    the param tree matches ``EFMConv(name="group1")`` exactly."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, fused: bool = True) -> jnp.ndarray:
+        return FusedStem(self.features, maxout=3, dtype=self.dtype,
+                         name="conv")(x, fused=fused)
 
 
 class EFMResBlock(nn.Module):
@@ -111,9 +175,11 @@ class LightCNN29(nn.Module):
         d = self.dtype
         x = x.astype(d)
         res_block_cls = nn.remat(EFMResBlock) if self.remat else EFMResBlock
-        # group 1 (lightcnn.py:82-83): 5x5 conv 99 -> EFM -> pool
-        x = EFMConv(filters=99, kernel=(5, 5), dtype=d, name="group1")(x)
-        x = _maxpool2(x)
+        # group 1 (lightcnn.py:82-83): 5x5 conv 99 -> EFM -> pool, s2d-fused
+        # at inference (training uses the same params on the unfused path —
+        # the Pallas kernel carries no VJP)
+        x = FusedEFMStem(features=99, dtype=d, name="group1")(
+            x, fused=not train)
         # groups 2-5 (lightcnn.py:86-107)
         ladder = [  # (res_blocks, res_filters, pre_filters, conv_filters)
             (1, 99, 99, 198),
@@ -161,8 +227,9 @@ class LightCNN9(nn.Module):
             x = nn.Conv(ch, (k, k), padding="SAME", dtype=d, name=name)(x)
             return mfm2(x)
 
-        x = conv_mfm(x, 96, 5, "conv1")
-        x = _maxpool2(x)
+        # stem conv+mfm+pool, s2d-fused at inference (same params either way)
+        x = FusedStem(features=96, maxout=2, dtype=d, name="conv1")(
+            x, fused=not train)
         x = conv_mfm(x, 96, 1, "conv2a")
         x = conv_mfm(x, 192, 3, "conv2")
         x = _maxpool2(x)

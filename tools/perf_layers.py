@@ -1,0 +1,139 @@
+"""Per-layer timing of the LightCNN9 extraction path on the real chip —
+the measurement step of the round-2 adversarial MFU pass (VERDICT item 7).
+
+For each conv block (conv + MFM2 [+ pool]) this times a scan of iterations
+at the bench batch size and reports achieved TFLOP/s and the HBM traffic
+the layer implies at minimum (read input + write output once, bf16), so
+compute-bound vs bandwidth-bound is readable per layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.ops.mfm import (
+    mfm2,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
+    enable_compilation_cache,
+)
+
+B = int(os.environ.get("PL_BATCH", "256"))
+ITERS = int(os.environ.get("PL_ITERS", "16"))
+
+# (name, H, Cin, Cout, k, pool_after)  — LightCNN9 ladder at 128px input
+LAYERS = [
+    ("conv1", 128, 1, 96, 5, True),
+    ("conv2a", 64, 48, 96, 1, False),
+    ("conv2", 64, 48, 192, 3, True),
+    ("conv3a", 32, 96, 192, 1, False),
+    ("conv3", 32, 96, 384, 3, True),
+    ("conv4a", 16, 192, 384, 1, False),
+    ("conv4", 16, 192, 256, 3, False),
+    ("conv5a", 16, 128, 256, 1, False),
+    ("conv5", 16, 128, 256, 3, True),
+]
+
+
+def _null_baseline() -> float:
+    """Fixed cost of one dispatch+scalar-fetch through the (tunneled) link:
+    a scan whose body is a trivial add. Subtracted from every block's total
+    so per-iteration numbers reflect device compute, not link latency."""
+    x = jnp.zeros((8, 128), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(acc, _):
+            return acc + x.sum() * 1e-30, None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=ITERS)
+        return acc
+
+    float(run(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_block(name, h, cin, cout, k, pool, fixed_s=0.0):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, h, h, cin), jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(rng, 1),
+                          (k, k, cin, cout), jnp.bfloat16) * 0.05
+    bias = jnp.zeros((cout,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, w, bias):
+        def body(acc, _):
+            # weights depend on the carry (numerically negligible nudge) so
+            # XLA cannot hoist the loop-invariant conv out of the scan —
+            # without this, measured "TFLOPs" exceed chip peak by 7x
+            w_dep = w + (acc * 1e-24).astype(jnp.bfloat16)
+            y = jax.lax.conv_general_dilated(
+                x, w_dep, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32) + bias.astype(jnp.float32)
+            y = mfm2(y.astype(jnp.bfloat16))
+            if pool:
+                y = jax.lax.reduce_window(
+                    y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
+            return acc + y.sum(dtype=jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=ITERS)
+        return acc
+
+    _ = float(run(x, w, bias))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(run(x, w, bias))
+        ts.append(time.perf_counter() - t0)
+    dt = max(min(ts) - fixed_s, 1e-9) / ITERS
+
+    flops = 2 * B * h * h * k * k * cin * cout
+    out_h = h // 2 if pool else h
+    bytes_min = 2 * B * (h * h * cin + out_h * out_h * (cout // 2))
+    return {
+        "layer": name, "ms": round(dt * 1e3, 3),
+        "tflops": round(flops / dt / 1e12, 1),
+        "min_hbm_gb_s": round(bytes_min / dt / 1e9, 1),
+        "flops_g": round(flops / 1e9, 2),
+        "min_traffic_mb": round(bytes_min / 1e6, 1),
+    }
+
+
+def main():
+    enable_compilation_cache()
+    print(f"batch {B}, iters {ITERS}, device {jax.devices()}",
+          file=sys.stderr, flush=True)
+    fixed_s = _null_baseline()
+    print(f"null-scan fixed dispatch cost: {fixed_s * 1e3:.1f} ms "
+          f"(subtracted from every block)", file=sys.stderr, flush=True)
+    rows = []
+    total_ms = 0.0
+    for cfg in LAYERS:
+        r = time_block(*cfg, fixed_s=fixed_s)
+        rows.append(r)
+        total_ms += r["ms"]
+        print(json.dumps(r), flush=True)
+    print(json.dumps({"layer": "SUM(blocks)", "ms": round(total_ms, 3),
+                      "emb_per_sec_implied": round(B / total_ms * 1e3, 1)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
