@@ -89,11 +89,13 @@ def _load_images(args):
     if args.synthetic:
         # DeepFace is the RGB 152x152 pipeline (paper canonical input;
         # README.md:8,15) — its synthetic stand-in defaults to 3-channel
-        # and respects its >=65px VALID-conv floor.
-        channels = args.synthetic_channels or (
-            3 if args.model == "deepface" else 1)
+        # and respects its >=65px VALID-conv floor. getattr: other CLIs
+        # (train_began/train_final) share this loader with smaller parsers.
+        model = getattr(args, "model", "")
+        channels = getattr(args, "synthetic_channels", 0) or (
+            3 if model == "deepface" else 1)
         size = args.synthetic_size
-        if args.model == "deepface" and size < 65:
+        if model == "deepface" and size < 65:
             size = 72
         images, labels = synthetic_faces(
             num_ids=16, per_id=16, size=size, channels=channels,
