@@ -194,3 +194,39 @@ def test_mtcnn_ert_detect_empty_image(trained):
     boxes, lmk = mtcnn_ert_detect(np.zeros((32, 32, 3), np.uint8), trained,
                                   detector=_NoFaceDetector())
     assert boxes.shape == (0, 4) and lmk.shape == (0, 68, 2)
+
+
+def test_landmarks68_cli_train_and_detect(tmp_path, trained):
+    """CLI surface: train a tiny predictor from an annotations npz, then run
+    detect on an image file (MTCNN cascade + ERT refinement)."""
+    import cv2
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        landmarks68,
+    )
+
+    images, rects, shapes = _dataset(20, seed=42)
+    ann = str(tmp_path / "ann.npz")
+    np.savez(ann, images=np.asarray(images, np.float32), rects=rects,
+             shapes=shapes)
+    sp = str(tmp_path / "sp.npz")
+    pred = landmarks68.main([
+        "train", "--annotations", ann, "--out", sp, "--cascades", "2",
+        "--trees", "10", "--depth", "2", "--feature-pool", "50",
+        "--oversampling", "2"])
+    assert pred.num_points == 68
+
+    img_path = str(tmp_path / "probe.png")
+    cv2.imwrite(img_path, images[0].astype(np.uint8))
+    out = str(tmp_path / "lmk.jsonl")
+    results = landmarks68.main([
+        "detect", "--predictor", sp, img_path, "--out", out,
+        "--thresholds", "0.2", "0.2", "0.2"])
+    assert len(results) == 1
+    r = results[0]
+    # random-weight MTCNN may or may not fire on the synthetic blob image;
+    # the contract is boxes/landmarks lists of matching lengths
+    assert len(r["boxes"]) == len(r["landmarks"])
+    import os
+
+    assert os.path.exists(out)
