@@ -49,8 +49,10 @@ def test_native_matches_jax_forward(export):
         assert emb.feature_dim == 342
         for i in range(3):
             got = emb.extract(imgs[i, :, :, 0])
-            np.testing.assert_allclose(got, np.asarray(want[i]), rtol=2e-4,
-                                       atol=2e-5)
+            # rtol covers f32 reassociation (the AVX2 6x16 GEMM sums in a
+            # different order than XLA)
+            np.testing.assert_allclose(got, np.asarray(want[i]), rtol=5e-4,
+                                       atol=2e-4)
 
 
 def test_native_uint8_scale_contract(export):
