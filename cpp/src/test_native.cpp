@@ -11,6 +11,7 @@
 #include <vector>
 
 #include "facejax/clustering.hpp"
+#include "facejax/efmnet.hpp"
 #include "facejax/identity_store.hpp"
 #include "facejax/matcher.hpp"
 #include "facejax/nms.hpp"
@@ -203,7 +204,59 @@ static void TestClustering() {
   std::printf("TestClustering OK\n");
 }
 
+static void TestGemmVsNaive() {
+  std::mt19937 rng(7);
+  std::uniform_real_distribution<float> dist(-1.0f, 1.0f);
+  // odd sizes exercise MR/NR remainder paths
+  const int m = 23, k = 37, n = 53;
+  std::vector<float> a(static_cast<size_t>(m) * k), bmat(static_cast<size_t>(k) * n),
+      bias(n);
+  for (auto& v : a) v = dist(rng);
+  for (auto& v : bmat) v = dist(rng);
+  for (auto& v : bias) v = dist(rng);
+  std::vector<float> got;
+  nn::Gemm(a, m, k, bmat.data(), bias.data(), n, got);
+  for (int i = 0; i < m; ++i) {
+    for (int j = 0; j < n; ++j) {
+      float want = bias[j];
+      for (int kk = 0; kk < k; ++kk)
+        want += a[static_cast<size_t>(i) * k + kk] *
+                bmat[static_cast<size_t>(kk) * n + j];
+      assert(std::fabs(got[static_cast<size_t>(i) * n + j] - want) <
+             1e-3f);
+    }
+  }
+  // nullptr bias path
+  nn::Gemm(a, m, k, bmat.data(), nullptr, n, got);
+  float want00 = 0.0f;
+  for (int kk = 0; kk < k; ++kk) want00 += a[kk] * bmat[static_cast<size_t>(kk) * n];
+  assert(std::fabs(got[0] - want00) < 1e-3f);
+  std::printf("TestGemmVsNaive OK\n");
+}
+
+static void TestEfm3MaxPool() {
+  Tensor t;
+  t.resize(2, 2, 6);
+  for (int i = 0; i < 24; ++i) t.data[i] = static_cast<float>(i % 7) - 3.0f;
+  Tensor copy = t;
+  nn::Efm3(t);
+  assert(t.c == 4);
+  for (int y = 0; y < 2; ++y)
+    for (int x = 0; x < 2; ++x)
+      for (int ch = 0; ch < 2; ++ch) {
+        float a = copy.at(y, x, ch), b = copy.at(y, x, 2 + ch),
+              c = copy.at(y, x, 4 + ch);
+        assert(t.at(y, x, ch) == std::max(a, std::max(b, c)));
+        assert(t.at(y, x, 2 + ch) == std::min(a, std::min(b, c)));
+      }
+  nn::MaxPool2(t);
+  assert(t.h == 1 && t.w == 1 && t.c == 4);
+  std::printf("TestEfm3MaxPool OK\n");
+}
+
 int main() {
+  TestGemmVsNaive();
+  TestEfm3MaxPool();
   TestDotVsScalar();
   TestMatcher();
   TestIdentityStore();
