@@ -64,6 +64,11 @@ def build_parser():
     p.add_argument("--prefetch", type=int, default=0,
                    help="prefetch N batches to device ahead of compute")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--class-parallel", type=int, default=0, metavar="M",
+                   help="shard the ID-softmax head over M mesh devices "
+                        "(class-parallel softmax for Celeb1M's 78k "
+                        "identities; combines with data parallelism as a "
+                        "2-D data x model mesh)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -178,23 +183,56 @@ def main(argv=None):
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
                                init_sample, aux=aux)
 
-    axis = "data" if args.data_parallel else None
-    train_step = make_backbone_train_step(
-        model, tx, margin=args.margin, alpha=args.alpha,
-        mining_mode=args.mining, axis_name=axis,
-        center_weight=args.center_loss_weight,
-        mirror_augment=args.device_augment and not args.no_mirror,
-        crop_size=args.crop_size)
-    eval_step = make_backbone_eval_step(
-        model, margin=args.margin, alpha=args.alpha,
-        mining_mode=args.mining, axis_name=axis, crop_size=args.crop_size)
-    if args.data_parallel:
-        mesh = make_mesh()
-        train_step = shard_map_step(train_step, mesh, has_state_out=True)
-        eval_step = shard_map_step(eval_step, mesh, has_state_out=False)
+    if args.class_parallel:
+        if num_classes % args.class_parallel:
+            raise SystemExit(
+                f"--class-parallel {args.class_parallel} must divide the "
+                f"class count {num_classes}")
+        if args.mining == "semi_hard_fused":
+            raise SystemExit("semi_hard_fused mining is incompatible with "
+                             "--class-parallel (Pallas + check_vma); use "
+                             "semi_hard")
+        if args.center_loss_weight > 0:
+            raise SystemExit("--center-loss-weight is incompatible with "
+                             "--class-parallel")
+        from ..parallel import make_2d_mesh
+        from ..train import infer_class_parallel_specs, shard_map_step_2d
+
+        mesh = make_2d_mesh(model_size=args.class_parallel)
+        local_model = _model_by_name(
+            args.model, num_classes // args.class_parallel, args.bf16)
+        specs = infer_class_parallel_specs(state, num_classes, "model")
+        train_step = shard_map_step_2d(
+            make_backbone_train_step(
+                local_model, tx, margin=args.margin, alpha=args.alpha,
+                mining_mode=args.mining, axis_name="data",
+                class_axis_name="model",
+                mirror_augment=args.device_augment and not args.no_mirror,
+                crop_size=args.crop_size),
+            mesh, specs, has_state_out=True)
+        eval_step = None  # eval over the 2-D mesh: use a separate run
+        log.info("class-parallel softmax: %d-way head shard x %d-way data",
+                 args.class_parallel,
+                 jax.device_count() // args.class_parallel)
     else:
-        train_step = jax.jit(train_step)
-        eval_step = jax.jit(eval_step)
+        axis = "data" if args.data_parallel else None
+        train_step = make_backbone_train_step(
+            model, tx, margin=args.margin, alpha=args.alpha,
+            mining_mode=args.mining, axis_name=axis,
+            center_weight=args.center_loss_weight,
+            mirror_augment=args.device_augment and not args.no_mirror,
+            crop_size=args.crop_size)
+        eval_step = make_backbone_eval_step(
+            model, margin=args.margin, alpha=args.alpha,
+            mining_mode=args.mining, axis_name=axis,
+            crop_size=args.crop_size)
+        if args.data_parallel:
+            mesh = make_mesh()
+            train_step = shard_map_step(train_step, mesh, has_state_out=True)
+            eval_step = shard_map_step(eval_step, mesh, has_state_out=False)
+        else:
+            train_step = jax.jit(train_step)
+            eval_step = jax.jit(eval_step)
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     start_epoch = 0

@@ -60,3 +60,21 @@ def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """Fully replicated (for parameters / optimizer state)."""
     return NamedSharding(mesh, P())
+
+
+MODEL_AXIS = "model"
+
+
+def make_2d_mesh(model_size: int, data_axis: str = DATA_AXIS,
+                 model_axis: str = MODEL_AXIS) -> Mesh:
+    """2-D (data, model) mesh: batch over ``data``, class-parallel softmax
+    over ``model`` (losses/sharded.py — the TPU-native realization of the
+    reference's never-activated ctx_group model parallelism,
+    mutli_gpu_v3.py:74-98)."""
+    devices = jax.devices()
+    n = len(devices)
+    if n % model_size:
+        raise ValueError(f"{n} devices do not split into model groups of "
+                         f"{model_size}")
+    arr = np.asarray(devices).reshape(n // model_size, model_size)
+    return Mesh(arr, (data_axis, model_axis))

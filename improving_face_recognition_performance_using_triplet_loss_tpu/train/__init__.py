@@ -8,6 +8,8 @@ from .steps import (  # noqa: F401
     make_head_train_step,
     make_head_eval_step,
     shard_map_step,
+    shard_map_step_2d,
+    infer_class_parallel_specs,
     BACKBONE_METRIC_KEYS,
     HEAD_METRIC_KEYS,
 )

@@ -159,6 +159,7 @@ def make_backbone_train_step(
     center_alfa: float = 0.95,
     mirror_augment: bool = False,
     crop_size: int | None = None,
+    class_axis_name: str | None = None,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
 
@@ -180,7 +181,16 @@ def make_backbone_train_step(
     independent random crop to ``crop_size`` on device every step. Requires
     ``mirror_augment``-style device augmentation (the crop runs in the same
     fused augment).
+
+    ``class_axis_name`` enables class-parallel softmax (losses/sharded.py):
+    the model must be built with the LOCAL class count (C / mesh model size)
+    and the fc2 params sharded over that mesh axis (see
+    ``infer_class_parallel_specs`` + ``shard_map_step_2d``). ``labels``
+    remain GLOBAL ids.
     """
+    if class_axis_name is not None and center_weight > 0.0:
+        raise ValueError("center loss is not supported with class-parallel "
+                         "softmax (centers table is class-indexed)")
 
     def step(state: TrainState, anchor: jnp.ndarray, positive: jnp.ndarray,
              labels: jnp.ndarray):
@@ -205,9 +215,21 @@ def make_backbone_train_step(
             num_cand = b if (mine_anchor_half_only and axis_name is None) else None
             neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
                         pool_labels, num_cand)
-            total, id_loss, tl = joint_id_triplet_loss(
-                logits[:b], labels, anc, pos, neg,
-                margin=margin, alpha=alpha, normalize_embeddings=True)
+            if class_axis_name is not None:
+                from ..losses.sharded import (class_parallel_argmax,
+                                              class_parallel_softmax_ce)
+                from ..losses.triplet import triplet_loss as _tl
+
+                id_loss = class_parallel_softmax_ce(logits[:b], labels,
+                                                    class_axis_name)
+                tl = _tl(anc, pos, neg, margin=margin, normalize=True)
+                total = id_loss + alpha * tl
+                pred = class_parallel_argmax(logits, class_axis_name)
+            else:
+                total, id_loss, tl = joint_id_triplet_loss(
+                    logits[:b], labels, anc, pos, neg,
+                    margin=margin, alpha=alpha, normalize_embeddings=True)
+                pred = jnp.argmax(logits, -1)
             new_centers = state.aux
             if center_weight > 0.0:
                 from ..losses.center import center_loss
@@ -215,7 +237,7 @@ def make_backbone_train_step(
                 c_loss, new_centers = center_loss(anc, labels, state.aux,
                                                   alfa=center_alfa)
                 total = total + center_weight * c_loss
-            acc = jnp.mean((jnp.argmax(logits, -1) == labels2).astype(jnp.float32))
+            acc = jnp.mean((pred == labels2).astype(jnp.float32))
             metrics = {
                 "loss": total, "id_loss": id_loss, "tl_loss": tl, "acc": acc,
                 "pos_cos": rowwise_cosine(anc, pos),
@@ -226,7 +248,16 @@ def make_backbone_train_step(
         grads, (new_bs, new_centers, metrics) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
+            if class_axis_name is not None:
+                # the 2-D path runs under shard_map(check_vma=True), where
+                # the pbroadcast transpose has ALREADY psum-ed grads of
+                # replicated params over the data axis (verified in
+                # tests/test_class_parallel.py) — divide for the mean
+                # instead of pmean-ing a second time
+                n_data = jax.lax.psum(1, axis_name)
+                grads = jax.tree_util.tree_map(lambda g: g / n_data, grads)
+            else:
+                grads = jax.lax.pmean(grads, axis_name)
             new_bs = jax.lax.pmean(new_bs, axis_name)
             if center_weight > 0.0:
                 new_centers = jax.lax.pmean(new_centers, axis_name)
@@ -249,6 +280,7 @@ def make_backbone_eval_step(
     mining_mode: str = "random",
     axis_name: str | None = None,
     crop_size: int | None = None,
+    class_axis_name: str | None = None,
 ) -> Callable[..., Metrics]:
     """Validation step (train_efm.py:260-280): same losses, no grad, negatives
     drawn from the full anchor+positive batch. With ``crop_size`` (rand_crop
@@ -272,10 +304,22 @@ def make_backbone_eval_step(
         pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
         neg = _mine(mining_mode, k_mine, anc, pos, pool_feat, labels,
                     pool_labels, None)
-        total, id_loss, tl = joint_id_triplet_loss(
-            logits[:b], labels, anc, pos, neg,
-            margin=margin, alpha=alpha, normalize_embeddings=True)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels2).astype(jnp.float32))
+        if class_axis_name is not None:
+            from ..losses.sharded import (class_parallel_argmax,
+                                          class_parallel_softmax_ce)
+            from ..losses.triplet import triplet_loss as _tl
+
+            id_loss = class_parallel_softmax_ce(logits[:b], labels,
+                                                class_axis_name)
+            tl = _tl(anc, pos, neg, margin=margin, normalize=True)
+            total = id_loss + alpha * tl
+            pred = class_parallel_argmax(logits, class_axis_name)
+        else:
+            total, id_loss, tl = joint_id_triplet_loss(
+                logits[:b], labels, anc, pos, neg,
+                margin=margin, alpha=alpha, normalize_embeddings=True)
+            pred = jnp.argmax(logits, -1)
+        acc = jnp.mean((pred == labels2).astype(jnp.float32))
         metrics = {
             "loss": total, "id_loss": id_loss, "tl_loss": tl, "acc": acc,
             "pos_cos": rowwise_cosine(anc, pos),
@@ -378,6 +422,63 @@ def make_head_eval_step(
         return _pmean_metrics(metrics, axis_name)
 
     return step
+
+
+def infer_class_parallel_specs(state: TrainState, num_classes: int,
+                               model_axis: str):
+    """PartitionSpec tree for class-parallel training: any leaf whose tree
+    path goes through the classifier head (``fc2``) and whose trailing dim
+    is ``num_classes`` shards over ``model_axis`` (covers params AND their
+    optimizer-state mirrors — optax keeps the params' dict structure);
+    everything else replicates. Path-gating prevents accidental sharding of
+    unrelated tensors whose last dim happens to equal ``num_classes``."""
+    import re
+
+    def spec(path, leaf):
+        keys = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        if (re.search(r"(^|/)fc2(/|$)", keys)
+                and hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[-1] == num_classes):
+            return P(*([None] * (leaf.ndim - 1)), model_axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def shard_map_step_2d(
+    step_fn,
+    mesh,
+    state_specs,
+    *,
+    has_state_out: bool,
+    metric_keys=BACKBONE_METRIC_KEYS,
+    data_axis: str = DATA_AXIS,
+):
+    """Compile a step over a 2-D (data, model) mesh: batch sharded over the
+    data axis, classifier head sharded over the model axis per
+    ``state_specs`` (see ``infer_class_parallel_specs``), everything else
+    replicated. The step must have been built with
+    ``axis_name=data_axis`` and ``class_axis_name=<model axis>`` and with a
+    model whose ``num_classes`` is the LOCAL class count."""
+    mspec = {
+        k: (P(data_axis) if k in _PER_ROW_METRICS else P())
+        for k in metric_keys
+    }
+    out_specs = (state_specs, mspec) if has_state_out else mspec
+    # check_vma=True is REQUIRED here: with it off, the replicated loss
+    # output's cotangent is claimed once per model shard and the psum
+    # transpose multiplies every gradient by the model-axis size (verified
+    # in tests). Consequence: the Pallas fused-mining kernel cannot be used
+    # with class-parallel training (its out_shapes carry no vma
+    # annotations) — use random/semi_hard/hard mining.
+    return jax.jit(jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(state_specs, P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=out_specs,
+        check_vma=True,
+    ))
 
 
 def shard_map_step(
