@@ -21,7 +21,8 @@ def build_parser():
                                "(2N rows, interleaved) + issame array")
     p.add_argument("--export-dir", help="exported model dir (serve/export.py)")
     p.add_argument("--model", default="lightcnn29",
-                   choices=["lightcnn29", "lightcnn9", "efmnet342"])
+                   choices=["lightcnn29", "lightcnn9", "efmnet342",
+                            "deepface"])
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--distance-metric", type=int, default=0, choices=[0, 1])
     p.add_argument("--subtract-mean", action="store_true")
@@ -34,10 +35,10 @@ def build_parser():
 
 def _model_by_name(name: str, num_classes: int):
     import jax.numpy as jnp
-    from ..models import EFMNet342, LightCNN29, LightCNN9
+    from ..models import DeepFace, EFMNet342, LightCNN29, LightCNN9
 
     cls = {"lightcnn29": LightCNN29, "lightcnn9": LightCNN9,
-           "efmnet342": EFMNet342}[name]
+           "efmnet342": EFMNet342, "deepface": DeepFace}[name]
     return cls(num_classes=num_classes, dtype=jnp.bfloat16)
 
 

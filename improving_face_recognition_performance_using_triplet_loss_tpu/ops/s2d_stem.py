@@ -112,14 +112,17 @@ def stem_conv_maxout_pool(
 
 def reference_stem(x, w, bias, *, maxout: int = 2):
     """The unfused baseline (conv + mfm/efm + reduce_window pool) used as
-    the numerical oracle in tests."""
+    the numerical oracle in tests AND as the training/CPU path of
+    models.FusedStem.
+
+    No ``preferred_element_type``: with bf16 inputs it would make the conv
+    transpose under ``jax.grad`` pair an f32 cotangent with a bf16 kernel
+    (dtype error); XLA's MXU accumulates in f32 internally regardless."""
     from .mfm import efm3, mfm2
 
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32) + bias.astype(jnp.float32)
-    y = y.astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(x.dtype)
     y = mfm2(y) if maxout == 2 else efm3(y)
     return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
                                  (1, 2, 2, 1), "VALID")

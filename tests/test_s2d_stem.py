@@ -75,3 +75,30 @@ def test_s2d_stem_bf16_monotone_rounding():
     np.testing.assert_allclose(
         np.asarray(got).astype(np.float32),
         np.asarray(want).astype(np.float32), rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("model_name", ["lightcnn9", "lightcnn29",
+                                        "efmnet342"])
+def test_bf16_train_step_through_stem(model_name):
+    """Regression: the stem's training path must differentiate in bf16
+    (an explicit f32 accumulate in the conv made jax.grad pair an f32
+    cotangent with the bf16 kernel — dtype error)."""
+    import numpy as np
+    import optax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli.train_backbone import (
+        _model_by_name,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        create_train_state,
+        make_backbone_train_step,
+    )
+
+    model = _model_by_name(model_name, 4, bf16=True)
+    x = np.random.default_rng(0).random((4, 32, 32, 1)).astype(np.float32)
+    tx = optax.adam(1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), x[:1])
+    step = jax.jit(make_backbone_train_step(model, tx))
+    _, m = step(state, jnp.asarray(x), jnp.asarray(x),
+                jnp.arange(4, dtype=jnp.int32) % 4)
+    assert np.isfinite(float(m["loss"]))
