@@ -81,6 +81,24 @@ def _means(sums: dict, counts: dict) -> dict[str, float]:
     return {k: sums[k] / counts[k] for k in sums}
 
 
+def _chunked_batches(batches: Iterable, k: int):
+    """Stack k consecutive (anc, pos, lab) batches along a new leading dim;
+    drops a trailing partial chunk."""
+    group: list = []
+    for batch in batches:
+        group.append(batch)
+        if len(group) == k:
+            yield tuple(np.stack(parts) for parts in zip(*group))
+            group = []
+
+
+def _unstack_metrics(metrics: dict, k: int):
+    """[K, ...]-stacked metrics -> K per-step metric dicts (numpy, so the
+    whole chunk syncs once)."""
+    host = {key: np.asarray(v) for key, v in metrics.items()}
+    return tuple({key: v[i] for key, v in host.items()} for i in range(k))
+
+
 def train_loop(
     state,
     train_step: Callable,
@@ -96,6 +114,7 @@ def train_loop(
     device_put: Callable | None = None,
     on_epoch_end: Callable[[EpochStats], None] | None = None,
     preemption_guard: PreemptionGuard | None = None,
+    scan_chunk: int = 0,
 ):
     """Run ``epochs`` epochs; returns (final_state, [EpochStats]).
 
@@ -103,17 +122,36 @@ def train_loop(
     fresh iterator of (anchor, positive, labels) (so epochs reshuffle).
     ``sink`` receives the per-row pos/neg cosine arrays every train batch
     (reference behavior, train_efm.py:250-255).
+
+    ``scan_chunk > 1``: ``train_step`` must be a scanned step
+    (train.make_scanned_step) consuming K stacked batches per call — one
+    device dispatch per K steps (link-latency amortization). Leftover
+    batches that don't fill a final chunk are dropped for that epoch
+    (drop-last semantics; epochs reshuffle, so coverage rotates).
     """
     put = device_put or (lambda x: x)
     history: list[EpochStats] = []
+    dropped_logged = False
     for epoch in range(start_epoch, epochs):
         tic = time.time()
         tsums: dict[str, float] = {}
         tcounts: dict[str, int] = {}
-        for anchor, positive, labels in train_batches():
+        if scan_chunk > 1:
+            batch_iter = _chunked_batches(train_batches(), scan_chunk)
+        else:
+            batch_iter = train_batches()
+        for anchor, positive, labels in batch_iter:
             state, metrics = train_step(state, put(anchor), put(positive),
                                          put(labels))
-            _accumulate(tsums, tcounts, metrics, check_finite_key="loss")
+            if scan_chunk > 1:
+                metric_steps = _unstack_metrics(metrics, scan_chunk)
+            else:
+                metric_steps = (metrics,)
+            for m in metric_steps:
+                _accumulate(tsums, tcounts, m, check_finite_key="loss")
+                if sink is not None:
+                    sink.append(np.asarray(m["pos_cos"]),
+                                np.asarray(m["neg_cos"]))
             if preemption_guard is not None and preemption_guard.requested:
                 if checkpointer is not None:
                     # save under the PREVIOUS completed epoch so --resume
@@ -122,9 +160,10 @@ def train_loop(
                 log.warning("preemption requested: checkpointed and "
                             "stopping at epoch %d", epoch)
                 return state, history
-            if sink is not None:
-                sink.append(np.asarray(metrics["pos_cos"]),
-                            np.asarray(metrics["neg_cos"]))
+        if scan_chunk > 1 and not dropped_logged:
+            dropped_logged = True
+            log.info("scan_chunk=%d: trailing partial chunks are dropped "
+                     "per epoch (drop-last)", scan_chunk)
         vsums: dict[str, float] = {}
         vcounts: dict[str, int] = {}
         if eval_step is not None and eval_batches is not None:

@@ -424,6 +424,33 @@ def make_head_eval_step(
     return step
 
 
+def make_scanned_step(step_fn) -> Callable:
+    """Chain K train steps into ONE device program via ``lax.scan``.
+
+    On link-attached setups (this repo's tunneled chip) a per-step Python
+    dispatch loop round-trips the full train state through the link every
+    step — measured 535 ms/step against a 66 ms on-device compute floor
+    (LightCNN9, B=256). Scanning K steps per dispatch keeps the state in
+    HBM; the host loop only ships the K stacked batches.
+
+    Takes the UNjitted per-batch step; returns a jitted
+    ``fn(state, anchors [K, B, ...], positives [K, B, ...], labels [K, B])
+    -> (state, metrics)`` where each metrics leaf is stacked with a leading
+    K dim. Per-step PRNG keys still derive from ``state.step``, so the
+    update sequence is IDENTICAL to K separate calls (tested).
+    """
+
+    @jax.jit
+    def scanned(state, anchors, positives, labels):
+        def body(st, xl):
+            st, m = step_fn(st, *xl)
+            return st, m
+
+        return jax.lax.scan(body, state, (anchors, positives, labels))
+
+    return scanned
+
+
 def infer_class_parallel_specs(state: TrainState, num_classes: int,
                                model_axis: str):
     """PartitionSpec tree for class-parallel training: any leaf whose tree

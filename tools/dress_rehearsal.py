@@ -67,6 +67,8 @@ def main():
     p.add_argument("--model", default="lightcnn9")
     p.add_argument("--max-steps", type=int, default=0,
                    help="cap steps (0 = full epoch)")
+    p.add_argument("--scan-chunk", type=int, default=0,
+                   help="chain K steps per dispatch (train.make_scanned_step)")
     p.add_argument("--keep", help="keep the store at this path")
     args = p.parse_args()
 
@@ -98,7 +100,16 @@ def main():
     state = create_train_state(
         model, tx, jax.random.PRNGKey(0),
         np.zeros((1, args.size, args.size, 1), np.float32))
-    step = jax.jit(make_backbone_train_step(model, tx, mining_mode="random"))
+    raw_step = make_backbone_train_step(model, tx, mining_mode="random")
+    k = max(args.scan_chunk, 0)
+    if k > 1:
+        from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+            make_scanned_step,
+        )
+
+        step = make_scanned_step(raw_step)
+    else:
+        step = jax.jit(raw_step)
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     n_steps = len(batcher) if not args.max_steps else min(args.max_steps,
@@ -107,19 +118,29 @@ def main():
     t0 = time.perf_counter()
     done = 0
     loss = float("nan")
-    for anc, pos, lab in batcher:
+    group = []
+    for batch in batcher:
+        if k > 1:
+            group.append(batch)
+            if len(group) < k:
+                continue
+            anc, pos, lab = (np.stack(p) for p in zip(*group))
+            group = []
+        else:
+            anc, pos, lab = batch
         state, metrics = step(state, anc, pos, lab)
-        done += 1
-        if done == 1:
-            loss = float(metrics["loss"])  # forces compile+first step
+        done += k if k > 1 else 1
+        if t_first is None:
+            loss = float(np.asarray(metrics["loss"]).ravel()[-1])
             t_first = time.perf_counter() - t0
             t0 = time.perf_counter()
+            done_at_first = done
         if done >= n_steps:
             break
-    loss = float(metrics["loss"])  # sync the tail
+    loss = float(np.asarray(metrics["loss"]).ravel()[-1])  # sync the tail
     dt = time.perf_counter() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    steady = done - 1
+    steady = done - done_at_first
     print(json.dumps({
         "stage": "train", "model": args.model, "rows": args.rows,
         "steps": done, "compile_first_s": round(t_first, 1),
