@@ -18,8 +18,10 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--train-images", help="train .npz image store")
-    p.add_argument("--valid-images", help="valid .npz image store")
+    p.add_argument("--train-images", help="train image store: .npz, or a "
+                                          "directory = streaming mmap store")
+    p.add_argument("--valid-images", help="valid image store (.npz or mmap "
+                                          "directory)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--export-dir", help="exported model (serve/export.py); "
                                         "random init if omitted")
@@ -80,10 +82,17 @@ def main(argv=None):
                              seed=1)
         splits = {"train": tr, "valid": va}
     else:
+        def _load(path):
+            if os.path.isdir(path):  # streaming mmap store: stays uint8,
+                from ..data.records import load_image_store_mmap
+
+                return load_image_store_mmap(path)  # normalized on device
+            return load_image_store(path)
+
         if args.train_images:
-            splits["train"] = load_image_store(args.train_images)
+            splits["train"] = _load(args.train_images)
         if args.valid_images:
-            splits["valid"] = load_image_store(args.valid_images)
+            splits["valid"] = _load(args.valid_images)
     if not splits:
         raise SystemExit("provide --train-images/--valid-images or --synthetic")
 
@@ -105,8 +114,9 @@ def main(argv=None):
 
     results = {}
     for split, (images, labels) in splits.items():
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
+        # uint8 stays uint8 (memmaps slice lazily per batch and normalize
+        # on device) — a whole-array float conversion is 4x RAM and a
+        # 300 GB materialization at Celeb1M scale
         results[split] = _extract_split(
             model, variables, images, labels, args.out_dir, split,
             args.batch_size, log)

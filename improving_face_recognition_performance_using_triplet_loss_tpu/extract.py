@@ -24,6 +24,9 @@ def make_extract_fn(model, *, normalize: bool = True):
 
     @jax.jit
     def fn(variables, images):
+        if images.dtype == jnp.uint8:
+            # streaming stores ship uint8; normalize on device (1/255)
+            images = images.astype(jnp.float32) / 255.0
         logits, feat = model.apply(variables, images, train=False)
         if normalize:
             feat = l2_normalize(feat)
@@ -45,6 +48,9 @@ def extract_features(
 
     Pads the final partial batch (the reference drops it) so every input row
     gets an embedding. ``accuracy`` is top-1 ID accuracy when labels given.
+    ``images`` may be a uint8 MEMMAP (pack_dataset --mmap store): rows are
+    sliced per batch and normalized on device, so Celeb1M-scale extraction
+    never materializes the float dataset in host RAM.
     """
     fn = make_extract_fn(model, normalize=normalize)
     n = images.shape[0]

@@ -266,3 +266,60 @@ def test_sharded_loader_feeds_8dev_train_step(tmp_path):
     new_state, metrics = step(state, anc, pos, lab)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_extract_features_from_mmap_store_flat_ram(tmp_path):
+    """Celeb1M-scale extraction: a uint8 mmap store streams through the
+    extractor per batch with no whole-array float materialization, and
+    produces the same features as the float path."""
+    import tracemalloc
+
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.extract import (
+        extract_features,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((64, 16, 16, 1)) * 255).astype(np.uint8)
+    labels = rng.integers(0, 4, 64)
+    d = str(tmp_path / "xstore")
+    R.save_image_store_mmap(d, imgs, labels)
+    mm_imgs, mm_labels = R.load_image_store_mmap(d)
+
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 16, 16, 1), np.float32))
+    tracemalloc.start()
+    feats_mm, _, _ = extract_features(model, variables, mm_imgs, mm_labels,
+                                      batch_size=16)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    feats_f32, _, _ = extract_features(
+        model, variables, imgs.astype(np.float32) / 255.0, labels,
+        batch_size=16)
+    np.testing.assert_allclose(feats_mm, feats_f32, rtol=1e-5, atol=1e-6)
+    # peak python-heap stays O(batches), far under the float dataset size
+    assert peak < 4 * imgs.nbytes, peak
+
+
+def test_extract_features_cli_from_mmap_dir(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        extract_features as xf,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.synthetic import (
+        synthetic_faces,
+    )
+
+    imgs, labels = synthetic_faces(num_ids=4, per_id=4, size=16, seed=1)
+    d = str(tmp_path / "xs")
+    R.save_image_store_mmap(d, (imgs * 255).astype(np.uint8), labels)
+    out = str(tmp_path / "ex")
+    results = xf.main(["--train-images", d, "--model", "lightcnn9",
+                       "--num-classes", "4", "--out-dir", out,
+                       "--batch-size", "8"])
+    feats, labs, _ = results["train"]
+    assert feats.shape == (16, 256)
