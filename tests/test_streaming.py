@@ -284,26 +284,31 @@ def test_extract_features_from_mmap_store_flat_ram(tmp_path):
     )
 
     rng = np.random.default_rng(0)
-    imgs = (rng.random((64, 16, 16, 1)) * 255).astype(np.uint8)
-    labels = rng.integers(0, 4, 64)
+    # big enough that a whole-array float copy (16 MB) would trip the bound
+    imgs = (rng.random((4096, 32, 32, 1)) * 255).astype(np.uint8)
+    labels = rng.integers(0, 4, 4096)
     d = str(tmp_path / "xstore")
     R.save_image_store_mmap(d, imgs, labels)
     mm_imgs, mm_labels = R.load_image_store_mmap(d)
 
     model = LightCNN9(num_classes=4)
     variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, 16, 16, 1), np.float32))
+                           np.zeros((1, 32, 32, 1), np.float32))
+    extract_features(model, variables, mm_imgs[:256], mm_labels[:256],
+                     batch_size=128)  # warm compiles outside the trace
     tracemalloc.start()
     feats_mm, _, _ = extract_features(model, variables, mm_imgs, mm_labels,
-                                      batch_size=16)
+                                      batch_size=128)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     feats_f32, _, _ = extract_features(
-        model, variables, imgs.astype(np.float32) / 255.0, labels,
-        batch_size=16)
-    np.testing.assert_allclose(feats_mm, feats_f32, rtol=1e-5, atol=1e-6)
-    # peak python-heap stays O(batches), far under the float dataset size
-    assert peak < 4 * imgs.nbytes, peak
+        model, variables, imgs[:256].astype(np.float32) / 255.0,
+        labels[:256], batch_size=128)
+    np.testing.assert_allclose(feats_mm[:256], feats_f32, rtol=1e-5,
+                               atol=1e-6)
+    # peak python-heap stays O(batch + features), under the 16 MB a
+    # whole-dataset float copy would cost
+    assert peak < 10 * 1024 * 1024, peak
 
 
 def test_extract_features_cli_from_mmap_dir(tmp_path):
