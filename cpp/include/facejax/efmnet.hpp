@@ -245,95 +245,196 @@ inline void MaxPool2(Tensor& t) {
   t.data = std::move(out);
 }
 
+inline void Mfm2(Tensor& t) {
+  if (t.c % 2 != 0) throw std::runtime_error("mfm2: channels % 2 != 0");
+  const int half = t.c / 2;
+  std::vector<float> out(static_cast<size_t>(t.h) * t.w * half);
+  const int hw = t.h * t.w;
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < hw; ++i) {
+    const float* src = t.data.data() + static_cast<size_t>(i) * t.c;
+    float* dst = out.data() + static_cast<size_t>(i) * half;
+    for (int ch = 0; ch < half; ++ch)
+      dst[ch] = std::max(src[ch], src[half + ch]);
+  }
+  t.c = half;
+  t.data = std::move(out);
+}
+
 }  // namespace nn
 
-// The EFM symbol ladder (efm_symbol.py:84-101) over exported weights.
-class EfmNet342 {
+// Native forward for every exportable grayscale model — the in-process
+// embedding engine the export format promised (reference parity:
+// Feature.hpp:163-205 runs the net via MXPredCreatePartialOut; here the
+// ladders of models/lightcnn.py + models/efm_symbol.py execute straight
+// from weights.npz with zero Python in the loop).
+class NativeNet {
  public:
-  explicit EfmNet342(const std::string& weights_npz)
-      : w_(LoadNpz(weights_npz)) {
-    // fail fast if this is not an efmnet342 export
-    require("params/conv1/kernel");
-    require("params/fc1/kernel");
-    feature_dim_ = static_cast<int>(get("params/fc1/kernel").shape[1]) / 3 * 2;
+  NativeNet(const std::string& weights_npz, const std::string& model)
+      : w_(LoadNpz(weights_npz)), model_(model) {
+    if (model_ == "efmnet342") {
+      require("params/conv1/kernel");
+      feature_dim_ =
+          static_cast<int>(get("params/fc1/kernel").shape[1]) / 3 * 2;
+    } else if (model_ == "lightcnn9") {
+      require("params/conv1/kernel");
+      feature_dim_ = static_cast<int>(get("params/fc1/kernel").shape[1]) / 2;
+    } else if (model_ == "lightcnn29") {
+      require("params/group1/conv/kernel");
+      feature_dim_ =
+          static_cast<int>(get("params/fc1/kernel").shape[1]) / 3 * 2;
+    } else {
+      throw std::runtime_error("NativeNet: unsupported model '" + model_ +
+                               "' (efmnet342 | lightcnn9 | lightcnn29)");
+    }
   }
 
   int feature_dim() const { return feature_dim_; }
 
   // img: HxW float32 in [0, 1] (grayscale, scale 1/255 applied by caller);
-  // out: feature_dim floats (the 342-d pre-dropout EFM feature).
+  // out: feature_dim floats (the pre-dropout embedding branch).
   void Extract(const float* img, int h, int w, float* out) const {
     Tensor x;
     x.resize(h, w, 1);
     std::copy(img, img + static_cast<size_t>(h) * w, x.data.begin());
+    if (model_ == "efmnet342") return ExtractEfm342(x, out);
+    if (model_ == "lightcnn9") return ExtractLight9(x, out);
+    ExtractLight29(x, out);
+  }
 
+ private:
+  // ---- shared building blocks -------------------------------------------
+
+  void ConvLayer(Tensor& x, const std::string& name) const {
     Tensor y;
-    nn::ConvSame(x, get("params/conv1/kernel"), get("params/conv1/bias"), y);
-    nn::Efm3(y);
-    nn::MaxPool2(y);
+    nn::ConvSame(x, get(name + "/kernel"), get(name + "/bias"), y);
+    x = std::move(y);
+  }
 
-    static const int kLadder[4][3] = {
-        {99, 198, 1}, {198, 387, 2}, {387, 261, 3}, {261, 261, 4}};
-    for (int s = 0; s < 4; ++s) {
-      const int num_r = kLadder[s][0], tar = kLadder[s][2];
-      const std::string stage = "params/stage" + std::to_string(s + 2);
-      const int out_ch = num_r * 2 / 3;
-      if (y.c != out_ch) throw std::runtime_error("ladder channel mismatch");
-      for (int i = 0; i < tar; ++i) {
-        Tensor hY = y;  // residual branch
-        nn::Efm3(hY);
-        Tensor t;
-        nn::ConvSame(hY, get(stage + "_res/conv_a_" + std::to_string(i) +
-                             "/kernel"),
-                     get(stage + "_res/conv_a_" + std::to_string(i) +
-                         "/bias"),
-                     t);
-        nn::Efm3(t);
-        nn::ConvSame(t, get(stage + "_res/conv_b_" + std::to_string(i) +
-                            "/kernel"),
-                     get(stage + "_res/conv_b_" + std::to_string(i) +
-                         "/bias"),
-                     hY);
-        for (size_t j = 0; j < y.data.size(); ++j) y.data[j] += hY.data[j];
-      }
-      Tensor t;
-      nn::ConvSame(y, get(stage + "_conv1x1/kernel"),
-                   get(stage + "_conv1x1/bias"), t);
-      nn::Efm3(t);
-      nn::ConvSame(t, get(stage + "_conv/kernel"), get(stage + "_conv/bias"),
-                   y);
-      nn::Efm3(y);
-      nn::MaxPool2(y);
-    }
-
-    // flatten (NHWC) -> fc1 -> efm3
-    const NpyArray& fck = get("params/fc1/kernel");
-    const NpyArray& fcb = get("params/fc1/bias");
-    const int in_dim = static_cast<int>(fck.shape[0]);
-    const int fc_out = static_cast<int>(fck.shape[1]);
-    if (static_cast<int>(y.data.size()) != in_dim)
+  // flatten (NHWC) -> dense -> write into `vec`
+  void DenseLayer(const Tensor& x, const std::string& name,
+                  std::vector<float>& vec) const {
+    const NpyArray& kk = get(name + "/kernel");
+    const NpyArray& bb = get(name + "/bias");
+    const int in_dim = static_cast<int>(kk.shape[0]);
+    const int out_dim = static_cast<int>(kk.shape[1]);
+    if (static_cast<int>(x.data.size()) != in_dim)
       throw std::runtime_error(
-          "fc1 input mismatch: export was trained at a different input "
-          "size");
-    std::vector<float> fc1(fc_out);
-    const float* kk = fck.f32();
-    const float* bb = fcb.f32();
+          name + ": input " + std::to_string(x.data.size()) +
+          " != kernel " + std::to_string(in_dim) +
+          " (export trained at a different input size?)");
+    vec.assign(out_dim, 0.0f);
+    const float* kp = kk.f32();
+    const float* bp = bb.f32();
 #pragma omp parallel for schedule(static)
-    for (int j = 0; j < fc_out; ++j) {
-      float acc = bb[j];
+    for (int j = 0; j < out_dim; ++j) {
+      float acc = bp[j];
       for (int i = 0; i < in_dim; ++i)
-        acc += y.data[i] * kk[static_cast<size_t>(i) * fc_out + j];
-      fc1[j] = acc;
+        acc += x.data[i] * kp[static_cast<size_t>(i) * out_dim + j];
+      vec[j] = acc;
     }
-    const int third = fc_out / 3;
+  }
+
+  static void VecEfm3(const std::vector<float>& v, float* out) {
+    const int third = static_cast<int>(v.size()) / 3;
     for (int ch = 0; ch < third; ++ch) {
-      const float a = fc1[ch], b = fc1[third + ch], c = fc1[2 * third + ch];
+      const float a = v[ch], b = v[third + ch], c = v[2 * third + ch];
       out[ch] = std::max(a, std::max(b, c));
       out[third + ch] = std::min(a, std::min(b, c));
     }
   }
 
- private:
+  static void VecMfm2(const std::vector<float>& v, float* out) {
+    const int half = static_cast<int>(v.size()) / 2;
+    for (int ch = 0; ch < half; ++ch)
+      out[ch] = std::max(v[ch], v[half + ch]);
+  }
+
+  // EFMResBlock (models/lightcnn.py): x += conv_b(efm3(conv_a(efm3(x))))
+  void ResBlocks(Tensor& x, const std::string& stage, int n_blocks) const {
+    for (int i = 0; i < n_blocks; ++i) {
+      Tensor h = x;
+      nn::Efm3(h);
+      ConvLayer(h, stage + "/conv_a_" + std::to_string(i));
+      nn::Efm3(h);
+      ConvLayer(h, stage + "/conv_b_" + std::to_string(i));
+      for (size_t j = 0; j < x.data.size(); ++j) x.data[j] += h.data[j];
+    }
+  }
+
+  // ---- the three ladders -------------------------------------------------
+
+  void ExtractEfm342(Tensor& x, float* out) const {
+    ConvLayer(x, "params/conv1");
+    nn::Efm3(x);
+    nn::MaxPool2(x);
+    static const int kLadder[4][3] = {
+        {99, 198, 1}, {198, 387, 2}, {387, 261, 3}, {261, 261, 4}};
+    for (int s = 0; s < 4; ++s) {
+      const int num_r = kLadder[s][0], tar = kLadder[s][2];
+      const std::string stage = "params/stage" + std::to_string(s + 2);
+      if (x.c != num_r * 2 / 3)
+        throw std::runtime_error("efmnet342 ladder channel mismatch");
+      ResBlocks(x, stage + "_res", tar);
+      ConvLayer(x, stage + "_conv1x1");
+      nn::Efm3(x);
+      ConvLayer(x, stage + "_conv");
+      nn::Efm3(x);
+      nn::MaxPool2(x);
+    }
+    std::vector<float> fc1;
+    DenseLayer(x, "params/fc1", fc1);
+    VecEfm3(fc1, out);
+  }
+
+  void ExtractLight9(Tensor& x, float* out) const {
+    ConvLayer(x, "params/conv1");
+    nn::Mfm2(x);
+    nn::MaxPool2(x);
+    static const char* kNames[] = {"conv2a", "conv2", "conv3a", "conv3",
+                                   "conv4a", "conv4", "conv5a", "conv5"};
+    static const bool kPool[] = {false, true, false, true,
+                                 false, false, false, true};
+    for (int i = 0; i < 8; ++i) {
+      ConvLayer(x, std::string("params/") + kNames[i]);
+      nn::Mfm2(x);
+      if (kPool[i]) nn::MaxPool2(x);
+    }
+    std::vector<float> fc1;
+    DenseLayer(x, "params/fc1", fc1);
+    VecMfm2(fc1, out);
+  }
+
+  void ExtractLight29(Tensor& x, float* out) const {
+    ConvLayer(x, "params/group1/conv");
+    nn::Efm3(x);
+    nn::MaxPool2(x);
+    static const int kLadder[4][2] = {{1, 198}, {2, 387}, {3, 261}, {4, 261}};
+    for (int g = 0; g < 4; ++g) {
+      const std::string grp = "params/group" + std::to_string(g + 2);
+      ResBlocks(x, grp + "_res", kLadder[g][0]);
+      // EFMConv with pre stage: 1x1 pre_conv -> efm3 -> 3x3 conv -> efm3
+      ConvLayer(x, grp + "_conv/pre_conv");
+      nn::Efm3(x);
+      ConvLayer(x, grp + "_conv/conv");
+      nn::Efm3(x);
+      nn::MaxPool2(x);
+    }
+    std::vector<float> fc1;
+    DenseLayer(x, "params/fc1", fc1);
+    std::vector<float> feat(fc1.size() / 3 * 2);
+    VecEfm3(fc1, feat.data());
+    // feature branch BatchNorm (inference: batch_stats mean/var + params
+    // scale/bias; flax eps 1e-5)
+    const float* scale = get("params/fc1_bn/scale").f32();
+    const float* bias = get("params/fc1_bn/bias").f32();
+    const float* mean = get("batch_stats/fc1_bn/mean").f32();
+    const float* var = get("batch_stats/fc1_bn/var").f32();
+    for (size_t j = 0; j < feat.size(); ++j)
+      out[j] = scale[j] * (feat[j] - mean[j]) /
+                   std::sqrt(var[j] + 1e-5f) + bias[j];
+  }
+
   const NpyArray& get(const std::string& key) const {
     auto it = w_.find(key);
     if (it == w_.end())
@@ -343,7 +444,15 @@ class EfmNet342 {
   void require(const std::string& key) const { get(key); }
 
   std::map<std::string, NpyArray> w_;
+  std::string model_;
   int feature_dim_;
+};
+
+// Backwards-compatible alias (round-1 API surface).
+class EfmNet342 : public NativeNet {
+ public:
+  explicit EfmNet342(const std::string& weights_npz)
+      : NativeNet(weights_npz, "efmnet342") {}
 };
 
 }  // namespace facejax

@@ -180,9 +180,10 @@ int fx_sm_handle(void* sm, int event) {
 // ---- native embedding net (export-format consumer, Feature.hpp:163-205
 // parity: the serving process runs the net itself, no Python attached) ----
 
-void* fx_efmnet_open(const char* weights_npz, char* err, int err_cap) {
+void* fx_net_open(const char* weights_npz, const char* model, char* err,
+                  int err_cap) {
   try {
-    return new facejax::EfmNet342(weights_npz);
+    return new facejax::NativeNet(weights_npz, model);
   } catch (const std::exception& e) {
     if (err && err_cap > 0) {
       std::strncpy(err, e.what(), err_cap - 1);
@@ -192,12 +193,16 @@ void* fx_efmnet_open(const char* weights_npz, char* err, int err_cap) {
   }
 }
 
+void* fx_efmnet_open(const char* weights_npz, char* err, int err_cap) {
+  return fx_net_open(weights_npz, "efmnet342", err, err_cap);
+}
+
 void fx_efmnet_close(void* net) {
-  delete static_cast<facejax::EfmNet342*>(net);
+  delete static_cast<facejax::NativeNet*>(net);
 }
 
 int fx_efmnet_feature_dim(void* net) {
-  return static_cast<facejax::EfmNet342*>(net)->feature_dim();
+  return static_cast<facejax::NativeNet*>(net)->feature_dim();
 }
 
 // img: h*w float32 grayscale in [0,1]; out: feature_dim floats. Returns 0
@@ -205,7 +210,7 @@ int fx_efmnet_feature_dim(void* net) {
 int fx_efmnet_extract(void* net, const float* img, int h, int w, float* out,
                       char* err, int err_cap) {
   try {
-    static_cast<facejax::EfmNet342*>(net)->Extract(img, h, w, out);
+    static_cast<facejax::NativeNet*>(net)->Extract(img, h, w, out);
     return 0;
   } catch (const std::exception& e) {
     if (err && err_cap > 0) {

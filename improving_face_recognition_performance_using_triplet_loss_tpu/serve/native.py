@@ -105,6 +105,9 @@ def load_native() -> ctypes.CDLL:
     lib.fx_sm_state.argtypes = [ctypes.c_void_p]
     lib.fx_sm_handle.restype = ctypes.c_int
     lib.fx_sm_handle.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.fx_net_open.restype = ctypes.c_void_p
+    lib.fx_net_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                ctypes.c_char_p, ctypes.c_int]
     lib.fx_efmnet_open.restype = ctypes.c_void_p
     lib.fx_efmnet_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                    ctypes.c_int]
@@ -288,16 +291,20 @@ class NativeStateMachine:
 
 
 class NativeEmbedder:
-    """In-process native EFMNet342 forward over an export artifact
-    (reference Feature.hpp:163-205: the C++ runtime runs the embedding net
-    itself via MXPredCreatePartialOut; here the engine is cpp/include/
-    facejax/efmnet.hpp reading weights.npz directly — no JAX/Python compute
-    in the loop).
+    """In-process native forward over an export artifact for every
+    grayscale model family — efmnet342, lightcnn9, lightcnn29 (reference
+    Feature.hpp:163-205: the C++ runtime runs the embedding net itself via
+    MXPredCreatePartialOut; here the engine is cpp/include/facejax/
+    efmnet.hpp reading weights.npz directly — no JAX/Python compute in the
+    loop).
 
-    Accepts an export DIR (serve/export.py layout) or a weights.npz path.
+    Accepts an export DIR (serve/export.py layout; the model family comes
+    from manifest.json) or a weights.npz path + explicit ``model``.
     """
 
-    def __init__(self, export_dir_or_npz: str):
+    SUPPORTED = ("efmnet342", "lightcnn9", "lightcnn29")
+
+    def __init__(self, export_dir_or_npz: str, model: str | None = None):
         import os
 
         self._lib = load_native()
@@ -308,16 +315,17 @@ class NativeEmbedder:
 
             with open(os.path.join(path, "manifest.json")) as f:
                 self.manifest = json.load(f)
-            if self.manifest.get("model") not in ("efmnet342",):
-                raise NativeUnavailable(
-                    f"native forward supports efmnet342 exports, got "
-                    f"{self.manifest.get('model')!r}")
+            model = model or self.manifest.get("model")
             path = os.path.join(path, "weights.npz")
-        err = ctypes.create_string_buffer(256)
-        self._h = self._lib.fx_efmnet_open(path.encode(), err, 256)
-        if not self._h:
+        if model not in self.SUPPORTED:
             raise NativeUnavailable(
-                f"fx_efmnet_open: {err.value.decode()}")
+                f"native forward supports {self.SUPPORTED}, got {model!r}")
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.fx_net_open(path.encode(), model.encode(), err,
+                                        256)
+        if not self._h:
+            raise NativeUnavailable(f"fx_net_open: {err.value.decode()}")
+        self.model = model
         self.feature_dim = self._lib.fx_efmnet_feature_dim(self._h)
 
     def extract(self, img: np.ndarray) -> np.ndarray:

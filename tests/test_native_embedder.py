@@ -98,3 +98,42 @@ def test_native_end_to_end_identify(export, tmp_path):
             st.register("bob", emb.extract(bob))
             name, sim = st.match(emb.extract(probe), 0.5)
     assert name == "alice" and sim > 0.9
+
+
+@pytest.mark.parametrize("model_name,cls_kwargs,size,dim", [
+    ("lightcnn9", {}, 32, 256),
+    ("lightcnn29", {}, 32, 684),
+])
+def test_native_matches_jax_forward_other_models(model_name, cls_kwargs,
+                                                 size, dim, tmp_path):
+    """The native ladder covers every grayscale model family: LightCNN9
+    (mfm2 ladder) and LightCNN29 (EFM groups + BatchNorm feature branch)."""
+    native = _native()
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN29,
+        LightCNN9,
+    )
+
+    cls = {"lightcnn9": LightCNN9, "lightcnn29": LightCNN29}[model_name]
+    model = cls(num_classes=6, **cls_kwargs)
+    rng = np.random.default_rng(3)
+    x = rng.random((2, size, size, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # exercise non-trivial BN stats for lightcnn29 (init stats are 0/1)
+    if model_name == "lightcnn29":
+        bs = variables["batch_stats"]
+        bs = jax.tree_util.tree_map(
+            lambda v: v + 0.05 * np.arange(v.shape[-1], dtype=np.float32)
+            if v.ndim else v, bs)
+        variables = {"params": variables["params"], "batch_stats": bs}
+    d = str(tmp_path / "exp")
+    export_params(d, variables["params"], model_name=model_name,
+                  feature_dim=dim, input_hw=(size, size), input_channels=1,
+                  batch_stats=variables.get("batch_stats"))
+    _, want = model.apply(variables, x, train=False)
+    with native.NativeEmbedder(d) as emb:
+        assert emb.feature_dim == dim and emb.model == model_name
+        for i in range(2):
+            got = emb.extract(x[i, :, :, 0])
+            np.testing.assert_allclose(got, np.asarray(want[i]), rtol=5e-4,
+                                       atol=2e-4)
