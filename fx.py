@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""`fx` launcher: ``python fx.py train_backbone --synthetic ...`` — the
+short form the MIGRATION recipes use (the package name is long)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.cli.__main__ import (  # noqa: E501
+    main,
+)
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -16,6 +16,11 @@
 - ``serve_demo``      <- the C++ runtime's live recognition loop (§3.4)
 - ``identify``        <- Register_DB*/Compare_Face_DB flows (headless
                          enroll + batch identification on the native store)
+                         + person-level subcommands (the PG Person schema)
+- ``landmarks68``     <- MTCNN_Dlib_Detection (train/apply ERT shape
+                         predictors; MTCNN.hpp:1326-1421)
 
-Run as ``python -m improving_face_recognition_performance_using_triplet_loss_tpu.cli.<name>``.
+Run as ``python -m improving_face_recognition_performance_using_triplet_loss_tpu.cli.<name>``,
+or via the launcher: ``python fx.py <name> [args...]`` /
+``python -m improving_face_recognition_performance_using_triplet_loss_tpu.cli <name>``.
 """

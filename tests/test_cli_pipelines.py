@@ -165,3 +165,33 @@ def test_pack_dataset_cli(tmp_path):
     assert set(tr_l) & set(te_l) == set()  # identity-disjoint
     assert json.load(open(tmp_path / "packed.classes.json"))["classes"] == [
         "alice", "bob", "carol"]
+
+
+def test_cli_dispatcher_and_fx_launcher(tmp_path, capsys):
+    """`python -m <pkg>.cli <name>` and the fx.py launcher route to the
+    right entry points."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli.__main__ import (
+        main as dispatch,
+    )
+
+    assert dispatch([]) == 2
+    assert dispatch(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "train_backbone" in out and "landmarks68" in out
+
+    # a real command end-to-end through the dispatcher
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.synthetic import (
+        synthetic_features,
+    )
+
+    feats, labels = synthetic_features(num_ids=4, per_id=4, dim=16)
+    fpath = str(tmp_path / "f.npz")
+    save_feature_store(fpath, feats, labels)
+    res = dispatch(["slice_dataset", "--features", fpath,
+                    "--out-dir", str(tmp_path / "s")])
+    assert res is not None or (tmp_path / "s").exists()
