@@ -136,6 +136,56 @@ def normalize_uint8(images: jnp.ndarray) -> jnp.ndarray:
     return images.astype(jnp.float32) / 255.0
 
 
+def prewhiten(images: jnp.ndarray) -> jnp.ndarray:
+    """Per-image standardization (facenet.py prewhiten semantics): subtract
+    the image mean, divide by max(std, 1/sqrt(size)). [B, H, W, C] or
+    [H, W, C]."""
+    axes = tuple(range(images.ndim - 3, images.ndim))
+    x = images.astype(jnp.float32)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    std = jnp.std(x, axis=axes, keepdims=True)
+    size = float(np.prod(x.shape[-3:]))
+    std_adj = jnp.maximum(std, 1.0 / np.sqrt(size))
+    return (x - mean) / std_adj
+
+
+def fixed_standardization(images: jnp.ndarray) -> jnp.ndarray:
+    """facenet's FIXED_STANDARDIZATION bit: (x*255 - 127.5) / 128 for
+    [0, 1]-scaled inputs (uint8 inputs divide by 255 first)."""
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    return (x * 255.0 - 127.5) / 128.0
+
+
+def rotate_batch(key: jax.Array, images: jnp.ndarray,
+                 max_degrees: float = 10.0) -> jnp.ndarray:
+    """Per-row random rotation about the image center (facenet's
+    RANDOM_ROTATE bit) — bilinear resampling via map_coordinates inside
+    jit, zero-filled outside the frame."""
+    from jax.scipy.ndimage import map_coordinates
+
+    b, h, w, c = images.shape
+    angles = jax.random.uniform(key, (b,), minval=-max_degrees,
+                                maxval=max_degrees) * (jnp.pi / 180.0)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def rot_one(img, a):
+        cos, sin = jnp.cos(a), jnp.sin(a)
+        src_y = cy + (yy - cy) * cos - (xx - cx) * sin
+        src_x = cx + (yy - cy) * sin + (xx - cx) * cos
+        coords = jnp.stack([src_y, src_x])
+
+        def chan(ch):
+            return map_coordinates(ch, coords, order=1, mode="constant",
+                                   cval=0.0)
+
+        return jnp.stack([chan(img[..., k]) for k in range(c)], axis=-1)
+
+    return jax.vmap(rot_one)(images.astype(jnp.float32), angles)
+
+
 def augment_batch(
     key: jax.Array,
     images: jnp.ndarray,

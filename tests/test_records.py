@@ -140,3 +140,43 @@ def test_rand_crop_too_large_rejected(tmp_path):
         train_backbone.main(
             ["--synthetic", "--synthetic-size", "32", "--crop-size", "64",
              "--epochs", "1", "--out-dir", str(tmp_path / "x")])
+
+
+def test_prewhiten_matches_numpy_oracle():
+    """facenet prewhiten semantics: per-image zero-mean, std-adjusted."""
+    rng = np.random.default_rng(4)
+    x = rng.random((3, 8, 8, 1)).astype(np.float32)
+    got = np.asarray(R.prewhiten(jnp.asarray(x)))
+    for i in range(3):
+        mean, std = x[i].mean(), x[i].std()
+        want = (x[i] - mean) / max(std, 1.0 / np.sqrt(x[i].size))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+    assert abs(got[0].mean()) < 1e-5
+
+
+def test_fixed_standardization():
+    x = jnp.asarray([[[[0.0]], [[0.5]], [[1.0]]]])  # [1,3,1,1]
+    got = np.asarray(R.fixed_standardization(x)).ravel()
+    np.testing.assert_allclose(got, [(0 - 127.5) / 128,
+                                     (127.5 - 127.5) / 128,
+                                     (255 - 127.5) / 128], rtol=1e-6)
+    u8 = jnp.asarray(np.array([[[[255]]]], np.uint8))
+    np.testing.assert_allclose(np.asarray(R.fixed_standardization(u8)),
+                               [[[[(255 - 127.5) / 128]]]], rtol=1e-6)
+
+
+def test_rotate_batch_identity_and_bounds():
+    """Zero-degree rotation is (near-)identity; rotated pixels stay in
+    range; a 90-degree-ish rotation actually moves content."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 9, 9, 1)).astype(np.float32))
+    out0 = np.asarray(R.rotate_batch(jax.random.PRNGKey(0), x,
+                                     max_degrees=0.0))
+    np.testing.assert_allclose(out0, np.asarray(x), rtol=1e-4, atol=1e-5)
+    out = np.asarray(R.rotate_batch(jax.random.PRNGKey(1), x,
+                                    max_degrees=45.0))
+    assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+    assert not np.allclose(out, np.asarray(x))
+    # jit-compatible
+    jitted = jax.jit(lambda k, im: R.rotate_batch(k, im, 10.0))
+    _ = np.asarray(jitted(jax.random.PRNGKey(2), x))
