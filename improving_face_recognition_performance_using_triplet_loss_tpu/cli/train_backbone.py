@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--center-loss-weight", type=float, default=0.0,
                    help="add center loss on anchor embeddings "
                         "(facenet.py:64-77 capability)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track a parameter EMA at this decay; the EXPORT "
+                        "uses the averaged weights (facenet's "
+                        "ExponentialMovingAverage, facenet.py:168-211)")
     p.add_argument("--mining", default="random",
                    choices=["random", "semi_hard", "semi_hard_fused", "hard"])
     p.add_argument("--bf16", action="store_true",
@@ -171,6 +175,10 @@ def main(argv=None):
                      decay_every_steps=steps_per_epoch * args.lr_decay_epochs,
                      factor=args.lr_factor,
                      weight_decay=args.weight_decay)
+    if args.ema_decay > 0:
+        from ..train import with_param_ema
+
+        tx = with_param_ema(tx, decay=args.ema_decay)
     import jax.numpy as jnp
     aux = (jnp.zeros((num_classes, model.feature_dim), jnp.float32)
            if args.center_loss_weight > 0 else None)
@@ -298,8 +306,14 @@ def main(argv=None):
     from ..serve.export import export_params
     in_hw = ((args.crop_size, args.crop_size) if args.crop_size
              else images.shape[1:3])
+    export_weights = state.params
+    if args.ema_decay > 0:
+        from ..train import get_ema_params
+
+        export_weights = get_ema_params(state.opt_state)
+        log.info("export uses EMA weights (decay %.4f)", args.ema_decay)
     export_params(
-        os.path.join(args.out_dir, "export"), state.params,
+        os.path.join(args.out_dir, "export"), export_weights,
         model_name=args.model, feature_dim=model.feature_dim,
         input_hw=in_hw, input_channels=images.shape[3],
         batch_stats=state.batch_stats)

@@ -1,6 +1,12 @@
 """Training: jitted/shard_map steps, optimizers, state, checkpointing, loops."""
 
-from .optim import adam_factor, sgd_wd, factor_schedule  # noqa: F401
+from .optim import (  # noqa: F401
+    adam_factor,
+    factor_schedule,
+    get_ema_params,
+    sgd_wd,
+    with_param_ema,
+)
 from .state import TrainState, create_train_state  # noqa: F401
 from .steps import (  # noqa: F401
     make_backbone_train_step,

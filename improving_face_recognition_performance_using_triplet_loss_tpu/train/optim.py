@@ -12,6 +12,10 @@ Adam moment updates — matched here by placing ``add_decayed_weights`` before
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -63,3 +67,43 @@ def sgd_wd(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(lr),
     )
+
+
+class ParamEmaState(NamedTuple):
+    """Wrapper optimizer state carrying an EMA of the PARAMS."""
+
+    inner: optax.OptState
+    ema: optax.Params
+
+
+def with_param_ema(tx: optax.GradientTransformation,
+                   decay: float = 0.999) -> optax.GradientTransformation:
+    """Track an exponential moving average of the parameters alongside any
+    optimizer (facenet's tf.train.ExponentialMovingAverage over trainables,
+    facenet.py:168-211 — it evaluates the averaged weights). The EMA rides
+    in the optimizer state, so orbax checkpoints/resume carry it for free;
+    read it back with :func:`get_ema_params`.
+    """
+
+    def init(params):
+        return ParamEmaState(tx.init(params),
+                             jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("with_param_ema requires params in update()")
+        updates, inner = tx.update(updates, state.inner, params)
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema,
+            new_params)
+        return updates, ParamEmaState(inner, ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """The EMA params from a with_param_ema-wrapped optimizer state."""
+    if not isinstance(opt_state, ParamEmaState):
+        raise TypeError("optimizer was not wrapped with with_param_ema")
+    return opt_state.ema

@@ -299,3 +299,57 @@ def test_distributed_noop_on_single_host():
     assert initialize_distributed() is False  # no coordinator env set
     idx, count = process_info()
     assert idx == 0 and count == 1
+
+
+def test_param_ema_tracks_and_checkpoints():
+    """with_param_ema: the EMA converges toward the trained params, rides
+    in opt_state (free checkpointing), and get_ema_params reads it back
+    (facenet ExponentialMovingAverage parity)."""
+    import optax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        get_ema_params,
+        with_param_ema,
+    )
+
+    params = {"w": jnp.zeros((3,))}
+    tx = with_param_ema(optax.sgd(1.0), decay=0.5)
+    opt_state = tx.init(params)
+    grads = {"w": -jnp.ones((3,))}  # sgd(1.0): params += 1 each step
+    expected_ema = np.zeros(3)
+    p = params
+    for step in range(5):
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        expected_ema = 0.5 * expected_ema + 0.5 * np.asarray(p["w"])
+    np.testing.assert_allclose(np.asarray(get_ema_params(opt_state)["w"]),
+                               expected_ema, rtol=1e-6)
+    # EMA lags the raw params (params are at 5.0 after 5 unit steps)
+    np.testing.assert_allclose(np.asarray(p["w"]), 5.0)
+    assert float(get_ema_params(opt_state)["w"][0]) < 5.0
+
+
+def test_train_backbone_cli_ema_export(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        train_backbone,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        load_exported_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        get_ema_params,
+    )
+
+    out = str(tmp_path / "ema")
+    state, _ = train_backbone.main([
+        "--synthetic", "--synthetic-size", "16", "--model", "lightcnn9",
+        "--ema-decay", "0.9", "--epochs", "1", "--batch-size", "16",
+        "--out-dir", out])
+    exported, _, _ = load_exported_params(out + "/export")
+    ema = get_ema_params(state.opt_state)
+    np.testing.assert_allclose(
+        exported["conv1"]["kernel"], np.asarray(ema["conv1"]["kernel"]),
+        rtol=1e-6)
+    # and the export differs from the raw (non-averaged) weights
+    assert not np.allclose(exported["conv1"]["kernel"],
+                           np.asarray(state.params["conv1"]["kernel"]))
