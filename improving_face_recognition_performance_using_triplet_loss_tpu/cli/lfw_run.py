@@ -47,6 +47,10 @@ def build_parser():
     p.add_argument("--far-target", type=float, default=1e-3)
     p.add_argument("--distance-metric", type=int, default=0, choices=[0, 1])
     p.add_argument("--subtract-mean", action="store_true")
+    p.add_argument("--prewhiten", action="store_true",
+                   help="per-image standardization of pair crops before "
+                        "embedding (facenet validate_on_lfw convention) "
+                        "instead of the 1/255 scale")
     p.add_argument("--file-ext", default="jpg")
     p.add_argument("--out", help="write results JSON here")
     p.add_argument("--append-baseline",
@@ -100,7 +104,14 @@ def _evaluate_one(name, model, variables, paths, issame, args, log,
     from ..extract import extract_features
 
     images = _load_pair_images(paths, input_hw, channels)
-    images = images.astype(np.float32) / 255.0
+    if args.prewhiten:
+        import jax.numpy as jnp
+
+        from ..data.records import prewhiten
+
+        images = np.asarray(prewhiten(jnp.asarray(images)))
+    else:
+        images = images.astype(np.float32) / 255.0
     emb, _, _ = extract_features(model, variables, images,
                                  batch_size=args.batch_size)
     _, _, acc, acc_std, val, val_std, far = lfw.evaluate(
