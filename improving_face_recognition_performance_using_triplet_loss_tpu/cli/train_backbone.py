@@ -222,7 +222,12 @@ def main(argv=None):
                 mirror_augment=args.device_augment and not args.no_mirror,
                 crop_size=args.crop_size),
             mesh, specs, has_state_out=True)
-        eval_step = None  # eval over the 2-D mesh: use a separate run
+        eval_step = shard_map_step_2d(
+            make_backbone_eval_step(
+                local_model, margin=args.margin, alpha=args.alpha,
+                mining_mode=args.mining, axis_name="data",
+                class_axis_name="model", crop_size=args.crop_size),
+            mesh, specs, has_state_out=False)
         log.info("class-parallel softmax: %d-way head shard x %d-way data",
                  args.class_parallel,
                  jax.device_count() // args.class_parallel)

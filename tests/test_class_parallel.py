@@ -166,10 +166,22 @@ def test_train_backbone_cli_class_parallel(tmp_path):
         train_backbone,
     )
 
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+        save_image_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.synthetic import (
+        synthetic_faces,
+    )
+
+    imgs, labels = synthetic_faces(num_ids=4, per_id=8, size=16, seed=2)
+    ev = str(tmp_path / "eval.npz")
+    save_image_store(ev, (imgs * 255).astype(np.uint8), labels % 4)
     out = str(tmp_path / "cp")
     state, history = train_backbone.main([
         "--synthetic", "--synthetic-size", "16", "--model", "lightcnn9",
         "--class-parallel", "4", "--epochs", "1", "--batch-size", "8",
-        "--out-dir", out])
+        "--eval-images", ev, "--out-dir", out])
     assert np.isfinite(history[0].train["loss"])
     assert np.isfinite(history[0].train["acc"])
+    # class-parallel EVAL ran over the 2-D mesh too
+    assert np.isfinite(history[0].valid["loss"])
