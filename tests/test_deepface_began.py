@@ -179,3 +179,36 @@ def test_deepface_cli_end_to_end(tmp_path):
     eval_cos.main(["--features", ex + "/valid.npz", "--out-dir", ec,
                    "--batch-size", "16"])
     assert (tmp_path / "ec" / "cosine_similarity.csv").exists()
+
+
+def test_began_dp_step_8dev():
+    """BEGAN-CS GAN step under shard_map data parallelism (the
+    mutli_gpu-era capability for the GAN trainer): one step over the
+    8-device mesh, finite losses, k_t updated identically on all shards."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.parallel import (
+        make_mesh,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train.gan import (
+        shard_map_gan_step,
+    )
+
+    rng = np.random.default_rng(4)
+    b, size, h_dim = 16, 32, 16
+    imgs = jnp.asarray(rng.uniform(-1, 1, (b, size, size, 1)),
+                       jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, b), jnp.int32)
+    gen = Generator(size=size, channels=1, n=16, h_dim=h_dim)
+    disc = AutoencoderDiscriminator(size=size, channels=1, n=16,
+                                    h_dim=h_dim)
+    gtx, dtx = optax.adam(1e-4), optax.adam(1e-4)
+    state = create_gan_state(gen, disc, gtx, dtx, jax.random.PRNGKey(0),
+                             imgs, h_dim)
+    step = shard_map_gan_step(
+        make_began_cs_train_step(gen, disc, gtx, dtx, h_dim=h_dim,
+                                 axis_name="data"),
+        make_mesh(jax.devices()[:8]))
+    new_state, metrics = step(state, imgs, imgs, labels)
+    for k in ("loss_d", "loss_g", "convergence"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(new_state.k_t))
