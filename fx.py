@@ -10,4 +10,7 @@ from improving_face_recognition_performance_using_triplet_loss_tpu.cli.__main__ 
 )
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    _rc = main()
+    # CLI mains return rich objects (states, results) for tests — only an
+    # int is a meaningful process exit code
+    sys.exit(_rc if isinstance(_rc, int) else 0)

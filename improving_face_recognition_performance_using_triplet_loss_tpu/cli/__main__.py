@@ -24,4 +24,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    _rc = main()
+    # CLI mains return rich objects (states, results) for tests — only an
+    # int is a meaningful process exit code
+    sys.exit(_rc if isinstance(_rc, int) else 0)
