@@ -48,6 +48,85 @@ def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, c: int, maxout: int):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _stem2_kernel(x_ref, w_ref, b_ref, w2_ref, b2_ref, o_ref, *, c: int,
+                  c2: int):
+    """stem dot + mfm2+pool epilogue + the 1x1 follow-up conv + mfm2, all
+    on the VMEM tile (lightcnn9's conv1..conv2a prefix — conv2a is 1x1 so
+    it chains row-wise with no halo)."""
+    y = jnp.dot(x_ref[:], w_ref[:],
+                preferred_element_type=jnp.float32)      # [TM, 4C]
+    y = y + b_ref[:]
+    half = c // 2
+    parts = [y[:, p * c + h * half: p * c + (h + 1) * half]
+             for p in range(4) for h in range(2)]
+    stem = functools.reduce(jnp.maximum, parts)          # [TM, C/2]
+    y2 = jnp.dot(stem.astype(x_ref.dtype), w2_ref[:],
+                 preferred_element_type=jnp.float32)     # [TM, C2]
+    y2 = y2 + b2_ref[:]
+    half2 = c2 // 2
+    out = jnp.maximum(y2[:, :half2], y2[:, half2:])
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def stem2_conv_pallas(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    w2: jnp.ndarray,
+    bias2: jnp.ndarray,
+    *,
+    tile_m: int = 4096,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused [conv5x5(Cin=1)+mfm2+pool] -> [conv1x1+mfm2] (the lightcnn9
+    conv1..conv2a prefix) in one pallas_call. w2: [1, 1, C/2, C2] or
+    [C/2, C2]. Returns [B, H/2, W/2, C2/2]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, ww_, _ = x.shape
+    c = w.shape[3]
+    w2 = w2.reshape(w2.shape[-2], w2.shape[-1])
+    c2 = w2.shape[1]
+    hh, ww = h // 2, ww_ // 2
+
+    xp = space_to_depth2(x)
+    patches = jax.lax.conv_general_dilated_patches(
+        xp, (3, 3), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    m = b * hh * ww
+    k = patches.shape[-1]
+    patches = patches.reshape(m, k)
+    wp = pack_stem_weights(w)
+    wp = jnp.transpose(wp, (2, 0, 1, 3)).reshape(k, 4 * c)
+
+    if m % tile_m != 0:
+        tile_m = max(g for g in (2048, 1024, 512, 256, 128, 64, 32, 16, 8, 1)
+                     if m % g == 0)
+    out = pl.pallas_call(
+        functools.partial(_stem2_kernel, c=c, c2=c2),
+        grid=(m // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 4 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c // 2, c2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, c2 // 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c2 // 2), x.dtype),
+        interpret=interpret,
+    )(patches, wp.astype(x.dtype),
+      jnp.tile(bias.astype(jnp.float32), 4)[None, :],
+      w2.astype(x.dtype), bias2.astype(jnp.float32)[None, :])
+    return out.reshape(b, hh, ww, c2 // 2)
+
+
 def stem_conv_maxout_pool_pallas(
     x: jnp.ndarray,
     w: jnp.ndarray,

@@ -102,3 +102,30 @@ def test_bf16_train_step_through_stem(model_name):
     _, m = step(state, jnp.asarray(x), jnp.asarray(x),
                 jnp.arange(4, dtype=jnp.int32) % 4)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_stem2_fused_prefix_matches_reference():
+    """stem+conv2a fused kernel (stem2_conv_pallas): exact vs the unfused
+    two-layer prefix. Kept as a measured exhibit — composed into the full
+    network it LOSES 18% end-to-end (docs/DESIGN.md round-2 findings), so
+    the models do not use it."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.mfm import (
+        mfm2,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.pallas.stem_kernel import (
+        stem2_conv_pallas,
+    )
+
+    rng = np.random.default_rng(10)
+    x = _rand((2, 16, 16, 1), 10)
+    w = jnp.asarray(rng.normal(size=(5, 5, 1, 8)), jnp.float32) * 0.3
+    b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(1, 1, 4, 12)), jnp.float32) * 0.3
+    b2 = jnp.asarray(rng.normal(size=(12,)), jnp.float32)
+    got = stem2_conv_pallas(x, w, b, w2, b2)
+    stem = reference_stem(x, w, b)
+    want = mfm2(jax.lax.conv_general_dilated(
+        stem, w2, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
