@@ -244,11 +244,14 @@ def main(argv=None):
             mining_mode=args.mining, axis_name=axis,
             crop_size=args.crop_size)
         if args.data_parallel:
-            if args.scan_chunk > 1:
-                raise SystemExit("--scan-chunk currently supports the "
-                                 "single-device path only")
             mesh = make_mesh()
-            train_step = shard_map_step(train_step, mesh, has_state_out=True)
+            if args.scan_chunk > 1:
+                from ..train import shard_map_scanned_step
+
+                train_step = shard_map_scanned_step(train_step, mesh)
+            else:
+                train_step = shard_map_step(train_step, mesh,
+                                            has_state_out=True)
             eval_step = shard_map_step(eval_step, mesh, has_state_out=False)
         elif args.scan_chunk > 1:
             from ..train import make_scanned_step
@@ -304,8 +307,7 @@ def main(argv=None):
             eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
             checkpoint_every_epochs=args.checkpoint_every,
             start_epoch=start_epoch, preemption_guard=guard,
-            scan_chunk=args.scan_chunk if not args.data_parallel
-            and not args.class_parallel else 0)
+            scan_chunk=args.scan_chunk if not args.class_parallel else 0)
     sink.flush()
 
     from ..serve.export import export_params

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference's TB projector visual, C13)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard_map over all visible devices")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="parameter EMA; the export uses the averaged "
+                        "weights (facenet.py:168-211)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -93,6 +96,10 @@ def main(argv=None):
 
     model = LinearHead(out_dim=args.embedding_dim)
     tx = sgd_wd(lr=args.lr, weight_decay=args.weight_decay)
+    if args.ema_decay > 0:
+        from ..train import with_param_ema
+
+        tx = with_param_ema(tx, decay=args.ema_decay)
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
                                feats[:1])
 
@@ -149,7 +156,13 @@ def main(argv=None):
         log.info("projector TSVs written (before/after triplet)")
 
     from ..serve.export import export_params
-    export_params(os.path.join(args.out_dir, "export"), state.params,
+    export_weights = state.params
+    if args.ema_decay > 0:
+        from ..train import get_ema_params
+
+        export_weights = get_ema_params(state.opt_state)
+        log.info("export uses EMA weights (decay %.4f)", args.ema_decay)
+    export_params(os.path.join(args.out_dir, "export"), export_weights,
                   model_name="linear_head", feature_dim=args.embedding_dim,
                   input_hw=(1, feats.shape[1]), input_channels=1)
     log.info("done; final train loss %g",

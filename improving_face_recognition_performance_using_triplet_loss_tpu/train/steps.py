@@ -451,6 +451,41 @@ def make_scanned_step(step_fn) -> Callable:
     return scanned
 
 
+def shard_map_scanned_step(
+    step_fn,
+    mesh,
+    *,
+    metric_keys=BACKBONE_METRIC_KEYS,
+    axis_name: str = DATA_AXIS,
+):
+    """Data parallelism COMPOSED with scan chunking: the lax.scan over K
+    stacked batches runs inside shard_map, so each dispatch advances K
+    steps with the state resident in HBM AND the batch dim (axis 1 of the
+    [K, B, ...] inputs) sharded over ICI. ``step_fn`` must have been built
+    with ``axis_name``; metrics come back stacked [K] (scalars, pmean'd
+    in-step) / [K, B] (per-row, batch-sharded)."""
+
+    def scanned(state, anchors, positives, labels):
+        def body(st, xl):
+            st, m = step_fn(st, *xl)
+            return st, m
+
+        return jax.lax.scan(body, state, (anchors, positives, labels))
+
+    mspec = {
+        k: (P(None, axis_name) if k in _PER_ROW_METRICS else P())
+        for k in metric_keys
+    }
+    return jax.jit(jax.shard_map(
+        scanned,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, axis_name),
+                  P(None, axis_name)),
+        out_specs=(P(), mspec),
+        check_vma=False,
+    ))
+
+
 def infer_class_parallel_specs(state: TrainState, num_classes: int,
                                model_axis: str):
     """PartitionSpec tree for class-parallel training: any leaf whose tree
