@@ -275,6 +275,36 @@ def _fit_tree(feats, residuals, depth, n_candidates, rng, nu):
     return idx1, idx2, thresh, leaf_values, assignment
 
 
+def _batched_features(pred: ShapePredictor, grays, rects, ex_img, cur,
+                      level: CascadeLevel) -> np.ndarray:
+    """Feature extraction for every training sample at once: the per-sample
+    similarity transforms stay a (cheap, 2x2-SVD) loop so numerics match
+    inference exactly, but the pixel GATHER — the hot part at dlib-scale
+    settings — vectorizes when all images share a shape."""
+    s = cur.shape[0]
+    ms = np.stack([similarity_transform(pred.mean_shape, cur[i])
+                   for i in range(s)])                  # [S, 2, 3]
+    shapes = {g.shape for g in grays}
+    if len(shapes) != 1:
+        return np.stack([
+            pred._features(grays[ex_img[i]], rects[ex_img[i]], cur[i], level)
+            for i in range(s)
+        ])
+    imgs = np.stack([np.asarray(g, np.float32) for g in grays])  # [N, H, W]
+    h_img, w_img = imgs.shape[1:3]
+    # pts[s] = cur[s][anchors] + deltas @ rot[s]^T  (ShapePredictor._features)
+    pts = cur[:, level.anchors] + np.einsum(
+        "pd,sed->spe", level.deltas, ms[:, :, :2])       # [S, P, 2]
+    r = rects[ex_img]                                    # [S, 4]
+    w = np.maximum(r[:, 2] - r[:, 0], 1e-6)[:, None]
+    h = np.maximum(r[:, 3] - r[:, 1], 1e-6)[:, None]
+    xs = np.clip((pts[:, :, 0] * w + r[:, 0:1]).astype(np.int64), 0,
+                 w_img - 1)
+    ys = np.clip((pts[:, :, 1] * h + r[:, 1:2]).astype(np.int64), 0,
+                 h_img - 1)
+    return imgs[ex_img[:, None], ys, xs].astype(np.float32)
+
+
 def train_shape_predictor(
     images: list[np.ndarray],
     rects: np.ndarray,
@@ -341,10 +371,7 @@ def train_shape_predictor(
             leaf_values=np.zeros(
                 (trees_per_cascade, 2 ** tree_depth, 2 * num_l), np.float32),
         )
-        feats = np.stack([
-            pred._features(grays[ex_img[i]], rects[ex_img[i]], cur[i], level)
-            for i in range(cur.shape[0])
-        ])  # [S, P]
+        feats = _batched_features(pred, grays, rects, ex_img, cur, level)
         residuals = (tgt - cur).reshape(cur.shape[0], -1).astype(np.float32)
         for k in range(trees_per_cascade):
             i1, i2, th, lv, assign = _fit_tree(

@@ -230,3 +230,34 @@ def test_landmarks68_cli_train_and_detect(tmp_path, trained):
     import os
 
     assert os.path.exists(out)
+
+
+def test_batched_features_match_per_sample():
+    """The vectorized training-feature gather == the per-sample inference
+    path exactly (same transforms, same clipping)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.ert import (
+        _batched_features,
+    )
+
+    rng = np.random.default_rng(6)
+    images, rects, shapes = _dataset(6, seed=6)
+    mean = shapes.mean(0)
+    mean_n = (mean - rects[0, :2]) / (rects[0, 2] - rects[0, 0])  # rough
+    pred = ShapePredictor(mean_shape=np.clip(mean_n, 0, 1).astype(np.float32))
+    level = CascadeLevel(
+        anchors=rng.integers(0, 68, 50).astype(np.int64),
+        deltas=rng.normal(0, 0.05, (50, 2)).astype(np.float32),
+        split_idx1=np.zeros((1, 1), np.int64),
+        split_idx2=np.zeros((1, 1), np.int64),
+        split_thresh=np.zeros((1, 1), np.float32),
+        leaf_values=np.zeros((1, 2, 136), np.float32),
+    )
+    ex_img = np.array([0, 1, 2, 3, 4, 5])
+    cur = np.stack([pred.mean_shape + rng.normal(0, 0.02, (68, 2))
+                    for _ in range(6)]).astype(np.float32)
+    got = _batched_features(pred, images, rects, ex_img, cur, level)
+    want = np.stack([
+        pred._features(images[i], rects[i], cur[i], level)
+        for i in range(6)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
