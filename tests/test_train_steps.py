@@ -353,3 +353,26 @@ def test_train_backbone_cli_ema_export(tmp_path):
     # and the export differs from the raw (non-averaged) weights
     assert not np.allclose(exported["conv1"]["kernel"],
                            np.asarray(state.params["conv1"]["kernel"]))
+
+
+def test_resume_with_ema_opt_state(tmp_path):
+    """orbax checkpoint/resume carries the ParamEmaState NamedTuple inside
+    opt_state (EMA training is resumable)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        train_backbone,
+    )
+
+    out = str(tmp_path / "r")
+    args = ["--synthetic", "--synthetic-size", "16", "--model", "lightcnn9",
+            "--ema-decay", "0.9", "--batch-size", "16", "--out-dir", out]
+    train_backbone.main(args + ["--epochs", "1"])
+    state2, history2 = train_backbone.main(
+        args + ["--epochs", "2", "--resume"])
+    # resumed: only epoch 1 ran in the second invocation
+    assert [h.epoch for h in history2] == [1]
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        get_ema_params,
+    )
+
+    ema = get_ema_params(state2.opt_state)
+    assert np.isfinite(np.asarray(ema["conv1"]["kernel"]).sum())
