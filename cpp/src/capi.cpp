@@ -52,6 +52,12 @@ int fx_store_size(void* s) {
   return static_cast<facejax::IdentityStore*>(s)->size();
 }
 
+// Register_and_Check_DB_File semantics (Feature.hpp:614-667): skip
+// registration when the NAME is already enrolled.
+int fx_store_exists(void* s, const char* name) {
+  return static_cast<facejax::IdentityStore*>(s)->Exists(name) ? 1 : 0;
+}
+
 int fx_store_register(void* s, const char* name, const float* fv,
                       float dedup_th) {
   return static_cast<facejax::IdentityStore*>(s)->Register(name, fv,

@@ -28,6 +28,9 @@ def build_parser():
                    help="keep mutually-dissimilar representatives per "
                         "identity below this cosine (clustering.h rule)")
     e.add_argument("--dedup-threshold", type=float, default=0.99999)
+    e.add_argument("--skip-existing-names", action="store_true",
+                   help="skip identities whose name is already enrolled "
+                        "(Register_and_Check_DB_File, Feature.hpp:614-667)")
 
     m = sub.add_parser("match", help="identify probe features")
     m.add_argument("--store", required=True)
@@ -165,20 +168,24 @@ def main(argv=None):
         if args.names_json:
             with open(args.names_json) as f:
                 names = json.load(f)["classes"]
-        stored = deduped = 0
+        stored = deduped = skipped_names = 0
         with NativeIdentityStore(args.store, dim) as store:
             for ident in np.unique(labels):
                 rows = feats[labels == ident]
                 sel = native_select_representatives(
                     rows.astype(np.float32), args.select_threshold)
                 name = (names[int(ident)] if names else f"id_{int(ident)}")
+                if args.skip_existing_names and store.exists(name):
+                    skipped_names += 1
+                    continue
                 for i in sel:
                     if store.register(name, rows[i],
                                       args.dedup_threshold) >= 0:
                         stored += 1
                     else:
                         deduped += 1
-            print(f"enrolled {stored} features ({deduped} deduped); "
+            print(f"enrolled {stored} features ({deduped} deduped, "
+                  f"{skipped_names} names already present); "
                   f"store size {len(store)}")
         return stored
 

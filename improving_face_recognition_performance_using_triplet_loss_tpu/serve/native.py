@@ -69,6 +69,8 @@ def load_native() -> ctypes.CDLL:
     lib.fx_store_close.argtypes = [ctypes.c_void_p]
     lib.fx_store_size.restype = ctypes.c_int
     lib.fx_store_size.argtypes = [ctypes.c_void_p]
+    lib.fx_store_exists.restype = ctypes.c_int
+    lib.fx_store_exists.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.fx_store_register.restype = ctypes.c_int
     lib.fx_store_register.argtypes = [ctypes.c_void_p, ctypes.c_char_p, f32p,
                                       ctypes.c_float]
@@ -201,6 +203,11 @@ class NativeIdentityStore:
         blob = meta if isinstance(meta, str) else _json.dumps(meta)
         return int(self._lib.fx_store_register_meta(
             self._h, name.encode(), blob.encode(), fp, dedup_th))
+
+    def exists(self, name: str) -> bool:
+        """Name already enrolled? (Register_and_Check_DB_File's skip rule,
+        Feature.hpp:614-667.)"""
+        return bool(self._lib.fx_store_exists(self._h, name.encode()))
 
     def meta(self, index: int) -> dict | None:
         """Person-record JSON for a row (empty dict when none stored)."""

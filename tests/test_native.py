@@ -308,3 +308,42 @@ def test_identify_cli_match_empty_store(tmp_path):
     with pytest.raises(SystemExit):
         identify.main(["match", "--store", str(tmp_path / "none.fjdb"),
                        "--features", str(tmp_path / "p.npz")])
+
+
+def test_store_exists_and_skip_existing_names(tmp_path):
+    """Register_and_Check semantics: name lookup + enroll --skip-existing-
+    names skips re-registration of enrolled identities."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.synthetic import (
+        synthetic_features,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve import (
+        native,
+    )
+
+    try:
+        native.load_native()
+    except native.NativeUnavailable as e:
+        pytest.skip(f"native unavailable: {e}")
+
+    feats, labels = synthetic_features(num_ids=3, per_id=3, dim=16, seed=2)
+    fpath = str(tmp_path / "f.npz")
+    save_feature_store(fpath, feats, labels)
+    db = str(tmp_path / "db.fjdb")
+    identify.main(["enroll", "--store", db, "--features", fpath])
+    with native.NativeIdentityStore(db, 16) as st:
+        n0 = len(st)
+        assert st.exists("id_0") and not st.exists("nobody")
+    # different feature noise, same names: all three identities skip
+    feats2, labels2 = synthetic_features(num_ids=3, per_id=3, dim=16, seed=9)
+    fpath2 = str(tmp_path / "f2.npz")
+    save_feature_store(fpath2, feats2, labels2)
+    identify.main(["enroll", "--store", db, "--features", fpath2,
+                   "--skip-existing-names"])
+    with native.NativeIdentityStore(db, 16) as st:
+        assert len(st) == n0  # nothing added
