@@ -117,6 +117,7 @@ def main():
     t_first = None
     t0 = time.perf_counter()
     done = 0
+    done_at_first = 0
     loss = float("nan")
     group = []
     for batch in batcher:
