@@ -25,6 +25,7 @@
 #include <vector>
 
 #include "facejax/npz.hpp"
+#include "facejax/qgemm.hpp"
 
 namespace facejax {
 
@@ -168,18 +169,13 @@ inline void Gemm(const std::vector<float>& a, int m, int k,
 }
 #endif
 
-inline void ConvSame(const Tensor& in, const NpyArray& kernel,
-                     const NpyArray& bias, Tensor& out) {
-  const int kh = static_cast<int>(kernel.shape[0]);
-  const int kw = static_cast<int>(kernel.shape[1]);
-  const int cin = static_cast<int>(kernel.shape[2]);
-  const int cout = static_cast<int>(kernel.shape[3]);
-  if (cin != in.c) throw std::runtime_error("conv: channel mismatch");
+// im2col in kernel's [KH, KW, Cin] order (SAME padding, stride 1)
+inline void Im2Col(const Tensor& in, int kh, int kw,
+                   std::vector<float>& patches) {
+  const int cin = in.c;
   const int ph = (kh - 1) / 2, pw = (kw - 1) / 2;
-  const int m = in.h * in.w, k = kh * kw * cin;
-
-  // im2col in kernel's [KH, KW, Cin] order
-  std::vector<float> patches(static_cast<size_t>(m) * k, 0.0f);
+  const int k = kh * kw * cin;
+  patches.assign(static_cast<size_t>(in.h) * in.w * k, 0.0f);
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < in.h; ++y) {
     for (int x = 0; x < in.w; ++x) {
@@ -199,11 +195,70 @@ inline void ConvSame(const Tensor& in, const NpyArray& kernel,
       }
     }
   }
+}
+
+inline void ConvSame(const Tensor& in, const NpyArray& kernel,
+                     const NpyArray& bias, Tensor& out) {
+  const int kh = static_cast<int>(kernel.shape[0]);
+  const int kw = static_cast<int>(kernel.shape[1]);
+  const int cin = static_cast<int>(kernel.shape[2]);
+  const int cout = static_cast<int>(kernel.shape[3]);
+  if (cin != in.c) throw std::runtime_error("conv: channel mismatch");
+  const int m = in.h * in.w, k = kh * kw * cin;
+  std::vector<float> patches;
+  Im2Col(in, kh, kw, patches);
   std::vector<float> res;
   Gemm(patches, m, k, kernel.f32(), bias.f32(), cout, res);
   out.h = in.h;
   out.w = in.w;
   out.c = cout;
+  out.data = std::move(res);
+}
+
+// u8 im2col: byte copies instead of float copies (4x less traffic), and
+// both SAME-padding gaps and the k..kp tail are filled with 128 = the u8
+// zero point (a_q = 0), so padding contributes exactly nothing.
+inline void Im2ColU8(const uint8_t* in, int h, int w, int c, int kh, int kw,
+                     int kp, std::vector<uint8_t>& patches) {
+  const int ph = (kh - 1) / 2, pw = (kw - 1) / 2;
+  const int k = kh * kw * c;
+  patches.assign(static_cast<size_t>(h) * w * kp, 128);
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      uint8_t* row = patches.data() + (static_cast<size_t>(y) * w + x) * kp;
+      for (int dy = 0; dy < kh; ++dy) {
+        const int sy = y + dy - ph;
+        if (sy < 0 || sy >= h) continue;
+        for (int dx = 0; dx < kw; ++dx) {
+          const int sx = x + dx - pw;
+          if (sx < 0 || sx >= w) continue;
+          std::memcpy(row + (static_cast<size_t>(dy) * kw + dx) * c,
+                      in + (static_cast<size_t>(sy) * w + sx) * c, c);
+        }
+      }
+    }
+  }
+  (void)k;
+}
+
+// int8 path: dynamic u8 tensor quantization -> u8 im2col -> QGemm (see
+// qgemm.hpp for the scheme and its no-saturation guarantee).
+inline void ConvSameQ(const Tensor& in, int kh, int kw,
+                      const QuantizedKernel& qk, const float* bias,
+                      Tensor& out) {
+  const int m = in.h * in.w, k = kh * kw * in.c;
+  if (k != qk.k) throw std::runtime_error("qconv: depth mismatch");
+  std::vector<uint8_t> tq(in.data.size());
+  float a_scale = 1.0f;
+  QuantizeTensorU8(in.data.data(), in.data.size(), tq.data(), a_scale);
+  std::vector<uint8_t> aq;
+  Im2ColU8(tq.data(), in.h, in.w, in.c, kh, kw, qk.kp, aq);
+  std::vector<float> res;
+  QGemm(aq.data(), a_scale, m, qk, bias, res);
+  out.h = in.h;
+  out.w = in.w;
+  out.c = qk.n;
   out.data = std::move(res);
 }
 
@@ -270,8 +325,13 @@ inline void Mfm2(Tensor& t) {
 // from weights.npz with zero Python in the loop).
 class NativeNet {
  public:
-  NativeNet(const std::string& weights_npz, const std::string& model)
-      : w_(LoadNpz(weights_npz)), model_(model) {
+  // quantized=true routes every conv with contraction depth >= 64 through
+  // the int8 AVX2 path (qgemm.hpp): per-channel 6-bit-safe weights, dynamic
+  // u8 activations. The 5x5x1 stem (K=25, quantization-noise-sensitive and
+  // compute-trivial) and the dense/BN tail stay f32.
+  NativeNet(const std::string& weights_npz, const std::string& model,
+            bool quantized = false)
+      : w_(LoadNpz(weights_npz)), model_(model), quantized_(quantized) {
     if (model_ == "efmnet342") {
       require("params/conv1/kernel");
       feature_dim_ =
@@ -307,7 +367,24 @@ class NativeNet {
 
   void ConvLayer(Tensor& x, const std::string& name) const {
     Tensor y;
-    nn::ConvSame(x, get(name + "/kernel"), get(name + "/bias"), y);
+    const NpyArray& kernel = get(name + "/kernel");
+    const int kh = static_cast<int>(kernel.shape[0]);
+    const int kw = static_cast<int>(kernel.shape[1]);
+    const int cin = static_cast<int>(kernel.shape[2]);
+    const int cout = static_cast<int>(kernel.shape[3]);
+    const int k = kh * kw * cin;
+    if (quantized_ && k >= 64) {
+      auto it = qcache_.find(name);
+      if (it == qcache_.end()) {
+        nn::QuantizedKernel qk;
+        nn::QuantizeKernel(kernel.f32(), k, cout, qk);
+        it = qcache_.emplace(name, std::move(qk)).first;
+      }
+      if (cin != x.c) throw std::runtime_error("conv: channel mismatch");
+      nn::ConvSameQ(x, kh, kw, it->second, get(name + "/bias").f32(), y);
+    } else {
+      nn::ConvSame(x, kernel, get(name + "/bias"), y);
+    }
     x = std::move(y);
   }
 
@@ -445,6 +522,10 @@ class NativeNet {
 
   std::map<std::string, NpyArray> w_;
   std::string model_;
+  bool quantized_ = false;
+  // quantize-on-first-use cache; Extract is single-threaded at the frame
+  // level (OpenMP lives inside the GEMMs), so no lock is needed.
+  mutable std::map<std::string, nn::QuantizedKernel> qcache_;
   int feature_dim_;
 };
 

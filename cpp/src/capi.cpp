@@ -186,10 +186,11 @@ int fx_sm_handle(void* sm, int event) {
 // ---- native embedding net (export-format consumer, Feature.hpp:163-205
 // parity: the serving process runs the net itself, no Python attached) ----
 
-void* fx_net_open(const char* weights_npz, const char* model, char* err,
-                  int err_cap) {
+// quantized != 0 enables the int8 AVX2 conv path (qgemm.hpp).
+void* fx_net_open_q(const char* weights_npz, const char* model,
+                    int quantized, char* err, int err_cap) {
   try {
-    return new facejax::NativeNet(weights_npz, model);
+    return new facejax::NativeNet(weights_npz, model, quantized != 0);
   } catch (const std::exception& e) {
     if (err && err_cap > 0) {
       std::strncpy(err, e.what(), err_cap - 1);
@@ -197,6 +198,11 @@ void* fx_net_open(const char* weights_npz, const char* model, char* err,
     }
     return nullptr;
   }
+}
+
+void* fx_net_open(const char* weights_npz, const char* model, char* err,
+                  int err_cap) {
+  return fx_net_open_q(weights_npz, model, 0, err, err_cap);
 }
 
 void* fx_efmnet_open(const char* weights_npz, char* err, int err_cap) {

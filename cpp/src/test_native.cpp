@@ -234,6 +234,77 @@ static void TestGemmVsNaive() {
   std::printf("TestGemmVsNaive OK\n");
 }
 
+static void TestQGemmExactOnGrid() {
+  // Inputs constructed ON the quantization grid (per-column weight max hits
+  // exactly 63 * s_j, activation max exactly 127 * s_a): the int8 path must
+  // then agree with exact integer math to f32 rounding only. Odd sizes
+  // exercise the k%4 / n%8 / n%16 / m%4 remainder paths.
+  std::mt19937 rng(11);
+  const int m = 5, k = 13, n = 21;
+  std::uniform_int_distribution<int> wq(-63, 63), aq(-127, 127);
+  const float sw = 0.0125f, sa = 0.031f;
+  std::vector<int> wint(static_cast<size_t>(k) * n), aint(static_cast<size_t>(m) * k);
+  for (auto& v : wint) v = wq(rng);
+  for (auto& v : aint) v = aq(rng);
+  // pin the extremes so the dynamic scales reproduce sw / sa exactly
+  for (int j = 0; j < n; ++j) wint[static_cast<size_t>(0) * n + j] = 63;
+  aint[0] = 127;
+  std::vector<float> w(wint.size()), a(aint.size()), bias(n);
+  for (size_t i = 0; i < wint.size(); ++i) w[i] = wint[i] * sw;
+  for (size_t i = 0; i < aint.size(); ++i) a[i] = aint[i] * sa;
+  for (int j = 0; j < n; ++j) bias[j] = 0.1f * j;
+
+  nn::QuantizedKernel qk;
+  nn::QuantizeKernel(w.data(), k, n, qk);
+  std::vector<uint8_t> au8(static_cast<size_t>(m) * qk.kp);
+  float a_scale = 0.0f;
+  nn::QuantizeActivations(a.data(), m, k, qk.kp, au8.data(), a_scale);
+  assert(std::fabs(a_scale - sa) < 1e-6f);
+  std::vector<float> got;
+  nn::QGemm(au8.data(), a_scale, m, qk, bias.data(), got);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) {
+      long long acc = 0;
+      for (int kk = 0; kk < k; ++kk)
+        acc += static_cast<long long>(aint[static_cast<size_t>(i) * k + kk]) *
+               wint[static_cast<size_t>(kk) * n + j];
+      const double want = acc * double(sa) * sw + bias[j];
+      const double rel = std::fabs(got[static_cast<size_t>(i) * n + j] - want) /
+                         (std::fabs(want) + 1e-3);
+      assert(rel < 1e-5);
+    }
+  std::printf("TestQGemmExactOnGrid OK\n");
+}
+
+static void TestQGemmVsF32Tolerance() {
+  // Off-grid random inputs: the int8 result must track the f32 GEMM within
+  // the quantization-noise budget (per-channel 6-bit weights + 8-bit
+  // dynamic activations over K=300 sums keep relative error well under 2%).
+  std::mt19937 rng(13);
+  std::uniform_real_distribution<float> dist(-1.0f, 1.0f);
+  const int m = 34, k = 300, n = 47;
+  std::vector<float> a(static_cast<size_t>(m) * k), w(static_cast<size_t>(k) * n);
+  for (auto& v : a) v = dist(rng);
+  for (auto& v : w) v = dist(rng);
+  std::vector<float> ref;
+  nn::Gemm(a, m, k, w.data(), nullptr, n, ref);
+  nn::QuantizedKernel qk;
+  nn::QuantizeKernel(w.data(), k, n, qk);
+  std::vector<uint8_t> au8(static_cast<size_t>(m) * qk.kp);
+  float a_scale = 0.0f;
+  nn::QuantizeActivations(a.data(), m, k, qk.kp, au8.data(), a_scale);
+  std::vector<float> got;
+  nn::QGemm(au8.data(), a_scale, m, qk, nullptr, got);
+  double num = 0, den = 0;
+  for (size_t i = 0; i < ref.size(); ++i) {
+    num += double(got[i] - ref[i]) * (got[i] - ref[i]);
+    den += double(ref[i]) * ref[i];
+  }
+  const double rel = std::sqrt(num / den);
+  assert(rel < 0.02);
+  std::printf("TestQGemmVsF32Tolerance OK (rel frobenius %.5f)\n", rel);
+}
+
 static void TestEfm3MaxPool() {
   Tensor t;
   t.resize(2, 2, 6);
@@ -256,6 +327,8 @@ static void TestEfm3MaxPool() {
 
 int main() {
   TestGemmVsNaive();
+  TestQGemmExactOnGrid();
+  TestQGemmVsF32Tolerance();
   TestEfm3MaxPool();
   TestDotVsScalar();
   TestMatcher();

@@ -24,7 +24,10 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
         for k, v in tree.items():
             flat.update(_flatten(v, f"{prefix}{k}/"))
     else:
-        flat[prefix.rstrip("/")] = np.asarray(tree)
+        # XLA may hand back transposed (Fortran-order) buffers for 2-D
+        # params; the export contract (and the native npz reader) is
+        # C-order, so force it here.
+        flat[prefix.rstrip("/")] = np.ascontiguousarray(np.asarray(tree))
     return flat
 
 

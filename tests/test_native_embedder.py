@@ -137,3 +137,43 @@ def test_native_matches_jax_forward_other_models(model_name, cls_kwargs,
             got = emb.extract(x[i, :, :, 0])
             np.testing.assert_allclose(got, np.asarray(want[i]), rtol=5e-4,
                                        atol=2e-4)
+
+
+def test_native_quantized_embeddings_track_f32(export):
+    """int8 path (qgemm.hpp): per-channel saturation-safe int8 weights +
+    dynamic u8 activations must reproduce the f32 embeddings to >=0.995
+    cosine — on RANDOM weights, the hardest case (no trained redundancy
+    to absorb quantization noise)."""
+    native = _native()
+    _, _, d = export
+    rng = np.random.default_rng(7)
+    imgs = rng.random((4, 64, 64)).astype(np.float32)
+    with native.NativeEmbedder(d) as f32, \
+            native.NativeEmbedder(d, quantized=True) as q:
+        assert q.quantized and not f32.quantized
+        for img in imgs:
+            a, b = f32.extract(img), q.extract(img)
+            cos = float(np.dot(a, b) /
+                        (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.995, f"int8 drifted: cosine {cos}"
+
+
+def test_native_quantized_identify_decisions_match(export, tmp_path):
+    """Quantization must not flip identification decisions: enroll with
+    f32, probe with int8 (mixed precision gallery/probe, the deployment
+    case when old f32 enrollments meet a quantized embedder)."""
+    native = _native()
+    _, _, d = export
+    rng = np.random.default_rng(8)
+    alice = rng.random((64, 64)).astype(np.float32)
+    bob = rng.random((64, 64)).astype(np.float32)
+    probe = np.clip(alice + 0.01 * rng.standard_normal((64, 64)), 0,
+                    1).astype(np.float32)
+    store_path = str(tmp_path / "dbq.fjdb")
+    with native.NativeEmbedder(d) as f32, \
+            native.NativeEmbedder(d, quantized=True) as q, \
+            native.NativeIdentityStore(store_path, f32.feature_dim) as st:
+        st.register("alice", f32.extract(alice))
+        st.register("bob", f32.extract(bob))
+        name, sim = st.match(q.extract(probe), 0.5)
+    assert name == "alice" and sim > 0.9
