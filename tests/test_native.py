@@ -212,6 +212,30 @@ def test_tpu_gallery_matcher_threshold():
     assert idx[1] == -1  # 0.5 cosine, below threshold
 
 
+def test_sharded_gallery_matcher_equals_single_device():
+    """Gallery rows sharded over the 8-device mesh: global winners must be
+    identical to the single-device matmul matcher, including a gallery size
+    that does NOT divide the device count (padding rows must never win)
+    and NaN gallery rows (Compare_Face_From_DB's guard)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.gallery import (
+        match_gallery_sharded,
+        match_gallery_tpu,
+    )
+
+    rng = np.random.default_rng(12)
+    gallery = rng.normal(size=(301, 48)).astype(np.float32)  # 301 % 8 != 0
+    gallery[17] = np.nan
+    queries = np.concatenate([
+        gallery[[0, 300, 37]] * 3.0,
+        rng.normal(size=(5, 48)).astype(np.float32),
+    ])
+    i_ref, s_ref = match_gallery_tpu(gallery, queries, sim_th=-1.0)
+    idx, sim = match_gallery_sharded(gallery, queries, sim_th=-1.0)
+    np.testing.assert_array_equal(idx, i_ref)
+    np.testing.assert_allclose(sim, s_ref, atol=1e-5)
+    assert idx[0] == 0 and idx[1] == 300  # incl. the last (padded) shard
+
+
 @pytest.mark.parametrize("sanitizer,flags", [
     ("tsan", "-fsanitize=thread"),
     ("asan", "-fsanitize=address,undefined"),
