@@ -30,7 +30,7 @@ def build_parser():
                             "deepface"])
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--out-dir", default="runs/extract")
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=128)  # B=128 tiles the MXU batch dim exactly (docs/DESIGN.md sweep)
     p.add_argument("--bf16", action="store_true")
     return p
 
@@ -77,6 +77,14 @@ def main(argv=None):
     splits = {}
     if args.synthetic:
         size, ch = ((72, 3) if args.model == "deepface" else (64, 1))
+        if args.export_dir:
+            # the export manifest knows the trained input size; a fixture at
+            # any other size would fail at the dense layer
+            import json
+
+            with open(os.path.join(args.export_dir, "manifest.json")) as f:
+                inp = json.load(f)["input"]
+            size, ch = inp["height"], inp["channels"]
         tr = synthetic_faces(num_ids=8, per_id=8, size=size, channels=ch)
         va = synthetic_faces(num_ids=8, per_id=4, size=size, channels=ch,
                              seed=1)
@@ -98,8 +106,13 @@ def main(argv=None):
 
     if args.export_dir:
         params, batch_stats, manifest = load_exported_params(args.export_dir)
+        # class count comes from the trained classifier kernel, not a flag
+        # (fc2 on the grayscale ladders, f8 on deepface)
+        head = params.get("fc2") or params.get("f8")
+        num_classes = (int(head["kernel"].shape[1]) if head
+                       else args.num_classes)
         model = _model_by_name(manifest.get("model", args.model),
-                               args.num_classes, args.bf16)
+                               num_classes, args.bf16)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
