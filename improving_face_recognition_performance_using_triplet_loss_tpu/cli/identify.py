@@ -21,7 +21,15 @@ def build_parser():
     e = sub.add_parser("enroll", help="register features into the store")
     e.add_argument("--store", required=True, help="identity store file")
     e.add_argument("--features", required=True,
-                   help=".npz feature store (features+labels)")
+                   help=".npz feature store (features+labels); with "
+                        "--native-export, an IMAGE store instead")
+    e.add_argument("--native-export",
+                   help="export dir: embed the --features IMAGE store with "
+                        "the native C++ forward (no JAX in the loop — the "
+                        "reference's in-process flow, Feature.hpp:163-205)")
+    e.add_argument("--int8", action="store_true",
+                   help="with --native-export: int8 quantized convs "
+                        "(2.9x faster, >=0.9997 cosine vs f32)")
     e.add_argument("--names-json", help='{"classes": [...]} mapping labels '
                                         "to names (pack_dataset output)")
     e.add_argument("--select-threshold", type=float, default=0.98,
@@ -35,6 +43,10 @@ def build_parser():
     m = sub.add_parser("match", help="identify probe features")
     m.add_argument("--store", required=True)
     m.add_argument("--features", required=True)
+    m.add_argument("--native-export",
+                   help="export dir: embed the --features IMAGE store with "
+                        "the native C++ forward (see enroll --native-export)")
+    m.add_argument("--int8", action="store_true")
     m.add_argument("--sim-th", type=float, default=0.5)
     m.add_argument("--out", help="write results JSONL here")
 
@@ -157,10 +169,22 @@ def main(argv=None):
         return _person_main(args)
 
     from ..data import load_feature_store
-    from ..serve.native import (NativeIdentityStore,
+    from ..serve.native import (NativeEmbedder, NativeIdentityStore,
                                 native_select_representatives)
 
-    feats, labels = load_feature_store(args.features)
+    if getattr(args, "native_export", None):
+        # pixels -> identity in one native process: embed the image store
+        # with the C++ forward, then enroll/match below as usual
+        from ..data.records import load_image_store
+
+        images, labels = load_image_store(args.features)
+        with NativeEmbedder(args.native_export,
+                            quantized=args.int8) as emb:
+            feats = np.stack([emb.extract(img) for img in images])
+        print(f"natively embedded {feats.shape[0]} images "
+              f"({'int8' if args.int8 else 'f32'}, dim {feats.shape[1]})")
+    else:
+        feats, labels = load_feature_store(args.features)
     dim = feats.shape[1]
 
     if args.command == "enroll":

@@ -371,3 +371,50 @@ def test_store_exists_and_skip_existing_names(tmp_path):
                    "--skip-existing-names"])
     with native.NativeIdentityStore(db, 16) as st:
         assert len(st) == n0  # nothing added
+
+
+def test_identify_cli_native_embed_flow(tmp_path):
+    """pixels -> identity in one native process: `identify enroll/match
+    --native-export` embeds IMAGE stores with the C++ forward (f32 enroll,
+    int8 probe — the mixed-precision deployment case)."""
+    jax = pytest.importorskip("jax")
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+        save_image_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    export = str(tmp_path / "export")
+    export_params(export, variables["params"], model_name="efmnet342",
+                  feature_dim=342, input_hw=(32, 32), input_channels=1)
+
+    rng = np.random.default_rng(5)
+    base = rng.random((3, 32, 32, 1)).astype(np.float32)  # 3 identities
+    gal = np.clip(base[:, None] + 0.01 * rng.standard_normal(
+        (3, 2, 32, 32, 1)), 0, 1).reshape(6, 32, 32, 1).astype(np.float32)
+    gal_labels = np.repeat(np.arange(3), 2)
+    probe = np.clip(base + 0.01 * rng.standard_normal(base.shape), 0,
+                    1).astype(np.float32)
+    save_image_store(str(tmp_path / "gal.npz"), gal, gal_labels)
+    save_image_store(str(tmp_path / "probe.npz"), probe, np.arange(3))
+
+    store = str(tmp_path / "db.fjdb")
+    stored = identify.main(["enroll", "--store", store,
+                            "--features", str(tmp_path / "gal.npz"),
+                            "--native-export", export])
+    assert stored >= 3
+    results = identify.main(["match", "--store", store,
+                             "--features", str(tmp_path / "probe.npz"),
+                             "--native-export", export, "--int8",
+                             "--sim-th", "0.8"])
+    assert all(r["name"] == f"id_{r['label']}" for r in results)
