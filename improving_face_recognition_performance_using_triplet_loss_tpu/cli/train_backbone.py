@@ -214,14 +214,19 @@ def main(argv=None):
         local_model = _model_by_name(
             args.model, num_classes // args.class_parallel, args.bf16)
         specs = infer_class_parallel_specs(state, num_classes, "model")
-        train_step = shard_map_step_2d(
-            make_backbone_train_step(
-                local_model, tx, margin=args.margin, alpha=args.alpha,
-                mining_mode=args.mining, axis_name="data",
-                class_axis_name="model",
-                mirror_augment=args.device_augment and not args.no_mirror,
-                crop_size=args.crop_size),
-            mesh, specs, has_state_out=True)
+        cp_step = make_backbone_train_step(
+            local_model, tx, margin=args.margin, alpha=args.alpha,
+            mining_mode=args.mining, axis_name="data",
+            class_axis_name="model",
+            mirror_augment=args.device_augment and not args.no_mirror,
+            crop_size=args.crop_size)
+        if args.scan_chunk > 1:
+            from ..train import shard_map_scanned_step_2d
+
+            train_step = shard_map_scanned_step_2d(cp_step, mesh, specs)
+        else:
+            train_step = shard_map_step_2d(cp_step, mesh, specs,
+                                           has_state_out=True)
         eval_step = shard_map_step_2d(
             make_backbone_eval_step(
                 local_model, margin=args.margin, alpha=args.alpha,
@@ -307,7 +312,7 @@ def main(argv=None):
             eval_batches=eval_batches, sink=sink, checkpointer=ckpt,
             checkpoint_every_epochs=args.checkpoint_every,
             start_epoch=start_epoch, preemption_guard=guard,
-            scan_chunk=args.scan_chunk if not args.class_parallel else 0)
+            scan_chunk=args.scan_chunk)
     sink.flush()
 
     from ..serve.export import export_params

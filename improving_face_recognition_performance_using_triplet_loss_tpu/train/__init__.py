@@ -15,6 +15,7 @@ from .steps import (  # noqa: F401
     make_head_eval_step,
     make_scanned_step,
     shard_map_scanned_step,
+    shard_map_scanned_step_2d,
     shard_map_step,
     shard_map_step_2d,
     infer_class_parallel_specs,

@@ -486,6 +486,44 @@ def shard_map_scanned_step(
     ))
 
 
+def shard_map_scanned_step_2d(
+    step_fn,
+    mesh,
+    state_specs,
+    *,
+    metric_keys=BACKBONE_METRIC_KEYS,
+    data_axis: str = DATA_AXIS,
+):
+    """Scan chunking COMPOSED with the 2-D (data, model) class-parallel
+    mesh: K steps per dispatch with the train state resident in HBM, the
+    batch dim (axis 1 of the [K, B, ...] inputs) sharded over the data
+    axis, and the classifier head + its optimizer mirrors sharded over the
+    model axis per ``state_specs``. The scan carry keeps the state's
+    shardings fixed across iterations. check_vma=True for the same
+    gradient-scaling reason as ``shard_map_step_2d`` (so the Pallas fused
+    miner is excluded here too)."""
+
+    def scanned(state, anchors, positives, labels):
+        def body(st, xl):
+            st, m = step_fn(st, *xl)
+            return st, m
+
+        return jax.lax.scan(body, state, (anchors, positives, labels))
+
+    mspec = {
+        k: (P(None, data_axis) if k in _PER_ROW_METRICS else P())
+        for k in metric_keys
+    }
+    return jax.jit(jax.shard_map(
+        scanned,
+        mesh=mesh,
+        in_specs=(state_specs, P(None, data_axis), P(None, data_axis),
+                  P(None, data_axis)),
+        out_specs=(state_specs, mspec),
+        check_vma=True,
+    ))
+
+
 def infer_class_parallel_specs(state: TrainState, num_classes: int,
                                model_axis: str):
     """PartitionSpec tree for class-parallel training: any leaf whose tree

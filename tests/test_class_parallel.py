@@ -185,3 +185,60 @@ def test_train_backbone_cli_class_parallel(tmp_path):
     assert np.isfinite(history[0].train["acc"])
     # class-parallel EVAL ran over the 2-D mesh too
     assert np.isfinite(history[0].valid["loss"])
+
+
+def test_class_parallel_scanned_equals_sequential():
+    """scan-chunk COMPOSED with the 2-D class-parallel mesh: K scanned
+    steps inside one shard_map dispatch equal K sequential 2-D dispatches
+    (state shardings carried through the scan)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        shard_map_scanned_step_2d,
+    )
+
+    model_size, n_classes, k, b = 4, C, 3, 8
+    mesh = make_2d_mesh(model_size=model_size)
+    rng = np.random.default_rng(4)
+    anc = jnp.asarray(rng.random((k, b, 6, 6, 1)), jnp.float32)
+    pos = jnp.asarray(rng.random((k, b, 6, 6, 1)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, n_classes, (k, b)), jnp.int32)
+
+    tx = optax.sgd(0.1)
+    state = create_train_state(_TinyNet(num_classes=n_classes), tx,
+                               jax.random.PRNGKey(0), np.asarray(anc[0, :1]))
+    local_model = _TinyNet(num_classes=n_classes // model_size)
+    specs = infer_class_parallel_specs(state, n_classes, "model")
+    raw = make_backbone_train_step(local_model, tx, mining_mode="hard",
+                                   axis_name="data",
+                                   class_axis_name="model")
+
+    seq = shard_map_step_2d(raw, mesh, specs, has_state_out=True)
+    s_seq = state
+    seq_losses = []
+    for i in range(k):
+        s_seq, m = seq(s_seq, anc[i], pos[i], labels[i])
+        seq_losses.append(float(m["loss"]))
+
+    scanned = shard_map_scanned_step_2d(raw, mesh, specs)
+    s_scan, metrics = scanned(state, anc, pos, labels)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses,
+                               rtol=5e-4)
+    assert metrics["pos_cos"].shape == (k, b)
+    assert int(s_scan.step) == k
+    for p1, p2 in zip(jax.tree_util.tree_leaves(s_seq.params),
+                      jax.tree_util.tree_leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_train_backbone_cli_class_parallel_scan_chunk(tmp_path):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        train_backbone,
+    )
+
+    out = str(tmp_path / "cpsc")
+    state, history = train_backbone.main([
+        "--synthetic", "--synthetic-size", "16", "--model", "lightcnn9",
+        "--class-parallel", "4", "--scan-chunk", "2", "--mining",
+        "semi_hard", "--epochs", "1", "--batch-size", "16",
+        "--out-dir", out])
+    assert np.isfinite(history[0].train["loss"])
