@@ -41,6 +41,10 @@ def build_parser():
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--mining", default="random",
                    choices=["random", "semi_hard", "semi_hard_fused", "hard"])
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="parameter EMA decay for the head (0 disables); "
+                        "export uses the averaged weights "
+                        "(facenet.py:195-199 semantics)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -86,6 +90,10 @@ def main(argv=None):
 
     head = LinearHead(out_dim=args.head_dim)
     tx = sgd_wd(lr=args.lr, weight_decay=args.weight_decay)
+    if args.ema_decay > 0:
+        from ..train import with_param_ema
+
+        tx = with_param_ema(tx, decay=args.ema_decay)
     feat_dim = backbone.feature_dim
     state = create_train_state(head, tx, jax.random.PRNGKey(args.seed),
                                np.zeros((1, feat_dim), np.float32))
@@ -114,7 +122,13 @@ def main(argv=None):
         state, head_step, lambda: iter(fb), epochs=args.epochs, sink=sink,
         checkpointer=ckpt)
     sink.flush()
-    export_params(os.path.join(args.out_dir, "export"), state.params,
+    export_weights = state.params
+    if args.ema_decay > 0:
+        from ..train import get_ema_params
+
+        export_weights = get_ema_params(state.opt_state)
+        log.info("export uses EMA weights (decay %.4f)", args.ema_decay)
+    export_params(os.path.join(args.out_dir, "export"), export_weights,
                   model_name="linear_head", feature_dim=args.head_dim,
                   input_hw=(1, feat_dim), input_channels=1)
     log.info("done")

@@ -97,6 +97,35 @@ def test_train_final_cli(image_store, tmp_path):
     assert os.path.exists(os.path.join(out, "export", "weights.npz"))
 
 
+def test_train_final_cli_ema_export(image_store, tmp_path):
+    """--ema-decay: the exported head weights are the EMA average, not the
+    raw trained params (same facenet.py:195-199 semantics as train_head)."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        load_exported_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        get_ema_params,
+    )
+
+    out = str(tmp_path / "fin_ema")
+    state, _ = train_final.main([
+        "--images", image_store, "--model", "efmnet342",
+        "--num-classes", "6", "--epochs", "2", "--batch-size", "12",
+        "--ema-decay", "0.5", "--lr", "0.05", "--out-dir", out,
+    ])  # lr >> reference default so the EMA lag is visible above rtol
+    exported, _, _ = load_exported_params(os.path.join(out, "export"))
+    ema = get_ema_params(state.opt_state)
+    ex_w = jax.tree_util.tree_leaves(exported)[0]
+    np.testing.assert_allclose(
+        np.asarray(ex_w), np.asarray(jax.tree_util.tree_leaves(ema)[0]),
+        rtol=1e-6)
+    # EMA at decay 0.5 over a few steps must lag the raw params
+    raw = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(ex_w), np.asarray(raw))
+
+
 def test_eval_cos_and_slice_cli(tmp_path):
     feats, labels = synthetic_features(num_ids=10, per_id=6, dim=32, seed=2)
     store = str(tmp_path / "store.npz")
