@@ -8,6 +8,7 @@
 #include "facejax/efmnet.hpp"
 #include "facejax/identity_store.hpp"
 #include "facejax/matcher.hpp"
+#include "facejax/mtcnn.hpp"
 #include "facejax/nms.hpp"
 #include "facejax/spsc_queue.hpp"
 #include "facejax/state_machine.hpp"
@@ -223,6 +224,104 @@ int fx_efmnet_extract(void* net, const float* img, int h, int w, float* out,
                       char* err, int err_cap) {
   try {
     static_cast<facejax::NativeNet*>(net)->Extract(img, h, w, out);
+    return 0;
+  } catch (const std::exception& e) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return -1;
+  }
+}
+
+// ---- native MTCNN cascade (full-frame detection with no Python in the
+// loop; reference MTCNN.hpp:993 detection_MTCNN parity) ----
+
+void* fx_mtcnn_open(const char* weights_npz, char* err, int err_cap) {
+  try {
+    return new facejax::NativeMtcnn(weights_npz);
+  } catch (const std::exception& e) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return nullptr;
+  }
+}
+
+void fx_mtcnn_close(void* det) {
+  delete static_cast<facejax::NativeMtcnn*>(det);
+}
+
+// img: h*w*c float32 RGB (or grayscale, c==1 -> replicated) in [0, 255].
+// boxes_out: box_cap*5 floats; points_out: box_cap*10 floats (written in
+// the reference's [10, N] layout). Returns the number of faces (clamped to
+// box_cap), or -1 on error.
+int fx_mtcnn_detect(void* det, const float* img, int h, int w, int c,
+                    int minsize, float th1, float th2, float th3,
+                    float factor, float* boxes_out, int box_cap,
+                    float* points_out, char* err, int err_cap) {
+  try {
+    std::vector<float> rgb;
+    const float* px = img;
+    if (c == 1) {
+      rgb.resize(static_cast<size_t>(h) * w * 3);
+      for (size_t i = 0; i < static_cast<size_t>(h) * w; ++i) {
+        rgb[i * 3] = img[i];
+        rgb[i * 3 + 1] = img[i];
+        rgb[i * 3 + 2] = img[i];
+      }
+      px = rgb.data();
+    } else if (c != 3) {
+      throw std::runtime_error("fx_mtcnn_detect: c must be 1 or 3");
+    }
+    const float th[3] = {th1, th2, th3};
+    std::vector<float> boxes, points;
+    static_cast<facejax::NativeMtcnn*>(det)->Detect(px, h, w, minsize, th,
+                                                    factor, boxes, points);
+    const int n = static_cast<int>(boxes.size() / 5);
+    const int out_n = std::min(n, box_cap);
+    if (boxes_out)
+      std::copy(boxes.begin(), boxes.begin() + out_n * 5, boxes_out);
+    if (points_out)  // [10, N] rows; clamp per row
+      for (int r = 0; r < 10; ++r)
+        std::copy(points.begin() + static_cast<size_t>(r) * n,
+                  points.begin() + static_cast<size_t>(r) * n + out_n,
+                  points_out + static_cast<size_t>(r) * out_n);
+    return out_n;
+  } catch (const std::exception& e) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return -1;
+  }
+}
+
+// Stage-level forward for parity tests: stage 0 = PNet (input h*w*3
+// normalized+transposed; out = h'*w'*2 prob then h'*w'*4 reg, net
+// orientation, caller computes h'=(h-10)/2 etc.), stage 1 = RNet (24x24x3
+// -> 6 floats), stage 2 = ONet (48x48x3 -> 16 floats). Returns 0 / -1.
+int fx_mtcnn_stage(void* det, int stage, const float* x, int h, int w,
+                   float* out, char* err, int err_cap) {
+  try {
+    auto* d = static_cast<facejax::NativeMtcnn*>(det);
+    facejax::Tensor t;
+    t.resize(h, w, 3);
+    std::copy(x, x + static_cast<size_t>(h) * w * 3, t.data.begin());
+    if (stage == 0) {
+      facejax::Tensor prob, reg;
+      d->PNetForward(t, prob, reg);
+      std::copy(prob.data.begin(), prob.data.end(), out);
+      std::copy(reg.data.begin(), reg.data.end(),
+                out + prob.data.size());
+    } else if (stage == 1) {
+      d->RNetForward(t, out, out + 2);
+    } else if (stage == 2) {
+      d->ONetForward(t, out, out + 2, out + 6);
+    } else {
+      throw std::runtime_error("fx_mtcnn_stage: stage must be 0..2");
+    }
     return 0;
   } catch (const std::exception& e) {
     if (err && err_cap > 0) {

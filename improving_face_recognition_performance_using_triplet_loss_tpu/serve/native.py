@@ -130,6 +130,21 @@ def load_native() -> ctypes.CDLL:
     lib.fx_efmnet_extract.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
                                       ctypes.c_int, f32p, ctypes.c_char_p,
                                       ctypes.c_int]
+    lib.fx_mtcnn_open.restype = ctypes.c_void_p
+    lib.fx_mtcnn_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int]
+    lib.fx_mtcnn_close.argtypes = [ctypes.c_void_p]
+    lib.fx_mtcnn_detect.restype = ctypes.c_int
+    lib.fx_mtcnn_detect.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_float, ctypes.c_float,
+                                    ctypes.c_float, ctypes.c_float, f32p,
+                                    ctypes.c_int, f32p, ctypes.c_char_p,
+                                    ctypes.c_int]
+    lib.fx_mtcnn_stage.restype = ctypes.c_int
+    lib.fx_mtcnn_stage.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p,
+                                   ctypes.c_int, ctypes.c_int, f32p,
+                                   ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -373,6 +388,82 @@ class NativeEmbedder:
     def close(self):
         if self._h:
             self._lib.fx_efmnet_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class NativeMtcnn:
+    """Full-frame MTCNN face detection with no JAX/Python compute in the
+    loop (reference MTCNN.hpp:993 ``detection_MTCNN``: the C++ runtime runs
+    PNet/RNet/ONet itself; here the engine is cpp/include/facejax/mtcnn.hpp
+    reading an ``export_mtcnn`` .npz).
+
+    ``detect`` mirrors ``detect.pipeline.MTCNNDetector.detect``'s contract:
+    returns (boxes [N, 5], points [10, N]).
+    """
+
+    def __init__(self, weights_npz: str):
+        self._lib = load_native()
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.fx_mtcnn_open(weights_npz.encode(), err, 256)
+        if not self._h:
+            raise NativeUnavailable(f"fx_mtcnn_open: {err.value.decode()}")
+
+    def detect(self, img: np.ndarray, minsize: int = 20,
+               thresholds=(0.6, 0.7, 0.7), factor: float = 0.709,
+               max_faces: int = 256):
+        """img: [H, W] grayscale or [H, W, 3] RGB, values in [0, 255]."""
+        img = np.ascontiguousarray(np.asarray(img, np.float32))
+        c = 1 if img.ndim == 2 else img.shape[2]
+        boxes = np.empty((max_faces, 5), np.float32)
+        # the C side writes [10, n] rows packed at stride n (n = the return
+        # value), so read from a flat buffer and reshape afterwards
+        points = np.empty(10 * max_faces, np.float32)
+        err = ctypes.create_string_buffer(256)
+        n = self._lib.fx_mtcnn_detect(
+            self._h, img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            img.shape[0], img.shape[1], c, minsize,
+            thresholds[0], thresholds[1], thresholds[2], factor,
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_faces,
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), err, 256)
+        if n < 0:
+            raise NativeUnavailable(f"fx_mtcnn_detect: {err.value.decode()}")
+        return (boxes[:n].astype(np.float64),
+                points[:10 * n].reshape(10, n).astype(np.float64))
+
+    def stage_forward(self, stage: int, x: np.ndarray) -> np.ndarray:
+        """Stage-level forward for parity tests. ``x`` is the normalized +
+        transposed net input [h, w, 3]; returns the flat output buffer
+        (PNet: h'*w'*2 prob then h'*w'*4 reg; RNet: 6; ONet: 16)."""
+        x = np.ascontiguousarray(np.asarray(x, np.float32))
+        h, w = x.shape[:2]
+        if stage == 0:
+            # PNet geometry: conv3x3 V -> pool2/2 SAME -> conv3x3 V x2
+            ph = (h - 2 + 1) // 2 - 4
+            pw = (w - 2 + 1) // 2 - 4
+            out = np.empty(ph * pw * 6, np.float32)
+        elif stage == 1:
+            out = np.empty(6, np.float32)
+        else:
+            out = np.empty(16, np.float32)
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.fx_mtcnn_stage(
+            self._h, stage, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            err, 256)
+        if rc != 0:
+            raise NativeUnavailable(f"fx_mtcnn_stage: {err.value.decode()}")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.fx_mtcnn_close(self._h)
             self._h = None
 
     def __enter__(self):
