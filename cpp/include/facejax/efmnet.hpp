@@ -137,11 +137,40 @@ inline void Gemm(const std::vector<float>& a, int m, int k,
         _mm256_storeu_ps(o0 + 5 * static_cast<size_t>(n) + 8, c51);
       }
     }
-    // N remainder: scalar
+    // N remainder: one 8-wide tile if it fits (PNet-style nets have
+    // n = 10/28 where the 16-wide path covers nothing/16), then scalar
+    int j8 = n16;
+    if (n - n16 >= 8) {
+      __m256 c0, c1, c2, c3, c4, c5;
+      if (bias) {
+        const __m256 iv = _mm256_loadu_ps(bias + j8);
+        c0 = c1 = c2 = c3 = c4 = c5 = iv;
+      } else {
+        c0 = c1 = c2 = c3 = c4 = c5 = _mm256_setzero_ps();
+      }
+      for (int kk = 0; kk < k; ++kk) {
+        const __m256 b0 = _mm256_loadu_ps(b + static_cast<size_t>(kk) * n +
+                                          j8);
+        c0 = _mm256_fmadd_ps(_mm256_set1_ps(a0[kk]), b0, c0);
+        c1 = _mm256_fmadd_ps(_mm256_set1_ps(a1[kk]), b0, c1);
+        c2 = _mm256_fmadd_ps(_mm256_set1_ps(a2[kk]), b0, c2);
+        c3 = _mm256_fmadd_ps(_mm256_set1_ps(a3[kk]), b0, c3);
+        c4 = _mm256_fmadd_ps(_mm256_set1_ps(a4[kk]), b0, c4);
+        c5 = _mm256_fmadd_ps(_mm256_set1_ps(a5[kk]), b0, c5);
+      }
+      float* o0 = op + static_cast<size_t>(i0) * n + j8;
+      _mm256_storeu_ps(o0, c0);
+      if (mr > 1) _mm256_storeu_ps(o0 + 1 * static_cast<size_t>(n), c1);
+      if (mr > 2) _mm256_storeu_ps(o0 + 2 * static_cast<size_t>(n), c2);
+      if (mr > 3) _mm256_storeu_ps(o0 + 3 * static_cast<size_t>(n), c3);
+      if (mr > 4) _mm256_storeu_ps(o0 + 4 * static_cast<size_t>(n), c4);
+      if (mr > 5) _mm256_storeu_ps(o0 + 5 * static_cast<size_t>(n), c5);
+      j8 += 8;
+    }
     for (int r = 0; r < mr; ++r) {
       const float* arow = ap + static_cast<size_t>(i0 + r) * k;
       float* orow = op + static_cast<size_t>(i0 + r) * n;
-      for (int j = n16; j < n; ++j) {
+      for (int j = j8; j < n; ++j) {
         float acc = bias ? bias[j] : 0.0f;
         for (int kk = 0; kk < k; ++kk)
           acc += arow[kk] * b[static_cast<size_t>(kk) * n + j];

@@ -14,6 +14,25 @@ import argparse
 import json
 
 
+def _add_native_mtcnn_args(sp):
+    """Raw-frame input: detect faces natively before embedding — the
+    reference's complete in-process loop (MTCNN.hpp detection +
+    Feature.hpp:189-205 extraction in one C++ runtime)."""
+    sp.add_argument("--native-mtcnn", metavar="NPZ",
+                    help="with --native-export: treat --features as RAW "
+                         "FRAMES; run the native MTCNN cascade "
+                         "(serve.export.export_mtcnn npz) on each frame, "
+                         "crop the largest-centered face, then embed — "
+                         "pixels->identity with zero JAX AND zero Python "
+                         "compute")
+    sp.add_argument("--mtcnn-minsize", type=int, default=20)
+    sp.add_argument("--mtcnn-thresholds", type=float, nargs=3,
+                    default=(0.6, 0.7, 0.7))
+    sp.add_argument("--mtcnn-margin", type=int, default=0,
+                    help="crop margin in px (0 = the serving-style direct "
+                         "box crop; align-style dataset prep uses 44)")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -30,6 +49,7 @@ def build_parser():
     e.add_argument("--int8", action="store_true",
                    help="with --native-export: int8 quantized convs "
                         "(2.9x faster, >=0.9997 cosine vs f32)")
+    _add_native_mtcnn_args(e)
     e.add_argument("--names-json", help='{"classes": [...]} mapping labels '
                                         "to names (pack_dataset output)")
     e.add_argument("--select-threshold", type=float, default=0.98,
@@ -47,6 +67,7 @@ def build_parser():
                    help="export dir: embed the --features IMAGE store with "
                         "the native C++ forward (see enroll --native-export)")
     m.add_argument("--int8", action="store_true")
+    _add_native_mtcnn_args(m)
     m.add_argument("--sim-th", type=float, default=0.5)
     m.add_argument("--out", help="write results JSONL here")
 
@@ -160,6 +181,50 @@ def _person_main(args):
     return results
 
 
+def _detect_and_embed_native(args, images, labels):
+    """Raw frames -> native MTCNN -> largest-centered crop -> native embed.
+
+    The reference runtime's per-frame flow (tmp.cpp manifest:
+    MTCNN_Dlib_Detection -> grayscale crop -> Feature_Extract_exe) with the
+    largest-centered selection rule of align_dataset_mtcnn.py:84-97 and the
+    cvtColor-style luminance conversion of Feature.hpp:517-523.
+    """
+    import numpy as np
+
+    from ..detect.align import crop_face, select_main_face
+    from ..serve.native import NativeEmbedder, NativeMtcnn
+
+    feats, kept, skipped = [], [], 0
+    with NativeMtcnn(args.native_mtcnn) as det, \
+            NativeEmbedder(args.native_export, quantized=args.int8) as emb:
+        size = int(((emb.manifest or {}).get("input") or {})
+                   .get("height", 64))
+        for i, img in enumerate(images):
+            frame = np.asarray(img)
+            if frame.ndim == 3 and frame.shape[2] == 1:
+                frame = frame[..., 0]
+            boxes, _ = det.detect(frame, minsize=args.mtcnn_minsize,
+                                  thresholds=tuple(args.mtcnn_thresholds))
+            if boxes.shape[0] == 0:
+                skipped += 1
+                continue
+            sel = select_main_face(boxes, frame.shape)
+            frame3 = (frame[..., None].repeat(3, -1) if frame.ndim == 2
+                      else frame)
+            crop = crop_face(frame3.astype(np.float32), sel[0],
+                             image_size=size, margin=args.mtcnn_margin)
+            gray = (0.299 * crop[..., 0] + 0.587 * crop[..., 1]
+                    + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
+            feats.append(emb.extract(gray))
+            kept.append(labels[i] if labels is not None else 0)
+    if not feats:
+        raise SystemExit("no faces detected in any frame — check "
+                         "--mtcnn-thresholds / --mtcnn-minsize")
+    print(f"native detect+embed: {len(feats)} faces from "
+          f"{len(images)} frames ({skipped} frames without a detection)")
+    return np.stack(feats), np.asarray(kept)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import numpy as np
@@ -178,11 +243,14 @@ def main(argv=None):
         from ..data.records import load_image_store
 
         images, labels = load_image_store(args.features)
-        with NativeEmbedder(args.native_export,
-                            quantized=args.int8) as emb:
-            feats = np.stack([emb.extract(img) for img in images])
-        print(f"natively embedded {feats.shape[0]} images "
-              f"({'int8' if args.int8 else 'f32'}, dim {feats.shape[1]})")
+        if getattr(args, "native_mtcnn", None):
+            feats, labels = _detect_and_embed_native(args, images, labels)
+        else:
+            with NativeEmbedder(args.native_export,
+                                quantized=args.int8) as emb:
+                feats = np.stack([emb.extract(img) for img in images])
+            print(f"natively embedded {feats.shape[0]} images "
+                  f"({'int8' if args.int8 else 'f32'}, dim {feats.shape[1]})")
     else:
         feats, labels = load_feature_store(args.features)
     dim = feats.shape[1]

@@ -228,3 +228,60 @@ def test_frame_to_identity_no_jax(mtcnn_setup, tmp_path):
             name, sim = st.match(fv, sim_th=0.5)
     assert name == "alice"
     assert sim > 0.99
+
+
+def test_identify_cli_native_mtcnn(mtcnn_setup, tmp_path):
+    """identify enroll/match --native-mtcnn: raw frames in, identities out,
+    with detection AND embedding in the native runtime (the reference's
+    single-process loop driven from the CLI)."""
+    native = _native()
+    pn, rn, on, npz = mtcnn_setup
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+        save_image_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+
+    model = EFMNet342(num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="efmnet342",
+                  feature_dim=342, input_hw=(64, 64), input_channels=1)
+
+    # two "identities", two identical raw frames each (smooth so the
+    # random-weight cascade fires with permissive thresholds)
+    rng = np.random.default_rng(11)
+    frames, labels = [], []
+    for ident in range(2):
+        base = rng.uniform(40, 210, (9, 12, 3))
+        frame = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+        frames += [frame, frame]
+        labels += [ident, ident]
+    store = str(tmp_path / "frames.npz")
+    save_image_store(store, np.stack(frames), np.asarray(labels))
+
+    db = str(tmp_path / "ids.fjdb")
+    common = ["--store", db, "--features", store,
+              "--native-export", export_dir, "--native-mtcnn", npz,
+              "--mtcnn-thresholds", "0.45", "0.35", "0.3"]
+    stored = identify.main(["enroll"] + common)
+    assert stored >= 2  # at least one representative per identity
+
+    out = str(tmp_path / "results.jsonl")
+    identify.main(["match"] + common + ["--sim-th", "0.5", "--out", out])
+    import json
+
+    rows = [json.loads(line) for line in open(out)]
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["name"] == f"id_{r['label']}"
+        assert r["similarity"] > 0.99
