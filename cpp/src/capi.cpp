@@ -6,6 +6,7 @@
 
 #include "facejax/clustering.hpp"
 #include "facejax/efmnet.hpp"
+#include "facejax/ert.hpp"
 #include "facejax/identity_store.hpp"
 #include "facejax/matcher.hpp"
 #include "facejax/mtcnn.hpp"
@@ -292,6 +293,108 @@ int fx_mtcnn_detect(void* det, const float* img, int h, int w, int c,
   } catch (const std::exception& e) {
     if (err && err_cap > 0) {
       std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return -1;
+  }
+}
+
+// ---- native ERT 68-point shape regression (MTCNN_Dlib_Detection's
+// landmark-refinement half, MTCNN.hpp:1326-1421) ----
+
+void* fx_ert_open(const char* weights_npz, char* err, int err_cap) {
+  try {
+    return new facejax::NativeErt(weights_npz);
+  } catch (const std::exception& e) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return nullptr;
+  }
+}
+
+void fx_ert_close(void* ert) { delete static_cast<facejax::NativeErt*>(ert); }
+
+int fx_ert_num_points(void* ert) {
+  return static_cast<facejax::NativeErt*>(ert)->num_points();
+}
+
+// img: h*w float32 grayscale; rect4: x1y1x2y2; five10: 5 MTCNN points
+// (x0 y0 ... x4 y4) for seeding, or NULL for the mean-shape init.
+// out: num_points*2 image coordinates. Returns 0 / -1.
+int fx_ert_predict(void* ert, const float* img, int h, int w,
+                   const float* rect4, const float* five10, float* out,
+                   char* err, int err_cap) {
+  try {
+    auto* e = static_cast<facejax::NativeErt*>(ert);
+    if (five10) {
+      std::vector<float> init(e->num_points() * 2);
+      e->InitShapeFrom5pt(five10, rect4, init.data());
+      e->Predict(img, h, w, rect4, init.data(), out);
+    } else {
+      e->Predict(img, h, w, rect4, nullptr, out);
+    }
+    return 0;
+  } catch (const std::exception& ex) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, ex.what(), err_cap - 1);
+      err[err_cap - 1] = '\0';
+    }
+    return -1;
+  }
+}
+
+// The full MTCNN_Dlib_Detection flow in one native call: cascade detect,
+// seed each face's 68-point init from its 5 MTCNN landmarks, refine.
+// boxes_out: cap*4 (x1y1x2y2); lmk_out: cap*num_points*2 image coords.
+// Returns the face count (clamped) or -1.
+int fx_mtcnn_ert_detect(void* det, void* ert, const float* img, int h,
+                        int w, int c, int minsize, float th1, float th2,
+                        float th3, float factor, float* boxes_out,
+                        int box_cap, float* lmk_out, char* err,
+                        int err_cap) {
+  try {
+    std::vector<float> rgb;
+    const float* px = img;
+    if (c == 1) {
+      rgb.resize(static_cast<size_t>(h) * w * 3);
+      for (size_t i = 0; i < static_cast<size_t>(h) * w; ++i)
+        rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = img[i];
+      px = rgb.data();
+    } else if (c != 3) {
+      throw std::runtime_error("fx_mtcnn_ert_detect: c must be 1 or 3");
+    }
+    const float th[3] = {th1, th2, th3};
+    std::vector<float> boxes, points;
+    static_cast<facejax::NativeMtcnn*>(det)->Detect(px, h, w, minsize, th,
+                                                    factor, boxes, points);
+    const int n = static_cast<int>(boxes.size() / 5);
+    const int out_n = std::min(n, box_cap);
+    // grayscale = channel mean (detect/ert.py::mtcnn_ert_detect)
+    std::vector<float> gray(static_cast<size_t>(h) * w);
+    for (size_t i = 0; i < gray.size(); ++i)
+      gray[i] = (px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3.0f;
+    auto* e = static_cast<facejax::NativeErt*>(ert);
+    const int np2 = e->num_points() * 2;
+    std::vector<float> init(np2);
+    for (int i = 0; i < out_n; ++i) {
+      float rect[4] = {boxes[i * 5], boxes[i * 5 + 1], boxes[i * 5 + 2],
+                       boxes[i * 5 + 3]};
+      float five[10];
+      for (int j = 0; j < 5; ++j) {
+        five[2 * j] = points[static_cast<size_t>(j) * n + i];
+        five[2 * j + 1] = points[static_cast<size_t>(5 + j) * n + i];
+      }
+      e->InitShapeFrom5pt(five, rect, init.data());
+      e->Predict(gray.data(), h, w, rect, init.data(),
+                 lmk_out + static_cast<size_t>(i) * np2);
+      if (boxes_out) std::copy(rect, rect + 4, boxes_out + i * 4);
+    }
+    return out_n;
+  } catch (const std::exception& ex) {
+    if (err && err_cap > 0) {
+      std::strncpy(err, ex.what(), err_cap - 1);
       err[err_cap - 1] = '\0';
     }
     return -1;

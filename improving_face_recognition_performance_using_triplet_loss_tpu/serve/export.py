@@ -107,3 +107,27 @@ def export_mtcnn(path: str, pnet_params: Any, rnet_params: Any,
         os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **flat)
     return path
+
+
+def export_ert(path: str, predictor: Any) -> str:
+    """Write an ERT shape predictor (detect/ert.py::ShapePredictor) to the
+    flat .npz the native regressor reads (cpp/include/facejax/ert.hpp).
+
+    Same arrays as ShapePredictor.save but uncompressed (the native reader
+    is ZIP_STORED-only) and all-float32 (indices are small integers, exactly
+    representable). Reference parity: the dlib shape_predictor .dat the C++
+    runtime deserializes (MTCNN.hpp:1326-1421).
+    """
+    flat: dict[str, np.ndarray] = {
+        "mean_shape": np.asarray(predictor.mean_shape, np.float32),
+        "num_levels": np.asarray([len(predictor.levels)], np.float32),
+    }
+    for t, lv in enumerate(predictor.levels):
+        for name in ("anchors", "deltas", "split_idx1", "split_idx2",
+                     "split_thresh", "leaf_values"):
+            flat[f"level{t}/{name}"] = np.ascontiguousarray(
+                np.asarray(getattr(lv, name), np.float32))
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **flat)
+    return path

@@ -145,6 +145,22 @@ def load_native() -> ctypes.CDLL:
     lib.fx_mtcnn_stage.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p,
                                    ctypes.c_int, ctypes.c_int, f32p,
                                    ctypes.c_char_p, ctypes.c_int]
+    lib.fx_ert_open.restype = ctypes.c_void_p
+    lib.fx_ert_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                ctypes.c_int]
+    lib.fx_ert_close.argtypes = [ctypes.c_void_p]
+    lib.fx_ert_num_points.restype = ctypes.c_int
+    lib.fx_ert_num_points.argtypes = [ctypes.c_void_p]
+    lib.fx_ert_predict.restype = ctypes.c_int
+    lib.fx_ert_predict.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
+                                   ctypes.c_int, f32p, f32p, f32p,
+                                   ctypes.c_char_p, ctypes.c_int]
+    lib.fx_mtcnn_ert_detect.restype = ctypes.c_int
+    lib.fx_mtcnn_ert_detect.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, f32p, ctypes.c_int, f32p,
+        ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -472,3 +488,80 @@ class NativeMtcnn:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class NativeErt:
+    """Native ERT 68-point shape regression (cpp/include/facejax/ert.hpp)
+    over a serve.export.export_ert .npz — the landmark-refinement half of
+    the reference's MTCNN_Dlib_Detection (MTCNN.hpp:1326-1421), with zero
+    Python compute in the loop."""
+
+    def __init__(self, weights_npz: str):
+        self._lib = load_native()
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.fx_ert_open(weights_npz.encode(), err, 256)
+        if not self._h:
+            raise NativeUnavailable(f"fx_ert_open: {err.value.decode()}")
+        self.num_points = self._lib.fx_ert_num_points(self._h)
+
+    def predict(self, img: np.ndarray, rect, five_xy=None) -> np.ndarray:
+        """Grayscale image + rect (+ optional MTCNN 5 points [5, 2] for
+        seeding) -> [num_points, 2] image coordinates (the
+        full_object_detection.part() contract of ShapePredictor.predict)."""
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img.mean(-1)
+        arr, ptr = _f32(img)
+        rect_a, rect_p = _f32(np.asarray(rect, np.float32))
+        five_p = None
+        if five_xy is not None:
+            five_a, five_p = _f32(np.asarray(five_xy, np.float32))
+        out = np.empty((self.num_points, 2), np.float32)
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.fx_ert_predict(
+            self._h, ptr, arr.shape[0], arr.shape[1], rect_p, five_p,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), err, 256)
+        if rc != 0:
+            raise NativeUnavailable(f"fx_ert_predict: {err.value.decode()}")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.fx_ert_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def native_mtcnn_ert_detect(mtcnn: "NativeMtcnn", ert: NativeErt,
+                            img: np.ndarray, minsize: int = 20,
+                            thresholds=(0.6, 0.7, 0.7),
+                            factor: float = 0.709, max_faces: int = 256):
+    """The complete MTCNN_Dlib_Detection flow in ONE native call
+    (MTCNN.hpp:1326-1421): cascade detect, seed each face's init from its
+    5 MTCNN landmarks, ERT-refine. Returns (boxes [N, 4],
+    landmarks [N, num_points, 2]) — detect/ert.py::mtcnn_ert_detect's
+    contract."""
+    lib = load_native()
+    img = np.ascontiguousarray(np.asarray(img, np.float32))
+    c = 1 if img.ndim == 2 else img.shape[2]
+    npts = ert.num_points
+    boxes = np.empty((max_faces, 4), np.float32)
+    lmk = np.empty((max_faces, npts, 2), np.float32)
+    err = ctypes.create_string_buffer(256)
+    n = lib.fx_mtcnn_ert_detect(
+        mtcnn._h, ert._h,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.shape[0], img.shape[1], c, minsize,
+        thresholds[0], thresholds[1], thresholds[2], factor,
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_faces,
+        lmk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), err, 256)
+    if n < 0:
+        raise NativeUnavailable(
+            f"fx_mtcnn_ert_detect: {err.value.decode()}")
+    return boxes[:n], lmk[:n]
