@@ -23,6 +23,10 @@ def build_parser():
     p.add_argument("--det-weights", nargs=3, metavar=("DET1", "DET2", "DET3"),
                    help="det1/det2/det3 .npy weight files (random init "
                         "otherwise — for pipeline testing only)")
+    p.add_argument("--export-native-mtcnn", metavar="NPZ",
+                   help="also write the detector weights as the flat .npz "
+                        "the native cascade reads "
+                        "(cpp/include/facejax/mtcnn.hpp)")
     p.add_argument("--device-cascade", action="store_true",
                    help="fully-fused on-device cascade (one dispatch per "
                         "image; ~26x faster than the host path on TPU)")
@@ -36,6 +40,12 @@ def main(argv=None):
 
     detector = (MTCNNDetector.from_npy(*args.det_weights)
                 if args.det_weights else MTCNNDetector())
+    if args.export_native_mtcnn:
+        from ..serve.export import export_mtcnn
+
+        export_mtcnn(args.export_native_mtcnn, detector.pnet_params,
+                     detector.rnet_params, detector.onet_params)
+        print(f"native MTCNN export: {args.export_native_mtcnn}")
     res = align_directory(
         args.input_dir, args.output_dir, detector,
         image_size=args.image_size, margin=args.margin,

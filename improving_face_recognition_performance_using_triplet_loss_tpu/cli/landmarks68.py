@@ -33,6 +33,9 @@ def build_parser():
     t.add_argument("--nu", type=float, default=0.1)
     t.add_argument("--oversampling", type=int, default=20)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--export-native", metavar="NPZ",
+                   help="also write the uncompressed f32 .npz the native "
+                        "regressor reads (cpp/include/facejax/ert.hpp)")
 
     d = sub.add_parser("detect",
                        help="MTCNN detect + ERT 68-pt refinement on images")
@@ -64,6 +67,11 @@ def main(argv=None):
             oversampling=args.oversampling, seed=args.seed)
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         pred.save(args.out)
+        if args.export_native:
+            from ..serve.export import export_ert
+
+            export_ert(args.export_native, pred)
+            print(f"native export: {args.export_native}")
         # report training-set residual (normalized by rect width)
         errs = []
         for i in range(min(len(images), 64)):

@@ -169,3 +169,51 @@ def test_combined_native_detect_refine(trained, tmp_path):
             five = np.stack([raw_pts[:5, i], raw_pts[5:, i]], axis=1)
             manual = ert.predict(gray, raw_boxes[i, :4], five_xy=five)
             np.testing.assert_allclose(lmk[i], manual, atol=1e-3)
+
+
+def test_landmarks68_cli_export_native(tmp_path):
+    """landmarks68 train --export-native writes an npz the native regressor
+    opens."""
+    native = _native()
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        landmarks68,
+    )
+
+    rng = np.random.default_rng(0)
+    canon = _canonical_shape()
+    images, rects, shapes = [], [], []
+    for _ in range(6):
+        s = canon * 40 + 10
+        images.append(_render(s))
+        rects.append([10, 10, 50, 50])
+        shapes.append(s)
+    ann = str(tmp_path / "ann.npz")
+    np.savez(ann, images=np.stack(images),
+             rects=np.asarray(rects, np.float32),
+             shapes=np.asarray(shapes, np.float32))
+    out = str(tmp_path / "pred.npz")
+    native_out = str(tmp_path / "pred_native.npz")
+    landmarks68.main(["train", "--annotations", ann, "--out", out,
+                      "--cascades", "1", "--trees", "3", "--depth", "2",
+                      "--feature-pool", "30", "--oversampling", "1",
+                      "--export-native", native_out])
+    with native.NativeErt(native_out) as ert:
+        assert ert.num_points == L
+
+
+def test_align_cli_export_native_mtcnn(tmp_path):
+    """align --export-native-mtcnn writes an npz the native cascade opens
+    (even with an empty input tree)."""
+    native = _native()
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        align,
+    )
+
+    (tmp_path / "in").mkdir()
+    npz = str(tmp_path / "mtcnn.npz")
+    align.main([str(tmp_path / "in"), str(tmp_path / "out"),
+                "--export-native-mtcnn", npz])
+    with native.NativeMtcnn(npz) as det:
+        boxes, pts = det.detect(
+            np.zeros((32, 32), np.float32), thresholds=(0.99, 0.9, 0.9))
+    assert boxes.shape == (0, 5)
