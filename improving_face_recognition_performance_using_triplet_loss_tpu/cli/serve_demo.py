@@ -40,7 +40,44 @@ def build_parser():
     p.add_argument("--register-frames", type=int, default=4)
     p.add_argument("--fps-cap", type=float, default=30.0,
                    help="with --video file sources: max producer fps")
+    p.add_argument("--native", action="store_true",
+                   help="embed with the native C++ forward instead of JAX "
+                        "(requires --export-dir). The queue, state machine, "
+                        "matcher, and store are already native, so the "
+                        "whole loop then runs without JAX — the reference's "
+                        "single-process runtime (Feature.hpp:163-205)")
+    p.add_argument("--int8", action="store_true",
+                   help="with --native: int8 quantized convs")
     return p
+
+
+def _make_embed_fn(args, model, variables):
+    """JAX extract by default; the native C++ forward under --native."""
+    import numpy as np
+
+    if args.native:
+        if not args.export_dir:
+            raise SystemExit("--native needs --export-dir (the native "
+                             "forward reads weights.npz)")
+        from ..serve.native import NativeEmbedder
+
+        emb = NativeEmbedder(args.export_dir, quantized=args.int8)
+
+        def embed_fn(frames):
+            frames = np.asarray(frames, np.float32)
+            return np.stack([emb.extract(f[..., 0]) for f in frames])
+
+        return embed_fn
+
+    from ..extract import make_extract_fn
+
+    extract = make_extract_fn(model, normalize=True)
+
+    def embed_fn(frames):
+        _, feat = extract(variables, np.asarray(frames, np.float32))
+        return np.asarray(feat)
+
+    return embed_fn
 
 
 def _video_main(args, model, variables):
@@ -52,15 +89,10 @@ def _video_main(args, model, variables):
 
     import numpy as np
 
-    from ..extract import make_extract_fn
     from ..serve.recognition import RecognitionService
     from ..serve.video import VideoProducer
 
-    extract = make_extract_fn(model, normalize=True)
-
-    def embed_fn(frames):
-        _, feat = extract(variables, np.asarray(frames, np.float32))
-        return np.asarray(feat)
+    embed_fn = _make_embed_fn(args, model, variables)
 
     if os.path.exists(args.store):
         os.remove(args.store)
@@ -115,7 +147,6 @@ def main(argv=None):
 
     from .train_backbone import _model_by_name
     from ..data.synthetic import synthetic_faces
-    from ..extract import make_extract_fn
     from ..serve.export import load_exported_params
     from ..serve.recognition import RecognitionService
     from ..utils import enable_compilation_cache
@@ -140,11 +171,7 @@ def main(argv=None):
               "for a trained one)")
     if args.video:
         return _video_main(args, model, variables)
-    extract = make_extract_fn(model, normalize=True)
-
-    def embed_fn(frames):
-        _, feat = extract(variables, np.asarray(frames, np.float32))
-        return np.asarray(feat)
+    embed_fn = _make_embed_fn(args, model, variables)
 
     shape = (args.image_size, args.image_size, 1)
     images, labels = synthetic_faces(num_ids=args.identities, per_id=6,
