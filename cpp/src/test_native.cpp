@@ -13,7 +13,9 @@
 #include "facejax/clustering.hpp"
 #include "facejax/efmnet.hpp"
 #include "facejax/identity_store.hpp"
+#include "facejax/ert.hpp"
 #include "facejax/matcher.hpp"
+#include "facejax/mtcnn.hpp"
 #include "facejax/nms.hpp"
 #include "facejax/spsc_queue.hpp"
 #include "facejax/state_machine.hpp"
@@ -325,6 +327,102 @@ static void TestEfm3MaxPool() {
   std::printf("TestEfm3MaxPool OK\n");
 }
 
+
+// ---- native MTCNN primitives (mtcnn.hpp) ----
+
+static facejax::NpyArray MakeF32(std::vector<int64_t> shape,
+                                 const std::vector<float>& vals) {
+  facejax::NpyArray a;
+  a.shape = std::move(shape);
+  a.dtype = "<f4";
+  a.data.resize(vals.size() * 4);
+  std::memcpy(a.data.data(), vals.data(), a.data.size());
+  return a;
+}
+
+static void TestMtcnnConvValid() {
+  // 4x5x2 input, 3x3 conv to 3 channels vs a naive loop
+  std::mt19937 rng(7);
+  std::uniform_real_distribution<float> d(-1, 1);
+  facejax::Tensor in;
+  in.resize(4, 5, 2);
+  for (auto& v : in.data) v = d(rng);
+  std::vector<float> kv(3 * 3 * 2 * 3), bv(3);
+  for (auto& v : kv) v = d(rng);
+  for (auto& v : bv) v = d(rng);
+  facejax::NpyArray kernel = MakeF32({3, 3, 2, 3}, kv);
+  facejax::NpyArray bias = MakeF32({3}, bv);
+  facejax::Tensor out;
+  facejax::mtcnn::ConvValid(in, kernel, bias, out);
+  assert(out.h == 2 && out.w == 3 && out.c == 3);
+  for (int y = 0; y < out.h; ++y)
+    for (int x = 0; x < out.w; ++x)
+      for (int co = 0; co < 3; ++co) {
+        float want = bv[co];
+        for (int dy = 0; dy < 3; ++dy)
+          for (int dx = 0; dx < 3; ++dx)
+            for (int ci = 0; ci < 2; ++ci)
+              want += in.at(y + dy, x + dx, ci) *
+                      kv[((dy * 3 + dx) * 2 + ci) * 3 + co];
+        assert(std::fabs(out.at(y, x, co) - want) < 1e-4f);
+      }
+  std::printf("mtcnn conv-valid ok\n");
+}
+
+static void TestMtcnnPoolResize() {
+  // TF SAME pool: h=5, k=3, s=2 -> out 3 with pad 1 top
+  facejax::Tensor t;
+  t.resize(5, 5, 1);
+  for (int i = 0; i < 25; ++i) t.data[i] = static_cast<float>(i);
+  facejax::Tensor same = t;
+  facejax::mtcnn::MaxPool(same, 3, 2, true);
+  assert(same.h == 3 && same.w == 3);
+  assert(same.at(0, 0, 0) == 6.0f);    // window rows/cols [-1..1] clipped
+  assert(same.at(2, 2, 0) == 24.0f);
+  facejax::Tensor valid = t;
+  facejax::mtcnn::MaxPool(valid, 3, 2, false);
+  assert(valid.h == 2 && valid.w == 2);
+  assert(valid.at(0, 0, 0) == 12.0f && valid.at(1, 1, 0) == 24.0f);
+  // area resize of 2x2 blocks == block mean; bilinear same-size == copy
+  facejax::Tensor img;
+  img.resize(4, 4, 1);
+  for (int i = 0; i < 16; ++i) img.data[i] = static_cast<float>(i);
+  facejax::Tensor half;
+  facejax::mtcnn::Resize(img, 2, 2, half);
+  assert(std::fabs(half.at(0, 0, 0) - 2.5f) < 1e-6f);
+  assert(std::fabs(half.at(1, 1, 0) - 12.5f) < 1e-6f);
+  facejax::Tensor samesz;
+  facejax::mtcnn::Resize(img, 4, 4, samesz);
+  for (int i = 0; i < 16; ++i) assert(samesz.data[i] == img.data[i]);
+  std::printf("mtcnn pool/resize ok\n");
+}
+
+static void TestErtSimilarity() {
+  // recover a known scale/rotation/translation from 5 mapped points
+  const double s = 1.7, th = 0.35, tx = 3.0, ty = -2.0;
+  std::mt19937 rng(9);
+  std::uniform_real_distribution<float> d(0, 1);
+  float src[10], dst[10];
+  for (int i = 0; i < 5; ++i) {
+    const double x = d(rng), y = d(rng);
+    src[2 * i] = static_cast<float>(x);
+    src[2 * i + 1] = static_cast<float>(y);
+    dst[2 * i] = static_cast<float>(s * (std::cos(th) * x -
+                                         std::sin(th) * y) + tx);
+    dst[2 * i + 1] = static_cast<float>(s * (std::sin(th) * x +
+                                             std::cos(th) * y) + ty);
+  }
+  double m[6];
+  facejax::NativeErt::SimilarityTransform(src, dst, 5, m);
+  for (int i = 0; i < 5; ++i) {
+    const double px = m[0] * src[2 * i] + m[1] * src[2 * i + 1] + m[2];
+    const double py = m[3] * src[2 * i] + m[4] * src[2 * i + 1] + m[5];
+    assert(std::fabs(px - dst[2 * i]) < 1e-4);
+    assert(std::fabs(py - dst[2 * i + 1]) < 1e-4);
+  }
+  std::printf("ert similarity-transform ok\n");
+}
+
 int main() {
   TestGemmVsNaive();
   TestQGemmExactOnGrid();
@@ -339,6 +437,9 @@ int main() {
   TestQueueThreadGuard();
   TestStateMachine();
   TestClustering();
+  TestMtcnnConvValid();
+  TestMtcnnPoolResize();
+  TestErtSimilarity();
   std::printf("ALL NATIVE TESTS PASSED\n");
   return 0;
 }
