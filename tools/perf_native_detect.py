@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--minsize", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--int8", action="store_true",
+                    help="quantized convs (~10%% on busy frames only: "
+                         "PNet's 10/16/32-channel convs are im2col-bound, "
+                         "unlike the embedder's 2.9x)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +52,7 @@ def main():
     npz = "/tmp/perf_mtcnn.npz"
     export_mtcnn(npz, nets.init_pnet_params(k1), nets.init_rnet_params(k2),
                  nets.init_onet_params(k3))
-    det = NativeMtcnn(npz)
+    det = NativeMtcnn(npz, quantized=args.int8)
 
     rng = np.random.default_rng(0)
     h, w = args.height, args.width
