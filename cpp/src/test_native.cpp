@@ -367,6 +367,19 @@ static void TestMtcnnConvValid() {
         assert(std::fabs(out.at(y, x, co) - want) < 1e-4f);
       }
   std::printf("mtcnn conv-valid ok\n");
+
+  // int8 path tracks f32 on the same tensor (qgemm scheme sanity + ASan
+  // coverage of the u8 VALID im2col)
+  facejax::nn::QuantizedKernel qk;
+  facejax::nn::QuantizeKernel(kernel.f32(), 3 * 3 * 2, 3, qk);
+  facejax::Tensor qout;
+  facejax::mtcnn::ConvValidQ(in, 3, 3, qk, bias.f32(), qout);
+  assert(qout.h == out.h && qout.w == out.w && qout.c == out.c);
+  float maxabs = 0.0f;
+  for (float v : out.data) maxabs = std::max(maxabs, std::fabs(v));
+  for (size_t i = 0; i < out.data.size(); ++i)
+    assert(std::fabs(qout.data[i] - out.data[i]) < 0.05f * maxabs + 0.02f);
+  std::printf("mtcnn conv-valid int8 ok\n");
 }
 
 static void TestMtcnnPoolResize() {
