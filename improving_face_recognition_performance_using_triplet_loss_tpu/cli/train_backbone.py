@@ -42,6 +42,12 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=2.4e-4)
     p.add_argument("--lr-factor", type=float, default=0.88)
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "adagrad", "adadelta", "rmsprop", "mom",
+                            "sgd"],
+                   help="facenet.py:168-184 optimizer family on the "
+                        "reference's factor schedule (adam = reference "
+                        "default, train_efm.py:212-213)")
     p.add_argument("--lr-decay-epochs", type=int, default=6)
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--margin", type=float, default=0.2)
@@ -153,7 +159,7 @@ def main(argv=None):
     from ..eval.cosine import CosineSimilaritySink
     from ..parallel import make_mesh
     from ..train import (
-        Checkpointer, adam_factor, create_train_state,
+        Checkpointer, backbone_optimizer, create_train_state,
         make_backbone_eval_step, make_backbone_train_step,
         resume_if_available, shard_map_step, train_loop, PreemptionGuard,
     )
@@ -171,10 +177,10 @@ def main(argv=None):
              " [mmap]" if is_mmap else "", num_classes, steps_per_epoch)
 
     model = _model_by_name(args.model, num_classes, args.bf16)
-    tx = adam_factor(base_lr=args.lr,
-                     decay_every_steps=steps_per_epoch * args.lr_decay_epochs,
-                     factor=args.lr_factor,
-                     weight_decay=args.weight_decay)
+    tx = backbone_optimizer(
+        args.optimizer, base_lr=args.lr,
+        decay_every_steps=steps_per_epoch * args.lr_decay_epochs,
+        factor=args.lr_factor, weight_decay=args.weight_decay)
     if args.ema_decay > 0:
         from ..train import with_param_ema
 

@@ -2,6 +2,7 @@
 
 from .optim import (  # noqa: F401
     adam_factor,
+    backbone_optimizer,
     factor_schedule,
     get_ema_params,
     sgd_wd,

@@ -58,6 +58,40 @@ def adam_factor(
     )
 
 
+def backbone_optimizer(
+    name: str,
+    base_lr: float = 2.4e-4,
+    decay_every_steps: int = 1,
+    factor: float = 0.88,
+    stop_lr: float = 5e-15,
+    weight_decay: float = 1e-5,
+) -> optax.GradientTransformation:
+    """The facenet optimizer family (facenet.py:168-184: ADAGRAD, ADADELTA,
+    ADAM, RMSPROP, MOM) on the reference backbone recipe's factor schedule
+    + coupled weight decay (train_efm.py:212-213). ``adam`` is the
+    reference default and identical to :func:`adam_factor`."""
+    cores = {
+        "adam": [optax.scale_by_adam(b1=0.9, b2=0.999)],
+        "adagrad": [optax.scale_by_rss(initial_accumulator_value=0.1)],
+        "adadelta": [optax.scale_by_adadelta(rho=0.9, eps=1e-6)],
+        # facenet's RMSPropOptimizer(decay=0.9, momentum=0.9, epsilon=1.0)
+        "rmsprop": [optax.scale_by_rms(decay=0.9, eps=1.0),
+                    optax.trace(decay=0.9)],
+        # facenet's MomentumOptimizer(0.9, use_nesterov=True)
+        "mom": [optax.trace(decay=0.9, nesterov=True)],
+        "sgd": [],
+    }
+    if name not in cores:
+        raise ValueError(f"optimizer {name!r}; choose from {sorted(cores)}")
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        *cores[name],
+        optax.scale_by_learning_rate(
+            factor_schedule(base_lr, decay_every_steps, factor, stop_lr)
+        ),
+    )
+
+
 def sgd_wd(
     lr: float = 2.4e-4, weight_decay: float = 1e-5
 ) -> optax.GradientTransformation:

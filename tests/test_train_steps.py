@@ -376,3 +376,47 @@ def test_resume_with_ema_opt_state(tmp_path):
 
     ema = get_ema_params(state2.opt_state)
     assert np.isfinite(np.asarray(ema["conv1"]["kernel"]).sum())
+
+
+@pytest.mark.parametrize("name", ["adagrad", "adadelta", "rmsprop", "mom",
+                                  "sgd"])
+def test_backbone_optimizer_family(name):
+    """facenet.py:168-184 optimizer choices on the reference factor
+    schedule: every member optimizes a quadratic toward its minimum, and
+    `adam` is exactly adam_factor."""
+    import optax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train.optim import (
+        adam_factor,
+        backbone_optimizer,
+    )
+
+    tx = backbone_optimizer(name, base_lr=0.1, decay_every_steps=1000)
+    params = {"w": jnp.asarray([4.0, -3.0])}
+    state = tx.init(params)
+    for _ in range(60):
+        grads = {"w": 2 * params["w"]}  # d/dw ||w||^2
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    # every member descends ||w||^2 (adagrad/adadelta shrink their
+    # effective step by design, so assert monotone progress, not a target)
+    final = float(jnp.abs(params["w"]).max())
+    assert np.isfinite(final) and final < 4.0
+
+    # adam == adam_factor step for step
+    tx_a = backbone_optimizer("adam", base_lr=0.01, decay_every_steps=7,
+                              factor=0.5)
+    tx_b = adam_factor(base_lr=0.01, decay_every_steps=7, factor=0.5)
+    pa = pb = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+    sa, sb = tx_a.init(pa), tx_b.init(pb)
+    for i in range(10):
+        g = {"w": jnp.asarray([0.1 * i, -0.2, 0.3])}
+        ua, sa = tx_a.update(g, sa, pa)
+        ub, sb = tx_b.update(g, sb, pb)
+        pa = optax.apply_updates(pa, ua)
+        pb = optax.apply_updates(pb, ub)
+    np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]),
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        backbone_optimizer("adamw2")
