@@ -40,6 +40,17 @@ def build_parser():
     p.add_argument("--register-frames", type=int, default=4)
     p.add_argument("--fps-cap", type=float, default=30.0,
                    help="with --video file sources: max producer fps")
+    p.add_argument("--detect", action="store_true",
+                   help="with --video: frames are full SCENES — run the "
+                        "fused detect->crop->embed->match pipeline "
+                        "(serve/pipeline.py, ONE XLA program per frame) "
+                        "instead of embedding whole frames")
+    p.add_argument("--frame-size", type=int, nargs=2, default=(128, 128),
+                   metavar=("H", "W"), help="with --detect: scene size")
+    p.add_argument("--det-thresholds", type=float, nargs=3,
+                   default=(0.6, 0.7, 0.7),
+                   help="with --detect: cascade thresholds (random-weight "
+                        "demos need permissive values)")
     p.add_argument("--native", action="store_true",
                    help="embed with the native C++ forward instead of JAX "
                         "(requires --export-dir). The queue, state machine, "
@@ -78,6 +89,97 @@ def _make_embed_fn(args, model, variables):
         return np.asarray(feat)
 
     return embed_fn
+
+
+def _video_detect_main(args, model, variables):
+    """--video --detect: full-scene frames through the FUSED TPU pipeline
+    (detect -> largest-centered crop -> embed -> gallery match compiled
+    into one XLA program per frame, serve/pipeline.py) — the reference's
+    whole per-frame loop (SURVEY §3.4) in a single dispatch. Registration
+    crops come from the host cascade; identification runs fused."""
+    import os
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..detect.align import crop_face, select_main_face
+    from ..detect.pipeline import MTCNNDetector
+    from ..extract import make_extract_fn
+    from ..serve.pipeline import make_recognition_pipeline
+    from ..serve.recognition import RecognitionService
+    from ..serve.video import VideoProducer
+
+    fh, fw = args.frame_size
+    shape = (fh, fw, 3)
+    detector = MTCNNDetector(seed=args.seed)
+    extract = make_extract_fn(model, normalize=True)
+
+    def embed_crop(gray01):
+        _, feat = extract(variables, np.asarray(gray01, np.float32)[None])
+        return np.asarray(feat)[0]
+
+    if os.path.exists(args.store):
+        os.remove(args.store)
+    source = (int(args.video) if args.video.isdigit() else args.video)
+    with RecognitionService(lambda f: np.zeros((len(f), model.feature_dim),
+                                               np.float32),
+                            args.store, model.feature_dim,
+                            sim_threshold=args.sim_threshold,
+                            frame_shape=shape) as svc:
+        reg_feats: list[np.ndarray] = []
+        results = []
+        pipeline = None
+        with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
+            while True:
+                got = svc.queue.consume(int(np.prod(shape)),
+                                        remove_old=pipeline is not None)
+                if got is None:
+                    if producer.finished.is_set():
+                        break
+                    time.sleep(0.001)
+                    continue
+                flat, seq = got
+                frame255 = flat.reshape(shape) * 255.0
+                if len(reg_feats) < args.register_frames:
+                    # host-cascade registration crop (RegImageAcq phase)
+                    boxes, _ = detector.detect(
+                        frame255, thresholds=tuple(args.det_thresholds))
+                    if boxes.shape[0] == 0:
+                        continue
+                    det = select_main_face(boxes, frame255.shape)
+                    crop = crop_face(frame255.astype(np.float32), det[0],
+                                     image_size=args.image_size, margin=16)
+                    gray = crop.mean(-1, keepdims=True) / 255.0
+                    fv = embed_crop(gray)
+                    reg_feats.append(fv)
+                    svc.store.register(args.register_name, fv)
+                    if len(reg_feats) == args.register_frames:
+                        print(f"registered '{args.register_name}' from "
+                              f"{len(reg_feats)} detected faces")
+                        pipeline = make_recognition_pipeline(
+                            detector, model, variables,
+                            np.stack(reg_feats), frame_h=fh, frame_w=fw,
+                            embed_size=args.image_size,
+                            thresholds=tuple(args.det_thresholds),
+                            sim_threshold=args.sim_threshold)
+                        out = pipeline(jnp.zeros(shape, jnp.float32))
+                        _ = float(out["similarity"])  # warm the jit cache
+                    continue
+                out = {k: np.asarray(v)
+                       for k, v in pipeline(
+                           jnp.asarray(frame255, jnp.float32)).items()}
+                name = (args.register_name if int(out["index"]) >= 0
+                        else None)
+                results.append((seq, name, float(out["similarity"])))
+                print(f"frame {seq:4d}: {name or '<unknown>'} "
+                      f"(sim {float(out['similarity']):+.3f}, "
+                      f"found={bool(out['found'])}, "
+                      f"cap_dropped={int(out['cap_dropped'])})")
+        matched = sum(1 for _, n, _ in results if n == args.register_name)
+        print(f"identified {matched}/{len(results)} streamed frames as "
+              f"'{args.register_name}' (fused pipeline)")
+        return results
 
 
 def _video_main(args, model, variables):
@@ -169,6 +271,8 @@ def main(argv=None):
             np.zeros((1, args.image_size, args.image_size, 1), np.float32))
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
+    if args.video and args.detect:
+        return _video_detect_main(args, model, variables)
     if args.video:
         return _video_main(args, model, variables)
     embed_fn = _make_embed_fn(args, model, variables)

@@ -100,3 +100,40 @@ def test_serve_demo_video_registers_and_identifies(tmp_path):
     # same-identity frames with a random-init embedding of the SAME pattern
     # still land closest to the enrolled features
     assert matched.count("alice") >= len(matched) * 0.6
+
+
+def test_serve_demo_video_detect_fused_pipeline(tmp_path):
+    """`serve_demo --video <file> --detect`: full-scene frames through the
+    fused detect->crop->embed->match pipeline (serve/pipeline.py), with
+    registration crops from the host cascade — the reference's complete
+    per-frame loop driven end-to-end from the CLI."""
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        serve_demo,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.video import (
+        write_test_video,
+    )
+
+    # a repeated smooth scene: random-weight MTCNN fires on it at the
+    # permissive thresholds (same fixture family as test_native_mtcnn)
+    rng = np.random.default_rng(42)
+    base = rng.uniform(40, 210, (9, 12, 3))
+    scene = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)  # 72x96x3
+    frames = np.stack([scene] * 40)
+    path = str(tmp_path / "scene.avi")
+    write_test_video(path, frames)
+
+    results = serve_demo.main([
+        "--video", path, "--detect", "--frame-size", "72", "96",
+        "--model", "efmnet342", "--image-size", "32",
+        "--det-thresholds", "0.45", "0.35", "0.3",
+        "--store", str(tmp_path / "d.fjdb"), "--register-name", "alice",
+        "--register-frames", "2", "--sim-threshold", "0.3",
+        "--fps-cap", "25"])
+    assert results, "no frames went through the fused pipeline"
+    matched = [n for _, n, _ in results]
+    # identical scenes: whatever the random cascade crops, the fused
+    # pipeline must match the enrolled identity on most frames
+    assert matched.count("alice") >= len(matched) * 0.6
