@@ -86,6 +86,12 @@ def build_parser():
     ep.add_argument("--email", default="")
     ep.add_argument("--role-title", default="")
     ep.add_argument("--data-root", help="save crops under this root")
+    ep.add_argument("--native-export",
+                    help="export dir: treat --features as IMAGES (or raw "
+                         "FRAMES with --native-mtcnn) and embed with the "
+                         "native C++ forward")
+    ep.add_argument("--int8", action="store_true")
+    _add_native_mtcnn_args(ep)
 
     mp = sub.add_parser("match-person",
                         help="identify probes against the person db "
@@ -94,6 +100,11 @@ def build_parser():
     mp.add_argument("--features", required=True)
     mp.add_argument("--sim-th", type=float, default=0.5)
     mp.add_argument("--out", help="write results JSONL here")
+    mp.add_argument("--native-export",
+                    help="export dir: embed images/frames with the native "
+                         "C++ forward (see enroll-person)")
+    mp.add_argument("--int8", action="store_true")
+    _add_native_mtcnn_args(mp)
 
     rc = sub.add_parser("register-card",
                         help="card-only pre-registration "
@@ -122,7 +133,7 @@ def build_parser():
 def _person_main(args):
     import numpy as np
 
-    from ..data import load_feature_store
+    from ..data import load_feature_store  # noqa: F401 (non-native path)
     from ..serve.person_store import Person, PersonStore
 
     if args.command == "lookup-id":
@@ -139,7 +150,19 @@ def _person_main(args):
             print(f"promoted rid {args.rid} -> pid {pid}")
             return pid
 
-    feats, labels = load_feature_store(args.features)
+    if getattr(args, "native_export", None):
+        from ..data.records import load_image_store
+        from ..serve.native import NativeEmbedder
+
+        images, labels = load_image_store(args.features)
+        if getattr(args, "native_mtcnn", None):
+            feats, labels = _detect_and_embed_native(args, images, labels)
+        else:
+            with NativeEmbedder(args.native_export,
+                                quantized=args.int8) as emb:
+                feats = np.stack([emb.extract(img) for img in images])
+    else:
+        feats, labels = load_feature_store(args.features)
     dim = feats.shape[1]
     if args.command == "enroll-person":
         rows = feats[labels == args.label]

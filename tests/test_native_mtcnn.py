@@ -333,3 +333,71 @@ def test_quantized_cascade_tracks_f32(mtcnn_setup):
 
         assert overlap_frac(qb, fb) > 0.7, (qb.shape, fb.shape)
         assert overlap_frac(fb, qb) > 0.7
+
+
+def test_cascade_parity_odd_geometries(mtcnn_setup, monkeypatch):
+    """Tall, wide, and odd-dimension frames: the transposition dance and
+    pad()/crop arithmetic must hold off the square happy path."""
+    native = _native()
+    pn, rn, on, npz = mtcnn_setup
+    monkeypatch.setattr(pipeline, "imresample", _fake_imresample)
+    host = pipeline.MTCNNDetector(pn, rn, on)
+    rng = np.random.default_rng(7)
+    th = (0.45, 0.35, 0.3)
+    with native.NativeMtcnn(npz) as det:
+        for hw in [(51, 121), (121, 51), (67, 89)]:
+            base = rng.uniform(40, 210,
+                               ((hw[0] + 7) // 8, (hw[1] + 7) // 8, 3))
+            img = np.kron(base, np.ones((8, 8, 1)))[:hw[0], :hw[1]].astype(
+                np.float32)
+            hb, hp = host.detect(img, thresholds=th)
+            nb, npts = det.detect(img, thresholds=th)
+            assert nb.shape[0] == hb.shape[0], hw
+            if hb.shape[0]:
+                np.testing.assert_allclose(nb[:, :4], hb[:, :4], atol=0.1)
+                np.testing.assert_allclose(npts, hp, atol=0.1)
+
+
+def test_person_flows_native_mtcnn(mtcnn_setup, tmp_path):
+    """enroll-person/match-person --native-mtcnn: the person-level DB flows
+    (Register_PDB/Compare_Face_DB) fed from raw frames through the native
+    detect+embed path."""
+    native = _native()
+    pn, rn, on, npz = mtcnn_setup
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+        save_image_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+
+    model = EFMNet342(num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="efmnet342",
+                  feature_dim=342, input_hw=(64, 64), input_channels=1)
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(40, 210, (9, 12, 3))
+    frame = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    store = str(tmp_path / "frames.npz")
+    save_image_store(store, np.stack([frame, frame]), np.asarray([0, 0]))
+
+    db = str(tmp_path / "p.sqlite")
+    common = ["--features", store, "--native-export", export_dir,
+              "--native-mtcnn", npz,
+              "--mtcnn-thresholds", "0.45", "0.35", "0.3"]
+    pid = identify.main(["enroll-person", "--store", db, "--label", "0",
+                         "--name", "alice", "--student-id", "901"] + common)
+    assert pid is not None
+    results = identify.main(["match-person", "--store", db,
+                             "--sim-th", "0.5"] + common)
+    assert results and all(r["name"] == "alice" for r in results)
