@@ -87,3 +87,74 @@ def make_recognition_pipeline(
         }
 
     return pipeline
+
+
+def make_multiface_pipeline(
+    detector,
+    embed_model,
+    embed_variables,
+    gallery: np.ndarray,
+    *,
+    frame_h: int,
+    frame_w: int,
+    embed_size: int = 128,
+    margin: int = 16,
+    minsize: int = 20,
+    thresholds=(0.6, 0.7, 0.7),
+    sim_threshold: float = 0.5,
+    max_faces: int = 8,
+):
+    """Identify EVERY detected face in the frame — the reference's per-frame
+    loop runs Feature_Extract_exe + Compare_Face_DB once per detection
+    (SURVEY.md §3.4, Feature.hpp:763-804); here the top-``max_faces``
+    detections are crop-resized as one batch, embedded as one batch, and
+    matched with one gallery matmul, all inside the SAME single XLA program
+    as the cascade.
+
+    Returns fn(frame) -> dict of per-face arrays (length ``max_faces``):
+    ``found`` (bool mask), ``boxes`` [K, 4], ``scores``, ``indices``
+    (gallery row, -1 below threshold/not found), ``similarities``, plus the
+    scalar ``cap_dropped``.
+    """
+    cascade = make_device_cascade(
+        detector.pnet_params, detector.rnet_params, detector.onet_params,
+        frame_h, frame_w, minsize=minsize, thresholds=thresholds)
+    gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
+
+    @jax.jit
+    def pipeline(frame: jnp.ndarray):
+        boxes, _, counts = cascade(frame)                 # [cap, 5]
+        valid = jnp.isfinite(boxes[:, 4])
+        score = jnp.where(valid, boxes[:, 4], -jnp.inf)
+        k = min(max_faces, boxes.shape[0])
+        top_s, top_i = jax.lax.top_k(score, k)
+        found = jnp.isfinite(top_s)
+        sel = boxes[top_i, :4]
+        # margin pad + clip per face (crop_face semantics); invalid rows
+        # carry NaNs that propagate to sims and are masked by `found`
+        bxs = jnp.stack([
+            jnp.maximum(sel[:, 0] - margin / 2, 0.0),
+            jnp.maximum(sel[:, 1] - margin / 2, 0.0),
+            jnp.minimum(sel[:, 2] + margin / 2, float(frame_w)),
+            jnp.minimum(sel[:, 3] + margin / 2, float(frame_h)),
+        ], axis=1)
+        safe = jnp.where(jnp.isfinite(bxs), bxs, 0.0)
+        crops = crop_resize_boxes(frame, safe, embed_size)  # [K, S, S, 3]
+        gray = jnp.mean(crops, axis=-1, keepdims=True) / 255.0
+        _, feats = embed_model.apply(embed_variables, gray, train=False)
+        embs = l2_normalize(feats)                          # [K, D]
+        sims = embs @ gallery_n.T                           # [K, G]
+        sims = jnp.where(jnp.isnan(sims), -2.0, sims)
+        idx = jnp.argmax(sims, axis=1)
+        sim = jnp.take_along_axis(sims, idx[:, None], axis=1)[:, 0]
+        matched = found & (sim >= sim_threshold)
+        return {
+            "found": found,
+            "boxes": bxs,
+            "scores": top_s,
+            "indices": jnp.where(matched, idx, -1).astype(jnp.int32),
+            "similarities": jnp.where(found, sim, -2.0),
+            "cap_dropped": counts[0] + counts[1] + counts[2],
+        }
+
+    return pipeline

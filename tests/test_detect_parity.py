@@ -146,3 +146,69 @@ def test_device_vs_host_cascade_box_and_score_deltas():
     assert recall_conf >= 0.55, (recall_conf, total["confident"])
     assert mean_iou > 0.8, mean_iou
     assert mean_dscore < 0.05, mean_dscore
+
+
+def test_multiface_pipeline_identifies_each_face():
+    """make_multiface_pipeline: every detected face is embedded and matched
+    (the reference runs Feature_Extract_exe + Compare_Face_DB per face,
+    Feature.hpp:763-804) — enroll the pipeline's own top-K crops as the
+    gallery, rerun, and each face must match its own gallery row."""
+    import jax
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        crop_resize_boxes,
+        make_device_cascade,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.distances import (
+        l2_normalize,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multiface_pipeline,
+    )
+
+    det = MTCNNDetector(seed=2)
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    frame = _texture(72, seed=3).astype(np.float32)
+    th = (0.3, 0.3, 0.3)
+    K = 4
+
+    # enrollment by decomposition: same cascade -> top-K -> crops -> embed
+    cascade = make_device_cascade(det.pnet_params, det.rnet_params,
+                                  det.onet_params, 72, 72, thresholds=th)
+    boxes, _, _ = cascade(jnp.asarray(frame))
+    score = jnp.where(jnp.isfinite(boxes[:, 4]), boxes[:, 4], -jnp.inf)
+    top_s, top_i = jax.lax.top_k(score, K)
+    n_found = int(np.isfinite(np.asarray(top_s)).sum())
+    if n_found == 0:
+        pytest.skip("fixture produced no detections")
+    sel = np.asarray(boxes)[np.asarray(top_i), :4]
+    bxs = np.stack([np.maximum(sel[:, 0] - 8, 0),
+                    np.maximum(sel[:, 1] - 8, 0),
+                    np.minimum(sel[:, 2] + 8, 72.0),
+                    np.minimum(sel[:, 3] + 8, 72.0)], axis=1)
+    crops = crop_resize_boxes(jnp.asarray(frame),
+                              jnp.asarray(np.nan_to_num(bxs), jnp.float32),
+                              64)
+    gray = jnp.mean(crops, axis=-1, keepdims=True) / 255.0
+    _, feats = model.apply(variables, gray, train=False)
+    gallery = np.asarray(l2_normalize(feats))[:n_found]
+
+    pipe = make_multiface_pipeline(det, model, variables, gallery,
+                                   frame_h=72, frame_w=72, embed_size=64,
+                                   thresholds=th, max_faces=K,
+                                   sim_threshold=0.5)
+    out = {key: np.asarray(v) for key, v in
+           pipe(jnp.asarray(frame, jnp.float32)).items()}
+    assert int(out["found"].sum()) == n_found
+    for i in range(n_found):
+        assert out["indices"][i] == i
+        assert out["similarities"][i] > 0.99
+    # unfound slots are masked out
+    for i in range(n_found, K):
+        assert out["indices"][i] == -1
