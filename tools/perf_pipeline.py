@@ -1,0 +1,95 @@
+"""Fused serving-pipeline latency on the real chip, measured the honest way
+(bench.py methodology: K frames chained in one lax.scan program, scalar
+fetch at the end — per-dispatch timing through the tunnel pays a ~30 ms
+fixed cost per call and lies under host load).
+
+Covers both pipelines: single-face (largest-centered, serve/pipeline.py::
+make_recognition_pipeline) and multi-face (top-K per frame,
+make_multiface_pipeline).
+
+    python tools/perf_pipeline.py [--size 250] [--gallery 10000] [--frames 32]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=250)
+    ap.add_argument("--gallery", type=int, default=10000)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--max-faces", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multiface_pipeline,
+        make_recognition_pipeline,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    print("devices:", jax.devices(), file=sys.stderr)
+    det = MTCNNDetector(seed=0)
+    model = EFMNet342(num_classes=100)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    gallery = np.random.default_rng(0).normal(
+        size=(args.gallery, 342)).astype(np.float32)
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.uniform(
+        0, 255, (args.frames, args.size, args.size, 3)), jnp.float32)
+
+    for name, pipe in (
+            ("single-face", make_recognition_pipeline(
+                det, model, variables, gallery, frame_h=args.size,
+                frame_w=args.size, embed_size=64, thresholds=(0.3, 0.3, 0.3))),
+            (f"multi-face K={args.max_faces}", make_multiface_pipeline(
+                det, model, variables, gallery, frame_h=args.size,
+                frame_w=args.size, embed_size=64, thresholds=(0.3, 0.3, 0.3),
+                max_faces=args.max_faces)),
+    ):
+        @jax.jit
+        def scanned(fs):
+            def body(acc, frame):
+                out = pipe(frame)
+                key = ("similarity" if "similarity" in out
+                       else "similarities")
+                return acc + jnp.sum(jnp.where(
+                    jnp.isfinite(out[key]), out[key], 0.0)), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), fs)
+            return acc
+
+        t0 = time.perf_counter()
+        _ = float(scanned(frames))
+        print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = float(scanned(frames))
+            ts.append(time.perf_counter() - t0)
+        per = min(ts) / args.frames
+        print(f"{name}: {per * 1e3:.1f} ms/frame "
+              f"({args.size}px, {args.gallery}-row gallery)")
+
+
+if __name__ == "__main__":
+    main()
