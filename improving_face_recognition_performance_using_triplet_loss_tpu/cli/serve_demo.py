@@ -51,6 +51,10 @@ def build_parser():
                    default=(0.6, 0.7, 0.7),
                    help="with --detect: cascade thresholds (random-weight "
                         "demos need permissive values)")
+    p.add_argument("--max-faces", type=int, default=1,
+                   help="with --detect: identify the top-K faces per frame "
+                        "(K>1 uses make_multiface_pipeline — every face "
+                        "embedded+matched in the same XLA program)")
     p.add_argument("--native", action="store_true",
                    help="embed with the native C++ forward instead of JAX "
                         "(requires --export-dir). The queue, state machine, "
@@ -106,7 +110,8 @@ def _video_detect_main(args, model, variables):
     from ..detect.align import crop_face, select_main_face
     from ..detect.pipeline import MTCNNDetector
     from ..extract import make_extract_fn
-    from ..serve.pipeline import make_recognition_pipeline
+    from ..serve.pipeline import (make_multiface_pipeline,
+                                  make_recognition_pipeline)
     from ..serve.recognition import RecognitionService
     from ..serve.video import VideoProducer
 
@@ -157,25 +162,48 @@ def _video_detect_main(args, model, variables):
                     if len(reg_feats) == args.register_frames:
                         print(f"registered '{args.register_name}' from "
                               f"{len(reg_feats)} detected faces")
-                        pipeline = make_recognition_pipeline(
+                        maker = (make_recognition_pipeline
+                                 if args.max_faces <= 1
+                                 else make_multiface_pipeline)
+                        extra = ({} if args.max_faces <= 1
+                                 else {"max_faces": args.max_faces})
+                        pipeline = maker(
                             detector, model, variables,
                             np.stack(reg_feats), frame_h=fh, frame_w=fw,
                             embed_size=args.image_size,
                             thresholds=tuple(args.det_thresholds),
-                            sim_threshold=args.sim_threshold)
+                            sim_threshold=args.sim_threshold, **extra)
                         out = pipeline(jnp.zeros(shape, jnp.float32))
-                        _ = float(out["similarity"])  # warm the jit cache
+                        jax_tree_fetch = {k: np.asarray(v)
+                                          for k, v in out.items()}
+                        del jax_tree_fetch  # warm the jit cache
                     continue
                 out = {k: np.asarray(v)
                        for k, v in pipeline(
                            jnp.asarray(frame255, jnp.float32)).items()}
-                name = (args.register_name if int(out["index"]) >= 0
-                        else None)
-                results.append((seq, name, float(out["similarity"])))
-                print(f"frame {seq:4d}: {name or '<unknown>'} "
-                      f"(sim {float(out['similarity']):+.3f}, "
-                      f"found={bool(out['found'])}, "
-                      f"cap_dropped={int(out['cap_dropped'])})")
+                if args.max_faces <= 1:
+                    name = (args.register_name if int(out["index"]) >= 0
+                            else None)
+                    results.append((seq, name, float(out["similarity"])))
+                    print(f"frame {seq:4d}: {name or '<unknown>'} "
+                          f"(sim {float(out['similarity']):+.3f}, "
+                          f"found={bool(out['found'])}, "
+                          f"cap_dropped={int(out['cap_dropped'])})")
+                else:
+                    # per-face results (the reference identifies every
+                    # detected face per frame)
+                    faces = [(args.register_name if int(ix) >= 0 else None,
+                              float(sm))
+                             for fnd, ix, sm in zip(out["found"],
+                                                    out["indices"],
+                                                    out["similarities"])
+                             if bool(fnd)]
+                    best = max(faces, key=lambda x: x[1],
+                               default=(None, -2.0))
+                    results.append((seq, best[0], best[1]))
+                    print(f"frame {seq:4d}: {len(faces)} face(s) "
+                          + ", ".join(f"{n or '<unknown>'}({s:+.2f})"
+                                      for n, s in faces))
         matched = sum(1 for _, n, _ in results if n == args.register_name)
         print(f"identified {matched}/{len(results)} streamed frames as "
               f"'{args.register_name}' (fused pipeline)")

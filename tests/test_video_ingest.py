@@ -137,3 +137,33 @@ def test_serve_demo_video_detect_fused_pipeline(tmp_path):
     # identical scenes: whatever the random cascade crops, the fused
     # pipeline must match the enrolled identity on most frames
     assert matched.count("alice") >= len(matched) * 0.6
+
+
+def test_serve_demo_video_detect_multiface(tmp_path):
+    """`--detect --max-faces K`: per-frame multi-face identification through
+    make_multiface_pipeline from the CLI."""
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        serve_demo,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.video import (
+        write_test_video,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.uniform(40, 210, (9, 12, 3))
+    scene = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    path = str(tmp_path / "scene.avi")
+    write_test_video(path, np.stack([scene] * 30))
+
+    results = serve_demo.main([
+        "--video", path, "--detect", "--frame-size", "72", "96",
+        "--max-faces", "4", "--model", "efmnet342", "--image-size", "32",
+        "--det-thresholds", "0.45", "0.35", "0.3",
+        "--store", str(tmp_path / "m.fjdb"), "--register-name", "alice",
+        "--register-frames", "2", "--sim-threshold", "0.3",
+        "--fps-cap", "25"])
+    assert results
+    matched = [n for _, n, _ in results]
+    assert matched.count("alice") >= len(matched) * 0.6
