@@ -27,7 +27,10 @@
 
 #include <algorithm>
 #include <array>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <map>
@@ -328,6 +331,10 @@ class NativeMtcnn {
     get("pnet/conv1/weights");  // fail fast on a wrong file
     get("rnet/conv1/weights");
     get("onet/conv1/weights");
+    // stage timers on stderr (the reference's toShowTimeLog/TimeGoesBy
+    // instrumentation, MTCNN.hpp:37,1039-1319)
+    const char* t = std::getenv("FACEJAX_MTCNN_TIMELOG");
+    timelog_ = t && t[0] == '1';
   }
 
   // --- stage forwards (inputs already normalized + transposed) ---
@@ -430,6 +437,15 @@ class NativeMtcnn {
     std::copy(img, img + static_cast<size_t>(h) * w * 3, image.data.begin());
 
     // stage 1: PNet over the pyramid (detect_face.py:287-330)
+    using Clock = std::chrono::steady_clock;
+    auto tic = Clock::now();
+    auto lap = [&tic]() {
+      const auto now = Clock::now();
+      const double ms =
+          std::chrono::duration<double, std::milli>(now - tic).count();
+      tic = now;
+      return ms;
+    };
     std::vector<std::array<float, 9>> total;  // x1 y1 x2 y2 score reg[4]
     double minl = std::min(h, w) * (12.0 / minsize);
     const double m = 12.0 / minsize;
@@ -437,6 +453,9 @@ class NativeMtcnn {
     while (minl >= 12.0) {
       const double scale = m * std::pow(factor, count);
       RunPnetScale(image, scale, thresholds[0], total);
+      if (timelog_)
+        std::fprintf(stderr, "\ttime - PNet scale %.4f:\t%.2f ms\n",
+                     scale, lap());
       minl *= factor;
       ++count;
     }
@@ -460,6 +479,9 @@ class NativeMtcnn {
       for (auto& b : total)
         for (int i = 0; i < 4; ++i) b[i] = std::trunc(b[i]);
     }
+    if (timelog_)
+      std::fprintf(stderr, "\ttime - stage1 boxes (%zu):\t%.2f ms\n",
+                   total.size(), lap());
 
     // stage 2: RNet (pipeline.py:179-192)
     if (!total.empty()) {
@@ -497,6 +519,10 @@ class NativeMtcnn {
         RerecRows(total);
       }
     }
+
+    if (timelog_)
+      std::fprintf(stderr, "\ttime - RNet (%zu kept):\t%.2f ms\n",
+                   total.size(), lap());
 
     // stage 3: ONet (pipeline.py:194-219)
     if (!total.empty()) {
@@ -550,6 +576,9 @@ class NativeMtcnn {
       } else {
         pts.clear();
       }
+      if (timelog_)
+        std::fprintf(stderr, "\ttime - ONet (%zu kept):\t%.2f ms\n",
+                     total.size(), lap());
       // emit
       const size_t nf = total.size();
       boxes_out.resize(nf * 5);
@@ -749,6 +778,7 @@ class NativeMtcnn {
 
   std::map<std::string, NpyArray> w_;
   bool quantized_ = false;
+  bool timelog_ = false;
   // quantize-on-first-use cache; Detect is single-threaded at the frame
   // level (OpenMP lives inside the GEMMs), so no lock is needed.
   mutable std::map<std::string, nn::QuantizedKernel> qcache_;
