@@ -81,6 +81,10 @@ def make_recognition_pipeline(
             "score": boxes[best, 4],
             "index": jnp.where(matched, idx, -1).astype(jnp.int32),
             "similarity": jnp.where(found, sim, -2.0),
+            # the L2-normalized face embedding — lets callers re-match
+            # against galleries too large for one chip via
+            # serve.gallery.match_gallery_sharded (mesh-sharded matmul)
+            "embedding": emb,
             # candidates dropped by the cascade's fixed caps this frame
             # (no-silent-caps accounting; 0 on uncrowded frames)
             "cap_dropped": counts[0] + counts[1] + counts[2],
@@ -154,6 +158,8 @@ def make_multiface_pipeline(
             "scores": top_s,
             "indices": jnp.where(matched, idx, -1).astype(jnp.int32),
             "similarities": jnp.where(found, sim, -2.0),
+            # per-face L2-normalized embeddings for sharded re-matching
+            "embeddings": embs,
             "cap_dropped": counts[0] + counts[1] + counts[2],
         }
 

@@ -212,3 +212,39 @@ def test_multiface_pipeline_identifies_each_face():
     # unfound slots are masked out
     for i in range(n_found, K):
         assert out["indices"][i] == -1
+
+
+def test_pipeline_embeddings_compose_with_sharded_gallery():
+    """The pipelines expose the per-face embeddings, so galleries past one
+    chip's HBM re-match via the mesh-sharded matmul matcher — and the
+    sharded result equals the pipeline's own in-program match."""
+    import jax
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.gallery import (
+        match_gallery_sharded,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_recognition_pipeline,
+    )
+
+    det = MTCNNDetector(seed=2)
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    rng = np.random.default_rng(0)
+    gallery = rng.normal(size=(101, model.feature_dim)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    pipe = make_recognition_pipeline(
+        det, model, variables, gallery, frame_h=72, frame_w=72,
+        embed_size=64, thresholds=(0.3, 0.3, 0.3), sim_threshold=-1.0)
+    out = pipe(jnp.asarray(_texture(72, seed=3), jnp.float32))
+    if not bool(out["found"]):
+        pytest.skip("fixture produced no detection")
+    emb = np.asarray(out["embedding"])[None]
+    idx, sim = match_gallery_sharded(gallery, emb, sim_th=-1.0)
+    assert int(idx[0]) == int(out["index"])
+    np.testing.assert_allclose(sim[0], float(out["similarity"]), atol=1e-5)
