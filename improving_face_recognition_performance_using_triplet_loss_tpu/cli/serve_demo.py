@@ -55,6 +55,13 @@ def build_parser():
                    help="with --detect: identify the top-K faces per frame "
                         "(K>1 uses make_multiface_pipeline — every face "
                         "embedded+matched in the same XLA program)")
+    p.add_argument("--native-mtcnn", metavar="NPZ",
+                   help="with --video --detect --native: run detection "
+                        "with the native C++ cascade (export_mtcnn npz) — "
+                        "the complete live loop (camera -> detect -> crop "
+                        "-> embed -> match -> register) then has zero "
+                        "JAX/Python compute, the reference app's exact "
+                        "process shape")
     p.add_argument("--native", action="store_true",
                    help="embed with the native C++ forward instead of JAX "
                         "(requires --export-dir). The queue, state machine, "
@@ -93,6 +100,86 @@ def _make_embed_fn(args, model, variables):
         return np.asarray(feat)
 
     return embed_fn
+
+
+def _video_native_detect_main(args, model):
+    """--video --detect --native [--native-mtcnn]: the reference app's
+    exact process shape — camera thread -> drop-stale queue -> C++ MTCNN
+    -> crop -> C++ embed -> C++ store match/register, zero JAX and zero
+    Python compute in the loop (MTCNN.hpp + Feature.hpp + LFQueue.hpp +
+    CameraSettings.h composed, SURVEY §3.4)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from ..detect.align import crop_face, select_main_face
+    from ..serve.native import NativeEmbedder, NativeMtcnn
+    from ..serve.recognition import RecognitionService
+    from ..serve.video import VideoProducer
+
+    if not (args.export_dir and args.native_mtcnn):
+        raise SystemExit("--video --detect --native needs --export-dir "
+                         "and --native-mtcnn")
+    fh, fw = args.frame_size
+    shape = (fh, fw, 3)
+    if os.path.exists(args.store):
+        os.remove(args.store)
+    source = (int(args.video) if args.video.isdigit() else args.video)
+    th = tuple(args.det_thresholds)
+    with NativeMtcnn(args.native_mtcnn, quantized=args.int8) as det, \
+            NativeEmbedder(args.export_dir, quantized=args.int8) as emb, \
+            RecognitionService(
+                lambda f: np.zeros((len(f), emb.feature_dim), np.float32),
+                args.store, emb.feature_dim,
+                sim_threshold=args.sim_threshold, frame_shape=shape) as svc:
+        size = int(((emb.manifest or {}).get("input") or {})
+                   .get("height", args.image_size))
+        n_reg = 0
+        results = []
+
+        def face_fv(frame255):
+            boxes, _ = det.detect(frame255, thresholds=th)
+            if boxes.shape[0] == 0:
+                return None
+            sel = select_main_face(boxes, frame255.shape)
+            crop = crop_face(frame255.astype(np.float32), sel[0],
+                             image_size=size, margin=args.mtcnn_margin
+                             if hasattr(args, "mtcnn_margin") else 0)
+            gray = (0.299 * crop[..., 0] + 0.587 * crop[..., 1]
+                    + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
+            return emb.extract(gray)
+
+        with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
+            while True:
+                got = svc.queue.consume(int(np.prod(shape)),
+                                        remove_old=n_reg
+                                        >= args.register_frames)
+                if got is None:
+                    if producer.finished.is_set():
+                        break
+                    time.sleep(0.001)
+                    continue
+                flat, seq = got
+                frame255 = flat.reshape(shape) * 255.0
+                fv = face_fv(frame255)
+                if fv is None:
+                    continue
+                if n_reg < args.register_frames:
+                    svc.store.register(args.register_name, fv)
+                    n_reg += 1
+                    if n_reg == args.register_frames:
+                        print(f"registered '{args.register_name}' from "
+                              f"{n_reg} natively detected faces")
+                    continue
+                name, sim = svc.store.match(fv, args.sim_threshold)
+                results.append((seq, name, sim))
+                print(f"frame {seq:4d}: {name or '<unknown>'} "
+                      f"(sim {sim:+.3f}) [native]")
+        matched = sum(1 for _, n, _ in results if n == args.register_name)
+        print(f"identified {matched}/{len(results)} streamed frames as "
+              f"'{args.register_name}' (fully native loop)")
+        return results
 
 
 def _video_detect_main(args, model, variables):
@@ -299,6 +386,8 @@ def main(argv=None):
             np.zeros((1, args.image_size, args.image_size, 1), np.float32))
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
+    if args.video and args.detect and args.native:
+        return _video_native_detect_main(args, model)
     if args.video and args.detect:
         return _video_detect_main(args, model, variables)
     if args.video:

@@ -167,3 +167,66 @@ def test_serve_demo_video_detect_multiface(tmp_path):
     assert results
     matched = [n for _, n, _ in results]
     assert matched.count("alice") >= len(matched) * 0.6
+
+
+def test_serve_demo_video_fully_native_loop(tmp_path):
+    """`--video --detect --native --native-mtcnn`: the reference app's exact
+    process shape — camera -> queue -> C++ detect -> crop -> C++ embed ->
+    C++ match/register, zero JAX in the loop."""
+    import jax
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        serve_demo,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+        mtcnn as mtcnn_nets,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve import (
+        native,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_mtcnn,
+        export_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.video import (
+        write_test_video,
+    )
+
+    try:
+        native.load_native()
+    except native.NativeUnavailable as e:
+        import pytest
+
+        pytest.skip(f"native unavailable: {e}")
+
+    model = EFMNet342(num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="efmnet342",
+                  feature_dim=342, input_hw=(32, 32), input_channels=1)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    mtcnn_npz = str(tmp_path / "mtcnn.npz")
+    export_mtcnn(mtcnn_npz, mtcnn_nets.init_pnet_params(k1),
+                 mtcnn_nets.init_rnet_params(k2),
+                 mtcnn_nets.init_onet_params(k3))
+
+    rng = np.random.default_rng(42)
+    base = rng.uniform(40, 210, (9, 12, 3))
+    scene = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    path = str(tmp_path / "scene.avi")
+    write_test_video(path, np.stack([scene] * 30))
+
+    results = serve_demo.main([
+        "--video", path, "--detect", "--native",
+        "--native-mtcnn", mtcnn_npz, "--export-dir", export_dir,
+        "--frame-size", "72", "96", "--image-size", "32",
+        "--det-thresholds", "0.45", "0.35", "0.3",
+        "--store", str(tmp_path / "n.fjdb"), "--register-name", "alice",
+        "--register-frames", "2", "--sim-threshold", "0.3",
+        "--fps-cap", "25"])
+    assert results
+    matched = [n for _, n, _ in results]
+    assert matched.count("alice") >= len(matched) * 0.6
