@@ -32,3 +32,31 @@ def setup_logging(out_dir: str | None, name: str) -> logging.Logger:
 
 def log_config(log: logging.Logger, args) -> None:
     log.info("config: %s", {k: v for k, v in sorted(vars(args).items())})
+    rev = _revision_info()
+    if rev:
+        log.info("revision: %s", rev)
+
+
+def _revision_info() -> str:
+    """Best-effort git revision of the running tree — experiment
+    provenance, the facenet `store_revision_info` capability
+    (facenet.py:522-540). Empty string outside a git checkout."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5)
+        if out.returncode != 0:
+            return ""
+        rev = out.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=5)
+        if dirty.returncode == 0 and dirty.stdout.strip():
+            rev += "+dirty"
+        return rev
+    except Exception:
+        return ""
