@@ -1,0 +1,170 @@
+"""MXNet .params import (utils/mxnet_import.py): binary roundtrip under
+both dim layouts, the EFM-symbol name/layout mapping proven against an
+INDEPENDENT NCHW oracle (torch implements the reference graph with the raw
+MXNet-layout arrays), and the CLI -> export -> native-consumer chain."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.models import (  # noqa: E402
+    EFMNet342,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.utils.mxnet_import import (  # noqa: E402
+    MxParamsError,
+    efm_params_to_mxnet,
+    infer_input_size,
+    map_efm_params,
+    read_mxnet_params,
+    write_mxnet_params,
+)
+
+SIZE = 32
+CLASSES = 7
+
+
+@pytest.fixture(scope="module")
+def flax_params():
+    model = EFMNet342(num_classes=CLASSES)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, SIZE, SIZE, 1), np.float32))
+    return model, variables["params"]
+
+
+def test_params_file_roundtrip_both_layouts(flax_params, tmp_path):
+    """write (u32 dims and i64 dims) -> read -> identical arrays; the
+    multi-hypothesis parser finds the right layout by itself."""
+    _, params = flax_params
+    args = efm_params_to_mxnet(jax.tree_util.tree_map(np.asarray, params))
+    for dim64 in (False, True):
+        path = str(tmp_path / f"p{dim64}.params")
+        write_mxnet_params(path, args, dim64=dim64)
+        got, aux = read_mxnet_params(path)
+        assert aux == {}
+        assert sorted(got) == sorted(args)
+        for k in args:
+            np.testing.assert_array_equal(got[k], args[k])
+
+
+def test_mapping_roundtrip_exact(flax_params, tmp_path):
+    """flax -> mx arrays -> .params file -> import -> identical flax tree."""
+    _, params = flax_params
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    path = str(tmp_path / "efm.params")
+    write_mxnet_params(path, efm_params_to_mxnet(np_params))
+    mx_args, _ = read_mxnet_params(path)
+    back = map_efm_params(mx_args)
+    assert infer_input_size(mx_args) == SIZE
+    flat_a = jax.tree_util.tree_leaves_with_path(np_params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path_k, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_b[path_k]),
+                                      np.asarray(leaf), err_msg=str(path_k))
+
+
+def _torch_efm3(t):
+    import torch
+
+    c = t.shape[1] // 3
+    a, b, d = t[:, :c], t[:, c:2 * c], t[:, 2 * c:]
+    return torch.cat([torch.maximum(torch.maximum(a, b), d),
+                      torch.minimum(torch.minimum(a, b), d)], dim=1)
+
+
+def _torch_reference_forward(args, x_nchw):
+    """The reference EFM symbol graph (efm_symbol.py:22-110) executed with
+    the RAW MXNet-layout arrays in torch — an NCHW implementation with no
+    shared code with the flax model or the importer."""
+    import torch
+    import torch.nn.functional as F
+
+    def conv(name, t, pad):
+        w = torch.from_numpy(np.ascontiguousarray(args[f"{name}_weight"]))
+        b = torch.from_numpy(np.ascontiguousarray(args[f"{name}_bias"]))
+        return F.conv2d(t, w, b, padding=pad)
+
+    t = torch.from_numpy(x_nchw)
+    t = conv("conv1", t, 2)
+    t = _torch_efm3(t)
+    t = F.max_pool2d(t, 2)
+    ladder = [(99, 198, 1), (198, 387, 2), (387, 261, 3), (261, 261, 4)]
+    for si, (num_r, num, tar) in enumerate(ladder, start=2):
+        L = str(si)
+        for i in range(tar):
+            blk = L if i == 0 else f"{L}{i}"
+            h = _torch_efm3(t)
+            h = conv(f"conv{blk}_res", h, 1)
+            h = _torch_efm3(h)
+            h = conv(f"conv{blk}_res_r", h, 1)
+            t = t + h
+        t = conv(f"conv{L}_r", t, 0)
+        t = _torch_efm3(t)
+        t = conv(f"conv{L}", t, 1)
+        t = _torch_efm3(t)
+        t = F.max_pool2d(t, 2)
+    flat = t.flatten(1)  # NCHW flatten — the MXNet Flatten order
+    fc1 = flat @ torch.from_numpy(args["fc1_weight"]).T + \
+        torch.from_numpy(args["fc1_bias"])
+    feat = _torch_efm3(fc1[:, :, None, None])[:, :, 0, 0]
+    logits = feat @ torch.from_numpy(args["fc2_weight"]).T + \
+        torch.from_numpy(args["fc2_bias"])
+    return logits.numpy(), feat.numpy()
+
+
+def test_mapping_matches_independent_nchw_oracle(flax_params):
+    """The layout conversion is CORRECT, not merely self-consistent: torch
+    runs the reference NCHW graph on the MXNet-layout arrays, flax runs the
+    NHWC model on the mapped tree — same logits, same 342-d features."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+
+    model, params = flax_params
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    args = efm_params_to_mxnet(np_params)
+
+    rng = np.random.default_rng(0)
+    x_nhwc = rng.uniform(0, 1, (2, SIZE, SIZE, 1)).astype(np.float32)
+    x_nchw = np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2))
+
+    logits_t, feat_t = _torch_reference_forward(args, x_nchw)
+    logits_j, feat_j = model.apply({"params": params}, x_nhwc, train=False)
+    np.testing.assert_allclose(np.asarray(feat_j), feat_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t, atol=2e-4)
+
+
+def test_import_cli_to_native_consumer(flax_params, tmp_path):
+    """import_params CLI: .params -> export; the imported export embeds
+    identically through the flax extractor AND the native C++ forward."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        import_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve import (
+        native,
+    )
+
+    model, params = flax_params
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    path = str(tmp_path / "EFM_RES-0280.params")
+    write_mxnet_params(path, efm_params_to_mxnet(np_params))
+    out = str(tmp_path / "export")
+    import_params.main([path, "--out-dir", out, "--verify"])
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (SIZE, SIZE)).astype(np.float32)
+    _, want = model.apply({"params": params},
+                          img[None, :, :, None], train=False)
+    try:
+        native.load_native()
+    except native.NativeUnavailable as e:
+        pytest.skip(f"native unavailable: {e}")
+    with native.NativeEmbedder(out) as emb:
+        got = emb.extract(img)
+    np.testing.assert_allclose(got, np.asarray(want)[0], rtol=5e-4,
+                               atol=2e-4)
+
+
+def test_reader_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.params"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(MxParamsError):
+        read_mxnet_params(str(p))
