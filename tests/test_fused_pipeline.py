@@ -31,7 +31,7 @@ def test_fused_recognition_pipeline_end_to_end():
         thresholds=(0.1, 0.1, 0.1), sim_threshold=-1.0)
     out = pipe(jnp.asarray(frames[0]))
     assert set(out) == {"found", "box", "score", "index", "similarity",
-                        "cap_dropped"}
+                        "embedding", "cap_dropped"}
     assert out["box"].shape == (4,)
     if bool(out["found"]):
         assert -1 <= int(out["index"]) < 5
