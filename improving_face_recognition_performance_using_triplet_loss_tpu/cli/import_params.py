@@ -21,6 +21,10 @@ def build_parser():
     p.add_argument("params", help="MXNet .params file (EFM symbol layout)")
     p.add_argument("--out-dir", required=True,
                    help="export directory to write (weights.npz + manifest)")
+    p.add_argument("--symbol", help="optional EFM_RES.json: cross-check "
+                                    "the graph against the expected "
+                                    "EFM-symbol architecture before "
+                                    "importing")
     p.add_argument("--verify", action="store_true",
                    help="after import, run one forward through the flax "
                         "model to validate shapes end-to-end")
@@ -33,8 +37,12 @@ def main(argv=None):
 
     from ..serve.export import export_params
     from ..utils.mxnet_import import (infer_input_size, map_efm_params,
-                                      read_mxnet_params)
+                                      read_mxnet_params,
+                                      validate_symbol_json)
 
+    if args.symbol:
+        validate_symbol_json(args.symbol)
+        print(f"symbol graph validated: {args.symbol}")
     mx_args, mx_aux = read_mxnet_params(args.params)
     print(f"read {len(mx_args)} arg + {len(mx_aux)} aux arrays")
     params = map_efm_params(mx_args)

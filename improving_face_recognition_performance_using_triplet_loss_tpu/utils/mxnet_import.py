@@ -290,3 +290,41 @@ def efm_params_to_mxnet(params: dict) -> dict:
         np.asarray(params["fc2"]["kernel"]).T.astype(np.float32))
     args["fc2_bias"] = np.asarray(params["fc2"]["bias"], np.float32)
     return args
+
+
+def validate_symbol_json(path: str) -> dict:
+    """Cross-check an ``EFM_RES.json`` symbol file against the expected
+    EFM-symbol graph: every conv in the name inventory must appear with the
+    ladder's num_filter. Returns {conv_name: num_filter}. Raises
+    MxParamsError with the first mismatch — catches somebody importing a
+    different architecture's checkpoint.
+    """
+    import json
+
+    with open(path) as f:
+        sym = json.load(f)
+    convs = {}
+    for node in sym.get("nodes", []):
+        if node.get("op") == "Convolution":
+            attrs = node.get("attrs") or node.get("param") or {}
+            convs[node["name"]] = int(str(attrs.get("num_filter", 0)))
+    expected = {"conv1": 99}
+    ladder = [(99, 198, 1), (198, 387, 2), (387, 261, 3), (261, 261, 4)]
+    for si, (num_r, num, tar) in enumerate(ladder, start=2):
+        L = str(si)
+        for i in range(tar):
+            blk = L if i == 0 else f"{L}{i}"
+            expected[f"conv{blk}_res"] = num_r
+            expected[f"conv{blk}_res_r"] = num_r * 2 // 3
+        expected[f"conv{L}_r"] = num_r
+        expected[f"conv{L}"] = num
+    for name, nf in expected.items():
+        if name not in convs:
+            raise MxParamsError(
+                f"symbol json missing conv '{name}' — not the EFM_RES "
+                f"architecture? (has {sorted(convs)[:6]}...)")
+        if convs[name] != nf:
+            raise MxParamsError(
+                f"symbol conv '{name}' has num_filter {convs[name]}, "
+                f"expected {nf}")
+    return convs

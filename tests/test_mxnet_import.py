@@ -168,3 +168,37 @@ def test_reader_rejects_garbage(tmp_path):
     p.write_bytes(b"\x00" * 64)
     with pytest.raises(MxParamsError):
         read_mxnet_params(str(p))
+
+
+def test_symbol_json_validation(tmp_path):
+    """--symbol cross-check: the expected EFM graph passes; a different
+    architecture is rejected with a clear error."""
+    import json
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils.mxnet_import import (
+        validate_symbol_json,
+    )
+
+    def conv(name, nf):
+        return {"op": "Convolution", "name": name,
+                "attrs": {"num_filter": str(nf)}}
+
+    nodes = [conv("conv1", 99)]
+    ladder = [(99, 198, 1), (198, 387, 2), (387, 261, 3), (261, 261, 4)]
+    for si, (num_r, num, tar) in enumerate(ladder, start=2):
+        L = str(si)
+        for i in range(tar):
+            blk = L if i == 0 else f"{L}{i}"
+            nodes += [conv(f"conv{blk}_res", num_r),
+                      conv(f"conv{blk}_res_r", num_r * 2 // 3)]
+        nodes += [conv(f"conv{L}_r", num_r), conv(f"conv{L}", num)]
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"nodes": nodes}))
+    convs = validate_symbol_json(str(good))
+    assert convs["conv1"] == 99
+
+    bad = tmp_path / "bad.json"
+    nodes[0] = conv("conv1", 96)  # wrong stem width
+    bad.write_text(json.dumps({"nodes": nodes}))
+    with pytest.raises(MxParamsError):
+        validate_symbol_json(str(bad))
