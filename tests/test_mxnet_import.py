@@ -202,3 +202,25 @@ def test_symbol_json_validation(tmp_path):
     bad.write_text(json.dumps({"nodes": nodes}))
     with pytest.raises(MxParamsError):
         validate_symbol_json(str(bad))
+
+
+def test_params_roundtrip_random_shapes_dtypes(tmp_path):
+    """Parser robustness: arbitrary shapes/dtypes roundtrip under both dim
+    widths (not just the EFM inventory)."""
+    rng = np.random.default_rng(5)
+    args = {
+        "a_weight": rng.normal(size=(3, 1, 7, 7)).astype(np.float32),
+        "b_bias": rng.normal(size=(11,)).astype(np.float64),
+        "c_gamma": rng.normal(size=(2, 3, 4)).astype(np.float16),
+        "d_idx": rng.integers(0, 100, size=(5, 6)).astype(np.int32),
+    }
+    aux = {"moving_mean": rng.normal(size=(9,)).astype(np.float32)}
+    for dim64 in (False, True):
+        path = str(tmp_path / f"r{dim64}.params")
+        write_mxnet_params(path, args, aux, dim64=dim64)
+        got_args, got_aux = read_mxnet_params(path)
+        for k, v in args.items():
+            np.testing.assert_array_equal(got_args[k], v)
+            assert got_args[k].dtype == v.dtype
+        np.testing.assert_array_equal(got_aux["moving_mean"],
+                                      aux["moving_mean"])
