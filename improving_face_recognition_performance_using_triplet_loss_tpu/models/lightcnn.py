@@ -129,11 +129,22 @@ class EFMResBlock(nn.Module):
     Each of ``num_blocks`` iterations: EFM3 -> 3x3 conv(filters) -> EFM3 ->
     3x3 conv(filters*2/3) -> + identity. Channel-preserving: input/output
     channels are ``filters * 2 // 3``.
+
+    Documented deviation (default): distinct weights per iteration — the
+    standard LightCNN-29 design, matching the author's OWN symbol variant
+    (efm_symbol.py:49-53 creates ``conv{L}{i}_res`` per block). The gluon
+    original instead REUSES one conv pair for all iterations
+    (lightcnn.py:48-49 create conv_op_1/conv_op_2 once; the
+    hybrid_forward loop :54-71 applies them ``num_blocks`` times) — almost
+    certainly an oversight (SURVEY.md §2.3 semantics-vs-bug rule), but
+    reproducible here with ``share_weights=True`` for exact gluon-behavior
+    parity.
     """
 
     num_blocks: int
     filters: int
     dtype: Any = jnp.float32
+    share_weights: bool = False  # True = the gluon original's reuse
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -142,13 +153,23 @@ class EFMResBlock(nn.Module):
             f"EFMResBlock(filters={self.filters}) expects {out_ch} input "
             f"channels, got {x.shape[-1]}"
         )
+        if self.share_weights:
+            conv_a = nn.Conv(self.filters, (3, 3), padding="SAME",
+                             dtype=self.dtype, name="conv_a")
+            conv_b = nn.Conv(out_ch, (3, 3), padding="SAME",
+                             dtype=self.dtype, name="conv_b")
         for i in range(self.num_blocks):
+            if self.share_weights:
+                ca, cb = conv_a, conv_b
+            else:
+                ca = nn.Conv(self.filters, (3, 3), padding="SAME",
+                             dtype=self.dtype, name=f"conv_a_{i}")
+                cb = nn.Conv(out_ch, (3, 3), padding="SAME",
+                             dtype=self.dtype, name=f"conv_b_{i}")
             h = efm3(x)
-            h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
-                        name=f"conv_a_{i}")(h)
+            h = ca(h)
             h = efm3(h)
-            h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                        name=f"conv_b_{i}")(h)
+            h = cb(h)
             x = x + h
         return x
 
@@ -169,6 +190,9 @@ class LightCNN29(nn.Module):
     dtype: Any = jnp.float32
     feature_dim: int = 684  # = 1026 * 2 / 3, lightcnn.py:111,123-128
     remat: bool = False  # rematerialize res blocks (memonger parity, C27)
+    # True reproduces the gluon original's conv reuse across residual
+    # iterations (lightcnn.py:48-49 + :54-71; see EFMResBlock docstring)
+    gluon_shared_res: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
@@ -189,6 +213,7 @@ class LightCNN29(nn.Module):
         ]
         for gi, (nres, rf, pf, cf) in enumerate(ladder, start=2):
             x = res_block_cls(num_blocks=nres, filters=rf, dtype=d,
+                              share_weights=self.gluon_shared_res,
                               name=f"group{gi}_res")(x)
             x = EFMConv(filters=cf, pre_filters=pf, kernel=(3, 3), dtype=d,
                         name=f"group{gi}_conv")(x)

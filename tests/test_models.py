@@ -82,3 +82,66 @@ def test_models_jit_and_bf16(key):
     logits, feat = fwd(variables, x)
     # outputs are cast back to f32 at the boundary
     assert logits.dtype == jnp.float32 and feat.dtype == jnp.float32
+
+
+def test_efm_res_block_gluon_weight_sharing():
+    """share_weights=True reproduces the gluon original's conv REUSE across
+    residual iterations (reference lightcnn.py:48-49 create one conv pair;
+    the loop :54-71 applies it num_blocks times) — one param pair per
+    group, and the forward equals manually iterating the shared pair."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models.lightcnn import (
+        EFMResBlock,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.mfm import (
+        efm3,
+    )
+
+    blk = EFMResBlock(num_blocks=3, filters=99, share_weights=True)
+    x = np.random.default_rng(0).normal(size=(2, 8, 8, 66)).astype(np.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    assert set(variables["params"]) == {"conv_a", "conv_b"}  # ONE pair
+    out = blk.apply(variables, x)
+
+    # manual iteration with the same shared pair
+    import flax.linen as nn
+
+    ca = nn.Conv(99, (3, 3), padding="SAME")
+    cb = nn.Conv(66, (3, 3), padding="SAME")
+    t = jnp.asarray(x)
+    for _ in range(3):
+        h = efm3(t)
+        h = ca.apply({"params": variables["params"]["conv_a"]}, h)
+        h = efm3(h)
+        h = cb.apply({"params": variables["params"]["conv_b"]}, h)
+        t = t + h
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t), atol=1e-5)
+
+    # default stays the distinct-weights design (the symbol variant's and
+    # the published LightCNN-29's semantics)
+    blk_d = EFMResBlock(num_blocks=3, filters=99)
+    v_d = blk_d.init(jax.random.PRNGKey(0), x)
+    assert set(v_d["params"]) == {"conv_a_0", "conv_b_0", "conv_a_1",
+                                  "conv_b_1", "conv_a_2", "conv_b_2"}
+
+
+def test_lightcnn29_gluon_shared_res_flag():
+    """LightCNN29(gluon_shared_res=True): each group holds ONE res conv
+    pair (the gluon checkpoint's parameter count), and the model still
+    runs."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN29,
+    )
+
+    model = LightCNN29(num_classes=5, gluon_shared_res=True)
+    x = np.zeros((1, 32, 32, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    for gi in range(2, 6):
+        assert set(variables["params"][f"group{gi}_res"]) == {
+            "conv_a", "conv_b"}
+    logits, feat = model.apply(variables, x, train=False,
+                               mutable=False)
+    assert feat.shape == (1, 684)
