@@ -49,8 +49,14 @@ class FusedStem(nn.Module):
     def __call__(self, x: jnp.ndarray, *, fused: bool = True) -> jnp.ndarray:
         import jax
 
+        # kernel Cin follows the input: grayscale is the reference default
+        # (train_efm.py:154), 3-channel covers the mutli_gpu_v3 RGB config
+        # (mutli_gpu_v3.py:108-109); the fused s2d path is grayscale-only,
+        # RGB runs the (channel-generic) reference path with the same
+        # param contract
+        cin = x.shape[3]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (5, 5, 1, self.features), jnp.float32)
+                            (5, 5, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         k = kernel.astype(self.dtype)
@@ -73,8 +79,6 @@ class FusedStem(nn.Module):
             return stem_conv_maxout_pool_pallas(x, k, b, maxout=self.maxout)
         from ..ops.s2d_stem import reference_stem
 
-        if c != 1:  # stem contract is grayscale; fail loudly like nn.Conv
-            raise ValueError(f"FusedStem expects 1 input channel, got {c}")
         return reference_stem(x, k, b, maxout=self.maxout)
 
 

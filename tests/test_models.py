@@ -145,3 +145,29 @@ def test_lightcnn29_gluon_shared_res_flag():
     logits, feat = model.apply(variables, x, train=False,
                                mutable=False)
     assert feat.shape == (1, 684)
+
+
+def test_efm_models_accept_rgb_input():
+    """The mutli_gpu_v3 configuration feeds 3x128x128 RGB into the same EFM
+    trio (mutli_gpu_v3.py:108-109); the stem's kernel Cin follows the
+    input, so RGB trains/extracts with the identical ladder."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+        LightCNN29,
+    )
+
+    for cls, fdim in ((EFMNet342, 342), (LightCNN29, 684)):
+        model = cls(num_classes=5)
+        x = np.random.default_rng(0).uniform(
+            0, 1, (2, 32, 32, 3)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        stem = [leaf for path, leaf in flat
+                if "kernel" in str(path) and leaf.ndim == 4
+                and leaf.shape[:2] == (5, 5)]
+        assert stem[0].shape[2] == 3  # Cin follows the input
+        logits, feat = model.apply(variables, x, train=False)
+        assert feat.shape == (2, fdim)
+        assert np.isfinite(np.asarray(feat)).all()
