@@ -361,6 +361,24 @@ class NativeNet {
   NativeNet(const std::string& weights_npz, const std::string& model,
             bool quantized = false)
       : w_(LoadNpz(weights_npz)), model_(model), quantized_(quantized) {
+    if (quantized_) {
+      // eager quantization (see NativeMtcnn: a lazy mutable cache inside
+      // the const forward races across threads sharing one handle)
+      for (const auto& kv : w_) {
+        const std::string& key = kv.first;
+        const size_t cut = key.rfind("/kernel");
+        if (cut == std::string::npos || kv.second.shape.size() != 4)
+          continue;
+        const int k = static_cast<int>(kv.second.shape[0] *
+                                       kv.second.shape[1] *
+                                       kv.second.shape[2]);
+        if (k < 64) continue;
+        nn::QuantizedKernel qk;
+        nn::QuantizeKernel(kv.second.f32(), k,
+                           static_cast<int>(kv.second.shape[3]), qk);
+        qcache_.emplace(key.substr(0, cut), std::move(qk));
+      }
+    }
     if (model_ == "efmnet342") {
       require("params/conv1/kernel");
       feature_dim_ =
@@ -402,18 +420,14 @@ class NativeNet {
     const int cin = static_cast<int>(kernel.shape[2]);
     const int cout = static_cast<int>(kernel.shape[3]);
     const int k = kh * kw * cin;
-    if (quantized_ && k >= 64) {
-      auto it = qcache_.find(name);
-      if (it == qcache_.end()) {
-        nn::QuantizedKernel qk;
-        nn::QuantizeKernel(kernel.f32(), k, cout, qk);
-        it = qcache_.emplace(name, std::move(qk)).first;
-      }
+    auto it = quantized_ && k >= 64 ? qcache_.find(name) : qcache_.end();
+    if (it != qcache_.end()) {
       if (cin != x.c) throw std::runtime_error("conv: channel mismatch");
       nn::ConvSameQ(x, kh, kw, it->second, get(name + "/bias").f32(), y);
     } else {
       nn::ConvSame(x, kernel, get(name + "/bias"), y);
     }
+    (void)cout;
     x = std::move(y);
   }
 
@@ -552,9 +566,7 @@ class NativeNet {
   std::map<std::string, NpyArray> w_;
   std::string model_;
   bool quantized_ = false;
-  // quantize-on-first-use cache; Extract is single-threaded at the frame
-  // level (OpenMP lives inside the GEMMs), so no lock is needed.
-  mutable std::map<std::string, nn::QuantizedKernel> qcache_;
+  std::map<std::string, nn::QuantizedKernel> qcache_;  // filled in ctor
   int feature_dim_;
 };
 

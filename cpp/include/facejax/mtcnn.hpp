@@ -335,6 +335,25 @@ class NativeMtcnn {
     // instrumentation, MTCNN.hpp:37,1039-1319)
     const char* t = std::getenv("FACEJAX_MTCNN_TIMELOG");
     timelog_ = t && t[0] == '1';
+    if (quantized_) {
+      // quantize EAGERLY: the conv inventory is known at open time, and a
+      // lazy cache mutated inside const Detect() would race when one
+      // handle serves several threads
+      for (const auto& kv : w_) {
+        const std::string& key = kv.first;
+        const size_t cut = key.rfind("/weights");
+        if (cut == std::string::npos || kv.second.shape.size() != 4)
+          continue;
+        const int k = static_cast<int>(kv.second.shape[0] *
+                                       kv.second.shape[1] *
+                                       kv.second.shape[2]);
+        if (k < 64) continue;
+        nn::QuantizedKernel qk;
+        nn::QuantizeKernel(kv.second.f32(), k,
+                           static_cast<int>(kv.second.shape[3]), qk);
+        qcache_.emplace(key.substr(0, cut), std::move(qk));
+      }
+    }
   }
 
   // --- stage forwards (inputs already normalized + transposed) ---
@@ -754,19 +773,15 @@ class NativeMtcnn {
     const int cin = static_cast<int>(kernel.shape[2]);
     const int cout = static_cast<int>(kernel.shape[3]);
     const int k = kh * kw * cin;
-    if (quantized_ && k >= 64) {
-      auto it = qcache_.find(prefix);
-      if (it == qcache_.end()) {
-        nn::QuantizedKernel qk;
-        nn::QuantizeKernel(kernel.f32(), k, cout, qk);
-        it = qcache_.emplace(prefix, std::move(qk)).first;
-      }
+    auto it = quantized_ && k >= 64 ? qcache_.find(prefix) : qcache_.end();
+    if (it != qcache_.end()) {
       if (cin != x.c)
         throw std::runtime_error("mtcnn qconv: channel mismatch");
       mtcnn::ConvValidQ(x, kh, kw, it->second, bias.f32(), out);
     } else {
       mtcnn::ConvValid(x, kernel, bias, out);
     }
+    (void)cout;
   }
 
   const NpyArray& get(const std::string& key) const {
@@ -779,9 +794,7 @@ class NativeMtcnn {
   std::map<std::string, NpyArray> w_;
   bool quantized_ = false;
   bool timelog_ = false;
-  // quantize-on-first-use cache; Detect is single-threaded at the frame
-  // level (OpenMP lives inside the GEMMs), so no lock is needed.
-  mutable std::map<std::string, nn::QuantizedKernel> qcache_;
+  std::map<std::string, nn::QuantizedKernel> qcache_;  // filled in ctor
 };
 
 }  // namespace facejax

@@ -4,6 +4,7 @@ per-run logging setup, train_efm.py:171-175), typed config echo."""
 from __future__ import annotations
 
 import datetime
+import functools
 import logging
 import os
 import sys
@@ -37,10 +38,12 @@ def log_config(log: logging.Logger, args) -> None:
         log.info("revision: %s", rev)
 
 
+@functools.lru_cache(maxsize=1)
 def _revision_info() -> str:
     """Best-effort git revision of the running tree — experiment
     provenance, the facenet `store_revision_info` capability
-    (facenet.py:522-540). Empty string outside a git checkout."""
+    (facenet.py:522-540). Empty string outside a git checkout; computed
+    once per process (two subprocess forks otherwise tax every CLI)."""
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -218,7 +218,7 @@ def _detect_and_embed_native(args, images, labels):
     from ..serve.native import NativeEmbedder, NativeMtcnn
 
     feats, kept, skipped = [], [], 0
-    with NativeMtcnn(args.native_mtcnn) as det, \
+    with NativeMtcnn(args.native_mtcnn, quantized=args.int8) as det, \
             NativeEmbedder(args.native_export, quantized=args.int8) as emb:
         size = int(((emb.manifest or {}).get("input") or {})
                    .get("height", 64))

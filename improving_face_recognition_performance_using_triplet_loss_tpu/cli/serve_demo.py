@@ -260,10 +260,11 @@ def _video_detect_main(args, model, variables):
                             embed_size=args.image_size,
                             thresholds=tuple(args.det_thresholds),
                             sim_threshold=args.sim_threshold, **extra)
-                        out = pipeline(jnp.zeros(shape, jnp.float32))
-                        jax_tree_fetch = {k: np.asarray(v)
-                                          for k, v in out.items()}
-                        del jax_tree_fetch  # warm the jit cache
+                        import jax as _jax
+
+                        # warm the jit cache before the drop-stale stream
+                        _jax.block_until_ready(
+                            pipeline(jnp.zeros(shape, jnp.float32)))
                     continue
                 out = {k: np.asarray(v)
                        for k, v in pipeline(

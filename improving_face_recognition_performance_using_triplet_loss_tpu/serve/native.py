@@ -386,10 +386,14 @@ class NativeEmbedder:
         self.feature_dim = self._lib.fx_efmnet_feature_dim(self._h)
 
     def extract(self, img: np.ndarray) -> np.ndarray:
-        """Grayscale [H, W] (or [H, W, 1]) image -> [feature_dim] floats.
-        uint8 inputs are scaled by 1/255 (manifest scale contract)."""
+        """Grayscale [H, W] / [H, W, 1] (or RGB [H, W, 3], converted via
+        the reference's luminance rule) -> [feature_dim] floats. uint8
+        inputs are scaled by 1/255 (manifest scale contract)."""
         img = np.asarray(img)
-        if img.ndim == 3:
+        if img.ndim == 3 and img.shape[2] == 3:
+            img = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2]).astype(np.float32)
+        elif img.ndim == 3:
             img = img[..., 0]
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0

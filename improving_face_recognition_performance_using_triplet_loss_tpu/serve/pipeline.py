@@ -120,6 +120,11 @@ def make_multiface_pipeline(
     (gallery row, -1 below threshold/not found), ``similarities``, plus the
     scalar ``cap_dropped``.
     """
+    if max_faces > 64:  # the cascade's out_cap; no silent truncation
+        raise ValueError(
+            f"max_faces ({max_faces}) exceeds the device cascade's output "
+            "capacity (64) — raise detect.device_cascade caps if you "
+            "really need more faces per frame")
     cascade = make_device_cascade(
         detector.pnet_params, detector.rnet_params, detector.onet_params,
         frame_h, frame_w, minsize=minsize, thresholds=thresholds)

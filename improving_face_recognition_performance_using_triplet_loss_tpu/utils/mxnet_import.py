@@ -78,13 +78,15 @@ def _try_parse_array(buf: bytes, pos: int, dim64: bool):
         if type_flag not in _DTYPES:
             return None
         dt = np.dtype(_DTYPES[type_flag])
-        n = int(np.prod(dims))
+        n = 1
+        for d in dims:  # python ints: no int64 wraparound on corrupt dims
+            n *= int(d)
         nbytes = n * dt.itemsize
-        if pos + nbytes > len(buf):
+        if nbytes > len(buf) or pos + nbytes > len(buf):
             return None
         arr = np.frombuffer(buf, dtype=dt, count=n, offset=pos).reshape(dims)
         return arr.copy(), pos + nbytes
-    except struct.error:
+    except (struct.error, ValueError):
         return None
 
 

@@ -65,7 +65,7 @@ def main():
     anc = jax.jit(lambda key: jax.random.uniform(
         key, (k, args.batch, args.size, args.size, 1), jnp.float32, -1, 1))(
             jax.random.PRNGKey(1))
-    pos = anc[:, ::-1]
+    pos = anc[:, :, ::-1]  # horizontal flip per image (same labels)
     lab = jnp.tile(jnp.arange(args.batch) % 4, (k, 1))
 
     @jax.jit
