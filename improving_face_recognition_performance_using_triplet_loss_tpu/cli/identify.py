@@ -150,13 +150,15 @@ def _person_main(args):
             print(f"promoted rid {args.rid} -> pid {pid}")
             return pid
 
+    face_crops = None
     if getattr(args, "native_export", None):
         from ..data.records import load_image_store
         from ..serve.native import NativeEmbedder
 
         images, labels = load_image_store(args.features)
         if getattr(args, "native_mtcnn", None):
-            feats, labels = _detect_and_embed_native(args, images, labels)
+            feats, labels, face_crops = _detect_and_embed_native(
+                args, images, labels)
         else:
             with NativeEmbedder(args.native_export,
                                 quantized=args.int8) as emb:
@@ -168,12 +170,19 @@ def _person_main(args):
         rows = feats[labels == args.label]
         if rows.shape[0] == 0:
             raise SystemExit(f"no rows with label {args.label}")
+        sel_crops = None
+        if face_crops is not None:
+            # the detected crops back the Register_PDB profile images
+            # (reference crops under face_db_data_root, Feature.hpp:806-860)
+            sel_crops = [face_crops[j] for j in np.where(
+                labels == args.label)[0]]
         with PersonStore(args.store, dim,
                          data_root=args.data_root) as store:
             pid = store.register_person(
                 Person(name=args.name, student_id=args.student_id,
                        card_id=args.card_id, email=args.email,
-                       role_title=args.role_title), list(rows))
+                       role_title=args.role_title), list(rows),
+                crops=sel_crops)
             print(f"registered pid {pid} with {rows.shape[0]} faces")
             return pid
     if args.command == "register-card":
@@ -217,7 +226,7 @@ def _detect_and_embed_native(args, images, labels):
     from ..detect.align import crop_face, select_main_face
     from ..serve.native import NativeEmbedder, NativeMtcnn
 
-    feats, kept, skipped = [], [], 0
+    feats, kept, crops, skipped = [], [], [], 0
     with NativeMtcnn(args.native_mtcnn, quantized=args.int8) as det, \
             NativeEmbedder(args.native_export, quantized=args.int8) as emb:
         size = int(((emb.manifest or {}).get("input") or {})
@@ -240,12 +249,13 @@ def _detect_and_embed_native(args, images, labels):
                     + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
             feats.append(emb.extract(gray))
             kept.append(labels[i] if labels is not None else 0)
+            crops.append(crop)
     if not feats:
         raise SystemExit("no faces detected in any frame — check "
                          "--mtcnn-thresholds / --mtcnn-minsize")
     print(f"native detect+embed: {len(feats)} faces from "
           f"{len(images)} frames ({skipped} frames without a detection)")
-    return np.stack(feats), np.asarray(kept)
+    return np.stack(feats), np.asarray(kept), crops
 
 
 def main(argv=None):
@@ -267,7 +277,8 @@ def main(argv=None):
 
         images, labels = load_image_store(args.features)
         if getattr(args, "native_mtcnn", None):
-            feats, labels = _detect_and_embed_native(args, images, labels)
+            feats, labels, _ = _detect_and_embed_native(args, images,
+                                                        labels)
         else:
             with NativeEmbedder(args.native_export,
                                 quantized=args.int8) as emb:

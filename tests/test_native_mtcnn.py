@@ -392,12 +392,19 @@ def test_person_flows_native_mtcnn(mtcnn_setup, tmp_path):
     save_image_store(store, np.stack([frame, frame]), np.asarray([0, 0]))
 
     db = str(tmp_path / "p.sqlite")
+    data_root = str(tmp_path / "face_db")
     common = ["--features", store, "--native-export", export_dir,
               "--native-mtcnn", npz,
               "--mtcnn-thresholds", "0.45", "0.35", "0.3"]
     pid = identify.main(["enroll-person", "--store", db, "--label", "0",
-                         "--name", "alice", "--student-id", "901"] + common)
+                         "--name", "alice", "--student-id", "901",
+                         "--data-root", data_root] + common)
     assert pid is not None
+    # the natively detected crops back the Register_PDB profile images
+    # (reference stores them under face_db_data_root, Feature.hpp:806-860)
+    pngs = [f for root, _, files in os.walk(data_root)
+            for f in files if f.endswith(".png")]
+    assert pngs, "no profile/face crops written under --data-root"
     results = identify.main(["match-person", "--store", db,
                              "--sim-th", "0.5"] + common)
     assert results and all(r["name"] == "alice" for r in results)
