@@ -32,18 +32,23 @@ def build_parser():
     p.add_argument("--out-dir", default="runs/extract")
     p.add_argument("--batch-size", type=int, default=128)  # B=128 tiles the MXU batch dim exactly (docs/DESIGN.md sweep)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each extraction batch over every visible "
+                        "device (batch-size must divide the device count) "
+                        "— bulk Celeb1M-scale extraction on a pod")
     return p
 
 
 def _extract_split(model, variables, images, labels, out_dir, split,
-                   batch_size, log):
+                   batch_size, log, data_parallel=False):
     from ..data.feature_store import (save_feature_store, write_feature_csv,
                                       write_labels_csv)
     from ..extract import extract_features
 
     tic = time.time()
     feats, labels, acc = extract_features(
-        model, variables, images, labels, batch_size=batch_size)
+        model, variables, images, labels, batch_size=batch_size,
+        data_parallel=data_parallel)
     name = {"train": "train", "valid": "valid"}[split]
     fcsv = os.path.join(out_dir, f"feature_vector_{name}.csv")
     lcsv = os.path.join(out_dir, f"label_{name}.csv")
@@ -132,7 +137,7 @@ def main(argv=None):
         # 300 GB materialization at Celeb1M scale
         results[split] = _extract_split(
             model, variables, images, labels, args.out_dir, split,
-            args.batch_size, log)
+            args.batch_size, log, data_parallel=args.data_parallel)
     return results
 
 

@@ -35,6 +35,35 @@ def make_extract_fn(model, *, normalize: bool = True):
     return fn
 
 
+def make_sharded_extract_fn(model, *, normalize: bool = True, mesh=None):
+    """Batch-axis SPMD extraction over every visible device — the bulk
+    Celeb1M-scale extraction story on a pod (the reference extracts on one
+    GPU, extract_feacture_v2.py:50; sharding the batch over the ICI mesh
+    is the v5e-8 scaling answer for this stage). The per-call batch must
+    divide the mesh's device count."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .parallel import make_mesh
+
+    mesh = mesh or make_mesh()
+    data = NamedSharding(mesh, PartitionSpec("data"))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    @functools.partial(jax.jit, in_shardings=(repl, data),
+                       out_shardings=(repl, repl))
+    def fn(variables, images):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        logits, feat = model.apply(variables, images, train=False)
+        if normalize:
+            feat = l2_normalize(feat)
+        return logits, feat
+
+    return fn
+
+
 def extract_features(
     model,
     variables,
@@ -43,6 +72,7 @@ def extract_features(
     *,
     batch_size: int = 256,
     normalize: bool = True,
+    data_parallel: bool = False,
 ) -> tuple[np.ndarray, np.ndarray | None, float]:
     """Extract embeddings for all rows; returns (features, labels, accuracy).
 
@@ -52,7 +82,15 @@ def extract_features(
     sliced per batch and normalized on device, so Celeb1M-scale extraction
     never materializes the float dataset in host RAM.
     """
-    fn = make_extract_fn(model, normalize=normalize)
+    if data_parallel:
+        ndev = len(jax.devices())
+        if batch_size % ndev:
+            raise ValueError(
+                f"--data-parallel needs batch_size ({batch_size}) "
+                f"divisible by the device count ({ndev})")
+        fn = make_sharded_extract_fn(model, normalize=normalize)
+    else:
+        fn = make_extract_fn(model, normalize=normalize)
     n = images.shape[0]
     feats_out = []
     correct = 0
