@@ -330,3 +330,152 @@ def validate_symbol_json(path: str) -> dict:
                 f"symbol conv '{name}' has num_filter {convs[name]}, "
                 f"expected {nf}")
     return convs
+
+
+# ------------- gluon LightCNN_29 mapping (reference lightcnn.py:73-133) ----
+
+# conv_net child indices in the gluon HybridSequential (construction order,
+# lightcnn.py:79-111): 0 stem efm, 2/5/8/11 res_blocks, 3/6/9/12 type-1
+# efms, 15 Dense(1026); fc1.0 BatchNorm; fc2.1 Dense(classes).
+_GLUON_GROUPS = [  # (res_idx, efm_idx, group_number)
+    (2, 3, 2), (5, 6, 3), (8, 9, 4), (11, 12, 5)]
+
+
+def is_gluon_lightcnn29(args: dict) -> bool:
+    return any(k.startswith("conv_net.") for k in args)
+
+
+def map_gluon_lightcnn29(args: dict, aux: dict | None = None) -> tuple[
+        dict, dict]:
+    """Gluon ``save_parameters`` arrays (structural dot names) -> the flax
+    ``LightCNN29(gluon_shared_res=True)`` trees (params, batch_stats).
+
+    The gluon res_block REUSES one conv pair across its iterations
+    (lightcnn.py:48-49), which is exactly ``gluon_shared_res=True``; the
+    BatchNorm feature branch maps gamma/beta -> scale/bias and
+    running_mean/var -> batch_stats.
+    """
+    aux = aux or {}
+    merged = dict(args)
+    merged.update(aux)  # gluon files may carry running stats either side
+
+    def take(base):
+        w = merged.get(f"{base}.weight")
+        b = merged.get(f"{base}.bias")
+        if w is None or b is None:
+            raise MxParamsError(
+                f"missing '{base}.weight'/'{base}.bias' — not a gluon "
+                f"LightCNN_29 save_parameters file? "
+                f"(have: {sorted(merged)[:6]}...)")
+        return w, b
+
+    params: dict = {}
+    w, b = take("conv_net.0.conv_op_2")
+    params["group1"] = {"conv": {"kernel": _conv(w),
+                                 "bias": b.astype(np.float32)}}
+    for res_i, efm_i, g in _GLUON_GROUPS:
+        wa, ba = take(f"conv_net.{res_i}.conv_op_1")
+        wb, bb = take(f"conv_net.{res_i}.conv_op_2")
+        params[f"group{g}_res"] = {
+            "conv_a": {"kernel": _conv(wa), "bias": ba.astype(np.float32)},
+            "conv_b": {"kernel": _conv(wb), "bias": bb.astype(np.float32)},
+        }
+        wp, bp = take(f"conv_net.{efm_i}.conv_op_1")
+        wc, bc = take(f"conv_net.{efm_i}.conv_op_2")
+        params[f"group{g}_conv"] = {
+            "pre_conv": {"kernel": _conv(wp),
+                         "bias": bp.astype(np.float32)},
+            "conv": {"kernel": _conv(wc), "bias": bc.astype(np.float32)},
+        }
+    # Dense(1026) over the NCHW flatten -> NHWC flatten permutation
+    w, b = take("conv_net.15")
+    c = 174  # group5's efm3 output channels (261 * 2 / 3)
+    if w.shape[1] % c:
+        raise MxParamsError(
+            f"conv_net.15 input {w.shape[1]} not divisible by {c}")
+    hw = w.shape[1] // c
+    side = int(round(hw ** 0.5))
+    if side * side != hw:
+        raise MxParamsError(f"fc1 spatial {hw} is not square")
+    k = w.reshape(1026, c, side, side).transpose(2, 3, 1, 0)
+    params["fc1"] = {"kernel": np.ascontiguousarray(
+        k.reshape(hw * c, 1026).astype(np.float32)),
+        "bias": b.astype(np.float32)}
+    # feature-branch BatchNorm
+    gamma = merged.get("fc1.0.gamma")
+    beta = merged.get("fc1.0.beta")
+    mean = merged.get("fc1.0.running_mean")
+    var = merged.get("fc1.0.running_var")
+    if any(v is None for v in (gamma, beta, mean, var)):
+        raise MxParamsError("missing fc1.0 BatchNorm arrays "
+                            "(gamma/beta/running_mean/running_var)")
+    params["fc1_bn"] = {"scale": gamma.astype(np.float32),
+                        "bias": beta.astype(np.float32)}
+    batch_stats = {"fc1_bn": {"mean": mean.astype(np.float32),
+                              "var": var.astype(np.float32)}}
+    w, b = take("fc2.1")
+    params["fc2"] = {"kernel": np.ascontiguousarray(
+        w.T.astype(np.float32)), "bias": b.astype(np.float32)}
+    return params, batch_stats
+
+
+def gluon_lightcnn29_to_mxnet(params: dict, batch_stats: dict) -> tuple[
+        dict, dict]:
+    """Inverse of :func:`map_gluon_lightcnn29` (fixtures + write-back)."""
+    def conv_inv(node):
+        return (np.ascontiguousarray(np.transpose(
+            np.asarray(node["kernel"]), (3, 2, 0, 1)).astype(np.float32)),
+            np.asarray(node["bias"], np.float32))
+
+    args: dict = {}
+    w, b = conv_inv(params["group1"]["conv"])
+    args["conv_net.0.conv_op_2.weight"] = w
+    args["conv_net.0.conv_op_2.bias"] = b
+    for res_i, efm_i, g in _GLUON_GROUPS:
+        for src, base in ((params[f"group{g}_res"]["conv_a"],
+                           f"conv_net.{res_i}.conv_op_1"),
+                          (params[f"group{g}_res"]["conv_b"],
+                           f"conv_net.{res_i}.conv_op_2"),
+                          (params[f"group{g}_conv"]["pre_conv"],
+                           f"conv_net.{efm_i}.conv_op_1"),
+                          (params[f"group{g}_conv"]["conv"],
+                           f"conv_net.{efm_i}.conv_op_2")):
+            w, b = conv_inv(src)
+            args[f"{base}.weight"] = w
+            args[f"{base}.bias"] = b
+    k = np.asarray(params["fc1"]["kernel"])
+    c = 174
+    hw = k.shape[0] // c
+    side = int(round(hw ** 0.5))
+    w = k.reshape(side, side, c, 1026).transpose(3, 2, 0, 1)
+    args["conv_net.15.weight"] = np.ascontiguousarray(
+        w.reshape(1026, hw * c).astype(np.float32))
+    args["conv_net.15.bias"] = np.asarray(params["fc1"]["bias"], np.float32)
+    args["fc1.0.gamma"] = np.asarray(params["fc1_bn"]["scale"], np.float32)
+    args["fc1.0.beta"] = np.asarray(params["fc1_bn"]["bias"], np.float32)
+    aux = {"fc1.0.running_mean": np.asarray(
+        batch_stats["fc1_bn"]["mean"], np.float32),
+        "fc1.0.running_var": np.asarray(
+            batch_stats["fc1_bn"]["var"], np.float32)}
+    args["fc2.1.weight"] = np.ascontiguousarray(
+        np.asarray(params["fc2"]["kernel"]).T.astype(np.float32))
+    args["fc2.1.bias"] = np.asarray(params["fc2"]["bias"], np.float32)
+    return args, aux
+
+
+def expand_shared_res(params: dict) -> dict:
+    """Replicate each group's shared conv pair into the standard
+    ``conv_a_{i}/conv_b_{i}`` tree (num_blocks [1, 2, 3, 4]) — the forward
+    is IDENTICAL (sharing only ties gradients), and the expanded tree loads
+    into the default ``LightCNN29`` and the native C++ forward unchanged."""
+    out = dict(params)
+    n_blocks = {2: 1, 3: 2, 4: 3, 5: 4}
+    for g, n in n_blocks.items():
+        res = params.get(f"group{g}_res", {})
+        if "conv_a" not in res:
+            continue  # already distinct
+        out[f"group{g}_res"] = {}
+        for i in range(n):
+            out[f"group{g}_res"][f"conv_a_{i}"] = res["conv_a"]
+            out[f"group{g}_res"][f"conv_b_{i}"] = res["conv_b"]
+    return out

@@ -224,3 +224,146 @@ def test_params_roundtrip_random_shapes_dtypes(tmp_path):
             assert got_args[k].dtype == v.dtype
         np.testing.assert_array_equal(got_aux["moving_mean"],
                                       aux["moving_mean"])
+
+
+# ---------------- gluon LightCNN_29 (train_efm.py's artifact) ------------
+
+
+@pytest.fixture(scope="module")
+def gluon_flax():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN29,
+    )
+
+    model = LightCNN29(num_classes=CLASSES, gluon_shared_res=True)
+    variables = model.init(jax.random.PRNGKey(4),
+                           np.zeros((1, SIZE, SIZE, 1), np.float32))
+    return model, variables
+
+
+def _torch_gluon_forward(merged, x_nchw):
+    """The gluon LightCNN_29 graph (reference lightcnn.py:17-133) in torch
+    with the raw MXNet-layout arrays — shared res convs, type-1 efm blocks,
+    BatchNorm feature branch, fc2 on the PRE-BN 684-d feature."""
+    import torch
+    import torch.nn.functional as F
+
+    def conv(base, t, pad):
+        w = torch.from_numpy(np.ascontiguousarray(merged[f"{base}.weight"]))
+        b = torch.from_numpy(np.ascontiguousarray(merged[f"{base}.bias"]))
+        return F.conv2d(t, w, b, padding=pad)
+
+    t = torch.from_numpy(x_nchw)
+    t = conv("conv_net.0.conv_op_2", t, 2)
+    t = _torch_efm3(t)
+    t = F.max_pool2d(t, 2)
+    for (res_i, efm_i), n in zip(((2, 3), (5, 6), (8, 9), (11, 12)),
+                                 (1, 2, 3, 4)):
+        for _ in range(n):  # SHARED conv pair across iterations
+            h = _torch_efm3(t)
+            h = conv(f"conv_net.{res_i}.conv_op_1", h, 1)
+            h = _torch_efm3(h)
+            h = conv(f"conv_net.{res_i}.conv_op_2", h, 1)
+            t = t + h
+        t = conv(f"conv_net.{efm_i}.conv_op_1", t, 0)
+        t = _torch_efm3(t)
+        t = conv(f"conv_net.{efm_i}.conv_op_2", t, 1)
+        t = _torch_efm3(t)
+        t = F.max_pool2d(t, 2)
+    flat = t.flatten(1)  # NCHW flatten
+    fc1 = flat @ torch.from_numpy(merged["conv_net.15.weight"]).T + \
+        torch.from_numpy(merged["conv_net.15.bias"])
+    feat = _torch_efm3(fc1[:, :, None, None])[:, :, 0, 0]  # 684-d pre-BN
+    eps = 1e-5
+    gamma = torch.from_numpy(merged["fc1.0.gamma"])
+    beta = torch.from_numpy(merged["fc1.0.beta"])
+    mean = torch.from_numpy(merged["fc1.0.running_mean"])
+    var = torch.from_numpy(merged["fc1.0.running_var"])
+    feat_bn = gamma * (feat - mean) / torch.sqrt(var + eps) + beta
+    logits = feat @ torch.from_numpy(merged["fc2.1.weight"]).T + \
+        torch.from_numpy(merged["fc2.1.bias"])
+    return logits.numpy(), feat_bn.numpy()
+
+
+def test_gluon_mapping_matches_independent_oracle(gluon_flax, tmp_path):
+    """Roundtrip the gluon save_parameters layout AND prove the mapping
+    against the torch NCHW oracle (incl. shared res convs + BatchNorm)."""
+    pytest.importorskip("torch")
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils.mxnet_import import (
+        gluon_lightcnn29_to_mxnet,
+        is_gluon_lightcnn29,
+        map_gluon_lightcnn29,
+    )
+
+    model, variables = gluon_flax
+    np_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    # give the BN stats non-trivial values (init is mean 0 var 1)
+    rng = np.random.default_rng(2)
+    bstats = {"fc1_bn": {
+        "mean": rng.normal(0, 0.5, 684).astype(np.float32),
+        "var": rng.uniform(0.5, 2.0, 684).astype(np.float32)}}
+    args, aux = gluon_lightcnn29_to_mxnet(np_params, bstats)
+    path = str(tmp_path / "efm_res-0280.params")
+    write_mxnet_params(path, args, aux)
+    got_args, got_aux = read_mxnet_params(path)
+    assert is_gluon_lightcnn29(got_args)
+    back, back_stats = map_gluon_lightcnn29(got_args, got_aux)
+
+    # mapping roundtrip is exact
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(np_params))
+    for path_k, leaf in jax.tree_util.tree_leaves_with_path(back):
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_a[path_k]),
+                                      err_msg=str(path_k))
+
+    # independent NCHW oracle equality (mapped tree in flax vs raw arrays
+    # in torch)
+    merged = dict(got_args)
+    merged.update(got_aux)
+    x_nhwc = rng.uniform(0, 1, (2, SIZE, SIZE, 1)).astype(np.float32)
+    x_nchw = np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2))
+    logits_t, feat_t = _torch_gluon_forward(merged, x_nchw)
+    logits_j, feat_j = model.apply(
+        {"params": back, "batch_stats": back_stats}, x_nhwc, train=False)
+    np.testing.assert_allclose(np.asarray(feat_j), feat_t, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t, atol=3e-4)
+
+
+def test_gluon_import_cli_expands_to_standard_export(gluon_flax, tmp_path):
+    """import_params auto-detects the gluon layout, expands the shared res
+    convs, and the export loads into the DEFAULT LightCNN29 with the same
+    forward (sharing only ties gradients)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        import_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN29,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        load_exported_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils.mxnet_import import (
+        gluon_lightcnn29_to_mxnet,
+    )
+
+    model, variables = gluon_flax
+    np_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    bstats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    args, aux = gluon_lightcnn29_to_mxnet(np_params, bstats)
+    path = str(tmp_path / "efm_res-0042.params")
+    write_mxnet_params(path, args, aux)
+    out = str(tmp_path / "export")
+    import_params.main([path, "--out-dir", out, "--verify"])
+
+    params, batch_stats, manifest = load_exported_params(out)
+    assert manifest["model"] == "lightcnn29"
+    assert manifest["feature_dim"] == 684
+    std = LightCNN29(num_classes=CLASSES)  # DEFAULT distinct-weights model
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (2, SIZE, SIZE, 1)).astype(np.float32)
+    want = model.apply(variables, x, train=False)
+    got = std.apply({"params": params, "batch_stats": batch_stats}, x,
+                    train=False)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=1e-5)
