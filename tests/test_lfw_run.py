@@ -111,3 +111,38 @@ def test_lfw_run_align_path(tmp_path):
         assert "no resolvable pairs" in str(e)
     else:
         assert len(rows) == 1 and np.isfinite(rows[0]["accuracy_mean"])
+
+
+def test_lfw_run_on_imported_reference_checkpoint(tmp_path):
+    """Parity-by-construction, operationally: a reference .params checkpoint
+    (here a fixture written in the MXNet layout) imports via import_params
+    and scores LFW through the one-command harness — the exact flow the day
+    a real EFM_RES checkpoint + LFW tarball arrive."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        import_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils.mxnet_import import (
+        efm_params_to_mxnet,
+        write_mxnet_params,
+    )
+
+    tree, pairs = _mini_lfw(str(tmp_path), size=32)
+    model = EFMNet342(num_classes=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    ckpt = str(tmp_path / "EFM_RES-0280.params")
+    write_mxnet_params(ckpt, efm_params_to_mxnet(
+        jax.tree_util.tree_map(np.asarray, variables["params"])))
+    export = str(tmp_path / "imported")
+    import_params.main([ckpt, "--out-dir", export])
+
+    rows = lfw_run.main([
+        "--lfw", tree, "--pairs", pairs, "--export-dir", export,
+        "--folds", "2", "--batch-size", "8", "--num-classes", "8"])
+    assert rows[0]["n_pairs"] == 7
+    assert np.isfinite(rows[0]["accuracy_mean"])
