@@ -446,7 +446,7 @@ class NativeMtcnn {
   // boxes_out: N rows of [x1 y1 x2 y2 score]; points_out: the reference's
   // [10, N] landmark layout (5 xs then 5 ys, column-major per face).
   void Detect(const float* img, int h, int w, int minsize,
-              const float thresholds[3], float factor,
+              const double thresholds[3], double factor,
               std::vector<float>& boxes_out,
               std::vector<float>& points_out) const {
     boxes_out.clear();
@@ -615,7 +615,7 @@ class NativeMtcnn {
  private:
   // one pyramid scale: resize + normalize + transpose + PNet + decode +
   // per-scale NMS 0.5 (pipeline.py:83-97)
-  void RunPnetScale(const Tensor& image, double scale, float threshold,
+  void RunPnetScale(const Tensor& image, double scale, double threshold,
                     std::vector<std::array<float, 9>>& total) const {
     const int hs = static_cast<int>(std::ceil(image.h * scale));
     const int ws = static_cast<int>(std::ceil(image.w * scale));
@@ -740,28 +740,27 @@ class NativeMtcnn {
     rows.swap(out);
   }
 
+  // flatten-adapter over the shared nms.hpp helpers (same pattern as Nms5)
   static void BBRegRows(std::vector<std::array<float, 9>>& rows,
                         const std::vector<std::array<float, 4>>& reg) {
+    std::vector<float> flat(rows.size() * 5);
+    std::vector<float> regs(rows.size() * 4);
     for (size_t i = 0; i < rows.size(); ++i) {
-      const float bw = rows[i][2] - rows[i][0] + 1;
-      const float bh = rows[i][3] - rows[i][1] + 1;
-      rows[i][0] += reg[i][0] * bw;
-      rows[i][1] += reg[i][1] * bh;
-      rows[i][2] += reg[i][2] * bw;
-      rows[i][3] += reg[i][3] * bh;
+      for (int j = 0; j < 5; ++j) flat[i * 5 + j] = rows[i][j];
+      for (int j = 0; j < 4; ++j) regs[i * 4 + j] = reg[i][j];
     }
+    BBReg(flat.data(), regs.data(), static_cast<int>(rows.size()));
+    for (size_t i = 0; i < rows.size(); ++i)
+      for (int j = 0; j < 4; ++j) rows[i][j] = flat[i * 5 + j];
   }
 
   static void RerecRows(std::vector<std::array<float, 9>>& rows) {
-    for (auto& b : rows) {
-      const float bw = b[2] - b[0];
-      const float bh = b[3] - b[1];
-      const float l = std::max(bw, bh);
-      b[0] = b[0] + bw * 0.5f - l * 0.5f;
-      b[1] = b[1] + bh * 0.5f - l * 0.5f;
-      b[2] = b[0] + l;
-      b[3] = b[1] + l;
-    }
+    std::vector<float> flat(rows.size() * 5);
+    for (size_t i = 0; i < rows.size(); ++i)
+      for (int j = 0; j < 5; ++j) flat[i * 5 + j] = rows[i][j];
+    Rerec(flat.data(), static_cast<int>(rows.size()));
+    for (size_t i = 0; i < rows.size(); ++i)
+      for (int j = 0; j < 4; ++j) rows[i][j] = flat[i * 5 + j];
   }
 
   // conv dispatch: f32 GEMM, or the int8 path for deep-enough kernels

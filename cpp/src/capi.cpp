@@ -265,8 +265,8 @@ void fx_mtcnn_close(void* det) {
 // the reference's [10, N] layout). Returns the number of faces (clamped to
 // box_cap), or -1 on error.
 int fx_mtcnn_detect(void* det, const float* img, int h, int w, int c,
-                    int minsize, float th1, float th2, float th3,
-                    float factor, float* boxes_out, int box_cap,
+                    int minsize, double th1, double th2, double th3,
+                    double factor, float* boxes_out, int box_cap,
                     float* points_out, char* err, int err_cap) {
   try {
     std::vector<float> rgb;
@@ -282,7 +282,7 @@ int fx_mtcnn_detect(void* det, const float* img, int h, int w, int c,
     } else if (c != 3) {
       throw std::runtime_error("fx_mtcnn_detect: c must be 1 or 3");
     }
-    const float th[3] = {th1, th2, th3};
+    const double th[3] = {th1, th2, th3};
     std::vector<float> boxes, points;
     static_cast<facejax::NativeMtcnn*>(det)->Detect(px, h, w, minsize, th,
                                                     factor, boxes, points);
@@ -356,8 +356,8 @@ int fx_ert_predict(void* ert, const float* img, int h, int w,
 // boxes_out: cap*4 (x1y1x2y2); lmk_out: cap*num_points*2 image coords.
 // Returns the face count (clamped) or -1.
 int fx_mtcnn_ert_detect(void* det, void* ert, const float* img, int h,
-                        int w, int c, int minsize, float th1, float th2,
-                        float th3, float factor, float* boxes_out,
+                        int w, int c, int minsize, double th1, double th2,
+                        double th3, double factor, float* boxes_out,
                         int box_cap, float* lmk_out, char* err,
                         int err_cap) {
   try {
@@ -371,7 +371,7 @@ int fx_mtcnn_ert_detect(void* det, void* ert, const float* img, int h,
     } else if (c != 3) {
       throw std::runtime_error("fx_mtcnn_ert_detect: c must be 1 or 3");
     }
-    const float th[3] = {th1, th2, th3};
+    const double th[3] = {th1, th2, th3};
     std::vector<float> boxes, points;
     static_cast<facejax::NativeMtcnn*>(det)->Detect(px, h, w, minsize, th,
                                                     factor, boxes, points);

@@ -157,7 +157,7 @@ def _person_main(args):
 
         images, labels = load_image_store(args.features)
         if getattr(args, "native_mtcnn", None):
-            feats, labels, face_crops = _detect_and_embed_native(
+            feats, labels, face_crops, _ = _detect_and_embed_native(
                 args, images, labels)
         else:
             with NativeEmbedder(args.native_export,
@@ -226,7 +226,7 @@ def _detect_and_embed_native(args, images, labels):
     from ..detect.align import crop_face, select_main_face
     from ..serve.native import NativeEmbedder, NativeMtcnn
 
-    feats, kept, crops, skipped = [], [], [], 0
+    feats, kept, crops, src_idx, skipped = [], [], [], [], 0
     with NativeMtcnn(args.native_mtcnn, quantized=args.int8) as det, \
             NativeEmbedder(args.native_export, quantized=args.int8) as emb:
         size = int(((emb.manifest or {}).get("input") or {})
@@ -243,24 +243,37 @@ def _detect_and_embed_native(args, images, labels):
             sel = select_main_face(boxes, frame.shape)
             frame3 = (frame[..., None].repeat(3, -1) if frame.ndim == 2
                       else frame)
-            crop = crop_face(frame3.astype(np.float32), sel[0],
-                             image_size=size, margin=args.mtcnn_margin)
+            try:
+                # regression offsets are unbounded: a degenerate box
+                # (x2 <= x1 after clamping) must skip the frame, not
+                # abort the whole run
+                crop = crop_face(frame3.astype(np.float32), sel[0],
+                                 image_size=size, margin=args.mtcnn_margin)
+            except Exception:
+                skipped += 1
+                continue
             gray = (0.299 * crop[..., 0] + 0.587 * crop[..., 1]
                     + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
             feats.append(emb.extract(gray))
             kept.append(labels[i] if labels is not None else 0)
             crops.append(crop)
+            src_idx.append(i)
     if not feats:
         raise SystemExit("no faces detected in any frame — check "
                          "--mtcnn-thresholds / --mtcnn-minsize")
     print(f"native detect+embed: {len(feats)} faces from "
-          f"{len(images)} frames ({skipped} frames without a detection)")
-    return np.stack(feats), np.asarray(kept), crops
+          f"{len(images)} frames ({skipped} frames skipped)")
+    return np.stack(feats), np.asarray(kept), crops, np.asarray(src_idx)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import numpy as np
+
+    if (getattr(args, "native_mtcnn", None)
+            and not getattr(args, "native_export", None)):
+        raise SystemExit("--native-mtcnn needs --native-export (frames are "
+                         "embedded by the native forward after detection)")
 
     if args.command in ("enroll-person", "match-person", "register-card",
                         "lookup-id", "promote"):
@@ -270,6 +283,7 @@ def main(argv=None):
     from ..serve.native import (NativeEmbedder, NativeIdentityStore,
                                 native_select_representatives)
 
+    probe_idx = None
     if getattr(args, "native_export", None):
         # pixels -> identity in one native process: embed the image store
         # with the C++ forward, then enroll/match below as usual
@@ -277,8 +291,8 @@ def main(argv=None):
 
         images, labels = load_image_store(args.features)
         if getattr(args, "native_mtcnn", None):
-            feats, labels, _ = _detect_and_embed_native(args, images,
-                                                        labels)
+            feats, labels, _, probe_idx = _detect_and_embed_native(
+                args, images, labels)
         else:
             with NativeEmbedder(args.native_export,
                                 quantized=args.int8) as emb:
@@ -287,6 +301,8 @@ def main(argv=None):
                   f"({'int8' if args.int8 else 'f32'}, dim {feats.shape[1]})")
     else:
         feats, labels = load_feature_store(args.features)
+    if probe_idx is None:
+        probe_idx = np.arange(feats.shape[0])
     dim = feats.shape[1]
 
     if args.command == "enroll":
@@ -322,7 +338,9 @@ def main(argv=None):
             raise SystemExit(f"store {args.store} is empty — enroll first")
         for i, fv in enumerate(feats):
             name, sim = store.match(fv, args.sim_th)
-            results.append({"probe": int(i),
+            # probe = ORIGINAL input-frame index (native detection may
+            # skip frames, so row order alone would mislabel consumers)
+            results.append({"probe": int(probe_idx[i]),
                             "label": int(labels[i]) if labels is not None else None,
                             "name": name, "similarity": round(float(sim), 6)})
     matched = sum(1 for r in results if r["name"] is not None)

@@ -103,6 +103,8 @@ def export_mtcnn(path: str, pnet_params: Any, rnet_params: Any,
             for name, arr in entries.items():
                 flat[f"{net}/{layer}/{name}"] = np.ascontiguousarray(
                     np.asarray(arr, np.float32))
+    if not path.endswith(".npz"):
+        path += ".npz"  # np.savez appends it anyway; return the real path
     if os.path.dirname(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **flat)
@@ -127,6 +129,8 @@ def export_ert(path: str, predictor: Any) -> str:
                      "split_thresh", "leaf_values"):
             flat[f"level{t}/{name}"] = np.ascontiguousarray(
                 np.asarray(getattr(lv, name), np.float32))
+    if not path.endswith(".npz"):
+        path += ".npz"  # np.savez appends it anyway; return the real path
     if os.path.dirname(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **flat)

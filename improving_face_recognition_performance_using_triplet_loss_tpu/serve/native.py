@@ -140,8 +140,8 @@ def load_native() -> ctypes.CDLL:
     lib.fx_mtcnn_detect.restype = ctypes.c_int
     lib.fx_mtcnn_detect.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                                    ctypes.c_float, ctypes.c_float,
-                                    ctypes.c_float, ctypes.c_float, f32p,
+                                    ctypes.c_double, ctypes.c_double,
+                                    ctypes.c_double, ctypes.c_double, f32p,
                                     ctypes.c_int, f32p, ctypes.c_char_p,
                                     ctypes.c_int]
     lib.fx_mtcnn_stage.restype = ctypes.c_int
@@ -161,8 +161,8 @@ def load_native() -> ctypes.CDLL:
     lib.fx_mtcnn_ert_detect.restype = ctypes.c_int
     lib.fx_mtcnn_ert_detect.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-        ctypes.c_float, ctypes.c_float, f32p, ctypes.c_int, f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, f32p, ctypes.c_int, f32p,
         ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return lib
