@@ -109,12 +109,17 @@ class NativeErt {
       five_norm[2 * i + 1] =
           static_cast<float>((five_xy[2 * i + 1] - rect[1]) / h);
     }
-    double m[6];
-    SimilarityTransform(mean_five_.data(), five_norm, 5, m);
+    double md[6];
+    SimilarityTransform(mean_five_.data(), five_norm, 5, md);
+    // the Python reference rounds the transform to float32 before applying
+    // (similarity_transform returns .astype(np.float32)); mirror that so
+    // truncation boundaries agree exactly
+    float m[6];
+    for (int i = 0; i < 6; ++i) m[i] = static_cast<float>(md[i]);
     for (int i = 0; i < n_points_; ++i) {
-      const double x = mean_shape_[2 * i], y = mean_shape_[2 * i + 1];
-      out[2 * i] = static_cast<float>(m[0] * x + m[1] * y + m[2]);
-      out[2 * i + 1] = static_cast<float>(m[3] * x + m[4] * y + m[5]);
+      const float x = mean_shape_[2 * i], y = mean_shape_[2 * i + 1];
+      out[2 * i] = m[0] * x + m[1] * y + m[2];
+      out[2 * i + 1] = m[3] * x + m[4] * y + m[5];
     }
   }
 
@@ -130,18 +135,24 @@ class NativeErt {
     const double rh = std::max<double>(rect[3] - rect[1], 1e-6);
     std::vector<float> feats;
     for (const Level& lv : levels_) {
-      // feature pixels through the current shape's similarity transform
-      double m[6];
-      SimilarityTransform(mean_shape_.data(), shape.data(), n_points_, m);
+      // feature pixels through the current shape's similarity transform —
+      // rounded to float32 like the Python reference (m .astype(float32),
+      // pts computed in f32) so pixel truncation boundaries agree
+      double md[6];
+      SimilarityTransform(mean_shape_.data(), shape.data(), n_points_, md);
+      float m[6];
+      for (int i = 0; i < 6; ++i) m[i] = static_cast<float>(md[i]);
       feats.resize(lv.n_feats);
       for (int p = 0; p < lv.n_feats; ++p) {
-        const double dx = lv.deltas[2 * p], dy = lv.deltas[2 * p + 1];
-        const double px = shape[2 * lv.anchors[p]] + m[0] * dx + m[1] * dy;
-        const double py =
+        const float dx = lv.deltas[2 * p], dy = lv.deltas[2 * p + 1];
+        const float px = shape[2 * lv.anchors[p]] + m[0] * dx + m[1] * dy;
+        const float py =
             shape[2 * lv.anchors[p] + 1] + m[3] * dx + m[4] * dy;
         // int64-truncate then clip, matching np .astype(int64) + np.clip
-        long long xi = static_cast<long long>(px * rw + rect[0]);
-        long long yi = static_cast<long long>(py * rh + rect[1]);
+        long long xi = static_cast<long long>(
+            static_cast<double>(px) * rw + rect[0]);
+        long long yi = static_cast<long long>(
+            static_cast<double>(py) * rh + rect[1]);
         xi = std::min<long long>(std::max<long long>(xi, 0), w - 1);
         yi = std::min<long long>(std::max<long long>(yi, 0), h - 1);
         feats[p] = img[yi * w + xi];

@@ -57,6 +57,7 @@ inline void Im2ColValid(const Tensor& in, int kh, int kw,
     throw std::runtime_error("mtcnn conv: input smaller than kernel");
   const int k = kh * kw * cin;
   patches.assign(static_cast<size_t>(oh) * ow * k, 0.0f);
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < oh; ++y) {
     for (int x = 0; x < ow; ++x) {
       float* row = patches.data() + (static_cast<size_t>(y) * ow + x) * k;
@@ -99,6 +100,10 @@ inline void Im2ColU8Valid(const uint8_t* in, int h, int w, int c, int kh,
   if (oh <= 0 || ow <= 0)
     throw std::runtime_error("mtcnn qconv: input smaller than kernel");
   patches.assign(static_cast<size_t>(oh) * ow * kp, 128);
+  // im2col traffic is the measured int8-path bottleneck (BASELINE.md);
+  // multi-core hosts parallelize it like the SAME-padding sibling
+  // (efmnet.hpp::Im2ColU8)
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < oh; ++y) {
     for (int x = 0; x < ow; ++x) {
       uint8_t* row = patches.data() + (static_cast<size_t>(y) * ow + x) * kp;

@@ -377,10 +377,17 @@ int fx_mtcnn_ert_detect(void* det, void* ert, const float* img, int h,
                                                     factor, boxes, points);
     const int n = static_cast<int>(boxes.size() / 5);
     const int out_n = std::min(n, box_cap);
-    // grayscale = channel mean (detect/ert.py::mtcnn_ert_detect)
-    std::vector<float> gray(static_cast<size_t>(h) * w);
-    for (size_t i = 0; i < gray.size(); ++i)
-      gray[i] = (px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3.0f;
+    if (out_n == 0) return 0;  // skip the grayscale pass on empty frames
+    // grayscale = channel mean (detect/ert.py::mtcnn_ert_detect); for
+    // c==1 input the original plane IS the grayscale
+    std::vector<float> gray;
+    const float* gp = img;
+    if (c != 1) {
+      gray.resize(static_cast<size_t>(h) * w);
+      for (size_t i = 0; i < gray.size(); ++i)
+        gray[i] = (px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3.0f;
+      gp = gray.data();
+    }
     auto* e = static_cast<facejax::NativeErt*>(ert);
     const int np2 = e->num_points() * 2;
     std::vector<float> init(np2);
@@ -393,7 +400,7 @@ int fx_mtcnn_ert_detect(void* det, void* ert, const float* img, int h,
         five[2 * j + 1] = points[static_cast<size_t>(5 + j) * n + i];
       }
       e->InitShapeFrom5pt(five, rect, init.data());
-      e->Predict(gray.data(), h, w, rect, init.data(),
+      e->Predict(gp, h, w, rect, init.data(),
                  lmk_out + static_cast<size_t>(i) * np2);
       if (boxes_out) std::copy(rect, rect + 4, boxes_out + i * 4);
     }
