@@ -43,13 +43,11 @@ def make_sharded_extract_fn(model, *, normalize: bool = True, mesh=None):
     divide the mesh's device count."""
     import functools
 
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    from .parallel import make_mesh
+    from .parallel import data_sharding, make_mesh, replicated_sharding
 
     mesh = mesh or make_mesh()
-    data = NamedSharding(mesh, PartitionSpec("data"))
-    repl = NamedSharding(mesh, PartitionSpec())
+    data = data_sharding(mesh)
+    repl = replicated_sharding(mesh)
 
     @functools.partial(jax.jit, in_shardings=(repl, data),
                        out_shardings=(repl, repl))
