@@ -408,3 +408,37 @@ def test_person_flows_native_mtcnn(mtcnn_setup, tmp_path):
     results = identify.main(["match-person", "--store", db,
                              "--sim-th", "0.5"] + common)
     assert results and all(r["name"] == "alice" for r in results)
+
+
+def test_cascade_fuzz_no_crash_and_parity(mtcnn_setup, monkeypatch):
+    """Seeded sweep over random sizes/aspect ratios/threshold regimes: the
+    native cascade never crashes, and under identical resampling stays
+    box-for-box equal to the host path everywhere."""
+    native = _native()
+    pn, rn, on, npz = mtcnn_setup
+    monkeypatch.setattr(pipeline, "imresample", _fake_imresample)
+    host = pipeline.MTCNNDetector(pn, rn, on)
+    rng = np.random.default_rng(2024)
+    with native.NativeMtcnn(npz) as det:
+        for trial in range(8):
+            h = int(rng.integers(24, 140))
+            w = int(rng.integers(24, 140))
+            th1 = float(rng.uniform(0.4, 0.8))
+            th = (th1, 0.35, 0.3)
+            minsize = int(rng.integers(12, 40))
+            if rng.random() < 0.5:  # smooth (detections likely)
+                cell = int(rng.integers(4, 10))
+                img = np.kron(
+                    rng.uniform(30, 220, ((h + cell - 1) // cell,
+                                          (w + cell - 1) // cell, 3)),
+                    np.ones((cell, cell, 1)))[:h, :w].astype(np.float32)
+            else:  # noise
+                img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+            hb, hp = host.detect(img, minsize=minsize, thresholds=th)
+            nb, npts = det.detect(img, minsize=minsize, thresholds=th)
+            assert nb.shape[0] == hb.shape[0], (trial, h, w, th1, minsize)
+            if hb.shape[0]:
+                np.testing.assert_allclose(nb[:, :4], hb[:, :4], atol=0.1,
+                                           err_msg=str((trial, h, w)))
+                np.testing.assert_allclose(npts, hp, atol=0.1,
+                                           err_msg=str((trial, h, w)))
