@@ -367,3 +367,18 @@ def test_gluon_import_cli_expands_to_standard_export(gluon_flax, tmp_path):
                     train=False)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                atol=1e-5)
+
+
+def test_reader_rejects_truncated_file(flax_params, tmp_path):
+    """A valid .params cut mid-array must raise MxParamsError (the
+    hypothesis loop cannot silently mis-parse a short buffer)."""
+    _, params = flax_params
+    args = efm_params_to_mxnet(jax.tree_util.tree_map(np.asarray, params))
+    path = str(tmp_path / "full.params")
+    write_mxnet_params(path, args)
+    blob = open(path, "rb").read()
+    for frac in (0.3, 0.7, 0.95):
+        cut = tmp_path / f"cut{frac}.params"
+        cut.write_bytes(blob[:int(len(blob) * frac)])
+        with pytest.raises(MxParamsError):
+            read_mxnet_params(str(cut))

@@ -217,3 +217,24 @@ def test_align_cli_export_native_mtcnn(tmp_path):
         boxes, pts = det.detect(
             np.zeros((32, 32), np.float32), thresholds=(0.99, 0.9, 0.9))
     assert boxes.shape == (0, 5)
+
+
+def test_native_predict_edge_rects(trained):
+    """Rects partially outside the image, degenerate-width rects, and
+    negative origins: pixel clipping keeps both implementations in lockstep
+    (no crash, same landmarks)."""
+    native = _native()
+    pred, npz, images, rects, shapes = trained
+    img = images[0]
+    edge_rects = [
+        [-10.0, -10.0, 30.0, 30.0],          # spills over the top-left
+        [40.0, 40.0, 200.0, 200.0],          # spills past the bottom-right
+        [10.0, 10.0, 10.0, 10.0],            # zero-size (1e-6 floor)
+        [50.0, -5.0, 90.0, 70.0],            # tall, partially outside
+    ]
+    with native.NativeErt(npz) as ert:
+        for rect in edge_rects:
+            want = pred.predict(img, np.asarray(rect, np.float32))
+            got = ert.predict(img, np.asarray(rect, np.float32))
+            assert np.isfinite(got).all(), rect
+            np.testing.assert_allclose(got, want, atol=1e-2, err_msg=str(rect))
