@@ -31,6 +31,12 @@ def _add_native_mtcnn_args(sp):
     sp.add_argument("--mtcnn-margin", type=int, default=0,
                     help="crop margin in px (0 = the serving-style direct "
                          "box crop; align-style dataset prep uses 44)")
+    sp.add_argument("--mtcnn-all-faces", action="store_true",
+                    help="embed EVERY detected face per frame instead of "
+                         "the largest-centered one (the reference runs "
+                         "Compare_Face_DB per detection, "
+                         "Feature.hpp:763-804); match results carry a "
+                         "'face' index next to 'probe'")
 
 
 def build_parser():
@@ -240,24 +246,28 @@ def _detect_and_embed_native(args, images, labels):
             if boxes.shape[0] == 0:
                 skipped += 1
                 continue
-            sel = select_main_face(boxes, frame.shape)
+            if getattr(args, "mtcnn_all_faces", False):
+                dets = boxes[:, :4]
+            else:
+                dets = select_main_face(boxes, frame.shape)
             frame3 = (frame[..., None].repeat(3, -1) if frame.ndim == 2
                       else frame)
-            try:
-                # regression offsets are unbounded: a degenerate box
-                # (x2 <= x1 after clamping) must skip the frame, not
-                # abort the whole run
-                crop = crop_face(frame3.astype(np.float32), sel[0],
-                                 image_size=size, margin=args.mtcnn_margin)
-            except Exception:
-                skipped += 1
-                continue
-            gray = (0.299 * crop[..., 0] + 0.587 * crop[..., 1]
-                    + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
-            feats.append(emb.extract(gray))
-            kept.append(labels[i] if labels is not None else 0)
-            crops.append(crop)
-            src_idx.append(i)
+            for fi, det_box in enumerate(dets):
+                try:
+                    # regression offsets are unbounded: a degenerate box
+                    # (x2 <= x1 after clamping) must skip the face, not
+                    # abort the whole run
+                    crop = crop_face(frame3.astype(np.float32), det_box,
+                                     image_size=size,
+                                     margin=args.mtcnn_margin)
+                except Exception:
+                    continue
+                gray = (0.299 * crop[..., 0] + 0.587 * crop[..., 1]
+                        + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
+                feats.append(emb.extract(gray))
+                kept.append(labels[i] if labels is not None else 0)
+                crops.append(crop)
+                src_idx.append((i, fi))
     if not feats:
         raise SystemExit("no faces detected in any frame — check "
                          "--mtcnn-thresholds / --mtcnn-minsize")
@@ -339,8 +349,12 @@ def main(argv=None):
         for i, fv in enumerate(feats):
             name, sim = store.match(fv, args.sim_th)
             # probe = ORIGINAL input-frame index (native detection may
-            # skip frames, so row order alone would mislabel consumers)
-            results.append({"probe": int(probe_idx[i]),
+            # skip frames, so row order alone would mislabel consumers);
+            # with --mtcnn-all-faces, 'face' is the box index in the frame
+            pi = probe_idx[i]
+            frame_i, face_i = ((int(pi[0]), int(pi[1]))
+                               if np.ndim(pi) else (int(pi), 0))
+            results.append({"probe": frame_i, "face": face_i,
                             "label": int(labels[i]) if labels is not None else None,
                             "name": name, "similarity": round(float(sim), 6)})
     matched = sum(1 for r in results if r["name"] is not None)

@@ -442,3 +442,54 @@ def test_cascade_fuzz_no_crash_and_parity(mtcnn_setup, monkeypatch):
                                            err_msg=str((trial, h, w)))
                 np.testing.assert_allclose(npts, hp, atol=0.1,
                                            err_msg=str((trial, h, w)))
+
+
+def test_identify_native_all_faces(mtcnn_setup, tmp_path):
+    """match --mtcnn-all-faces: every detection in a frame gets its own
+    result row with (probe=frame, face=box) indices — the reference's
+    per-face Compare_Face_DB loop from the CLI."""
+    native = _native()
+    pn, rn, on, npz = mtcnn_setup
+
+    import json
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data.records import (
+        save_image_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+
+    model = EFMNet342(num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="efmnet342",
+                  feature_dim=342, input_hw=(64, 64), input_channels=1)
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(40, 210, (9, 12, 3))
+    frame = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    store = str(tmp_path / "frames.npz")
+    save_image_store(store, np.stack([frame]), np.asarray([0]))
+
+    db = str(tmp_path / "ids.fjdb")
+    common = ["--store", db, "--features", store,
+              "--native-export", export_dir, "--native-mtcnn", npz,
+              "--mtcnn-thresholds", "0.45", "0.35", "0.3"]
+    identify.main(["enroll"] + common)  # largest face as id_0
+
+    out = str(tmp_path / "all.jsonl")
+    identify.main(["match"] + common + ["--mtcnn-all-faces",
+                                        "--sim-th", "-1.0", "--out", out])
+    rows = [json.loads(line) for line in open(out)]
+    assert len(rows) >= 2, "fixture frame should carry multiple detections"
+    assert all(r["probe"] == 0 for r in rows)
+    faces = sorted(r["face"] for r in rows)
+    assert faces == list(range(len(rows)))  # one row per box, in order
