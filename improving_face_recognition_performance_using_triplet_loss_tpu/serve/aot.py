@@ -1,0 +1,60 @@
+"""Ahead-of-time pipeline export: serialize the fused recognition pipeline
+to a StableHLO artifact that later processes LOAD AND RUN without
+retracing or recompiling Python model code.
+
+The reference's deployment story is exactly this shape: training exports a
+symbol graph + params that the C++ serving process loads and executes
+(Feature.hpp:163-205) — the net's Python definition never ships. Here
+``export_pipeline`` captures the WHOLE fused program (MTCNN cascade +
+crop + embedding net + gallery matmul) via jax.export; ``load_pipeline``
+deserializes and calls it. Cold tracing+compilation of the 250px pipeline
+costs minutes through the dev tunnel; the serialized artifact skips the
+trace entirely (XLA compile of the deserialized module is cached like any
+jit).
+
+The artifact pins the export platform (cpu/tpu) and the frame shape; the
+gallery is BAKED at export time (re-export on enrollment changes, or match
+outside the program via the returned embedding + serve/gallery.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
+                    *, platforms=None) -> str:
+    """Serialize a pipeline fn (from make_recognition_pipeline /
+    make_multiface_pipeline) for frames of [frame_h, frame_w, 3] f32."""
+    from jax.export import export as jexport
+
+    spec = jax.ShapeDtypeStruct((frame_h, frame_w, 3), np.float32)
+    exported = jexport(jax.jit(pipeline), platforms=platforms)(spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    meta = {"frame_h": frame_h, "frame_w": frame_w,
+            "platforms": list(exported.platforms),
+            "format": "jax.export StableHLO"}
+    with open(out_path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_path
+
+
+def load_pipeline(path: str):
+    """Deserialize an exported pipeline; returns fn(frame) -> outputs dict.
+    No access to the original Python model/weights is needed."""
+    from jax.export import deserialize
+
+    with open(path, "rb") as f:
+        exported = deserialize(bytearray(f.read()))
+
+    def fn(frame):
+        return exported.call(frame)
+
+    return fn

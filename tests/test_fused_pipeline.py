@@ -79,3 +79,46 @@ def test_fused_pipeline_gallery_match_consistency():
     out = pipe(jnp.asarray(frame))
     assert int(out["index"]) == 1
     assert float(out["similarity"]) > 0.999
+
+
+def test_aot_pipeline_export_roundtrip(tmp_path):
+    """serve/aot.py: the WHOLE fused pipeline serializes to a StableHLO
+    artifact that loads and runs without the Python model/weights — the
+    reference's deploy shape (symbol+params consumed by a process that
+    never sees the training code, Feature.hpp:163-205)."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        export_pipeline,
+        load_pipeline,
+    )
+
+    det = MTCNNDetector(seed=2)
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    gallery = np.random.default_rng(0).normal(
+        size=(5, model.feature_dim)).astype(np.float32)
+    pipe = make_recognition_pipeline(
+        det, model, variables, gallery, frame_h=72, frame_w=72,
+        embed_size=64, thresholds=(0.3, 0.3, 0.3), sim_threshold=-1.0)
+    path = export_pipeline(str(tmp_path / "pipe.shlo"), pipe, 72, 72)
+    assert (tmp_path / "pipe.shlo.json").exists()
+
+    fn = load_pipeline(path)
+    rng = np.random.default_rng(3)
+    frame = (rng.random((72, 72, 3)) * 255).astype(np.float32)
+    want = pipe(jnp.asarray(frame))
+    got = fn(frame)
+    for key in ("similarity", "index", "score", "cap_dropped"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]), atol=1e-5,
+                                   err_msg=key)
+    np.testing.assert_allclose(np.asarray(got["box"]),
+                               np.asarray(want["box"]), atol=1e-4)
