@@ -58,3 +58,46 @@ def load_pipeline(path: str):
         return exported.call(frame)
 
     return fn
+
+
+def export_extract(out_path: str, model, batch_size: int, height: int,
+                   width: int, channels: int = 1, *, normalize: bool = True,
+                   platforms=None) -> str:
+    """Serialize the batched extraction graph (variables stay ARGUMENTS, so
+    one artifact serves every checkpoint of the architecture: load it, feed
+    weights straight from a weights.npz). The TPU-side sibling of the C++
+    NativeEmbedder for bulk extraction without model code."""
+    from jax.export import export as jexport
+
+    from ..extract import make_extract_fn
+
+    fn = make_extract_fn(model, normalize=normalize)
+    var_spec = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, height, width, channels),
+                                    np.float32)))
+    img_spec = jax.ShapeDtypeStruct((batch_size, height, width, channels),
+                                    np.float32)
+    exported = jexport(fn, platforms=platforms)(var_spec, img_spec)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(exported.serialize())
+    with open(out_path + ".json", "w") as f:
+        json.dump({"batch_size": batch_size, "height": height,
+                   "width": width, "channels": channels,
+                   "normalize": normalize,
+                   "platforms": list(exported.platforms)}, f, indent=2)
+    return out_path
+
+
+def load_extract(path: str):
+    """Returns fn(variables, images) -> (logits, features)."""
+    from jax.export import deserialize
+
+    with open(path, "rb") as f:
+        exported = deserialize(bytearray(f.read()))
+
+    def fn(variables, images):
+        return exported.call(variables, images)
+
+    return fn

@@ -122,3 +122,44 @@ def test_aot_pipeline_export_roundtrip(tmp_path):
                                    err_msg=key)
     np.testing.assert_allclose(np.asarray(got["box"]),
                                np.asarray(want["box"]), atol=1e-4)
+
+
+def test_aot_extract_export_roundtrip(tmp_path):
+    """serve/aot.py::export_extract: the extraction graph serializes with
+    the weights as ARGUMENTS — one artifact per architecture, fed straight
+    from any checkpoint's weights at call time."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        export_extract,
+        load_extract,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.extract import (
+        make_extract_fn,
+    )
+
+    model = EFMNet342(num_classes=6)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 32, 32, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs[:1])
+
+    path = export_extract(str(tmp_path / "extract.shlo"), model,
+                          batch_size=4, height=32, width=32)
+    fn = load_extract(path)
+    want_l, want_f = make_extract_fn(model)(variables, imgs)
+    got_l, got_f = fn(variables, imgs)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=1e-4)
+
+    # a DIFFERENT checkpoint of the same architecture runs through the
+    # same artifact
+    v2 = model.init(jax.random.PRNGKey(7), imgs[:1])
+    got2 = np.asarray(fn(v2, imgs)[1])
+    want2 = np.asarray(make_extract_fn(model)(v2, imgs)[1])
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
+    assert not np.allclose(got2, np.asarray(want_f))
