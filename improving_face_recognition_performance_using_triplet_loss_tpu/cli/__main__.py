@@ -9,7 +9,7 @@ COMMANDS = [
     "train_backbone", "train_head", "train_final", "train_began",
     "extract_features", "eval_cos", "draw_cos", "slice_dataset",
     "lfw_eval", "lfw_run", "align", "pack_dataset", "serve_demo",
-    "identify", "landmarks68", "import_params",
+    "identify", "landmarks68", "import_params", "export_aot",
 ]
 
 

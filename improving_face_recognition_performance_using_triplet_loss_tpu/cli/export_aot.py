@@ -1,0 +1,86 @@
+"""Export the fused recognition pipeline as a deployable StableHLO artifact.
+
+The reference deploys symbol JSON + params that a serving process loads
+without any training code (Feature.hpp:163-205). The TPU-era equivalent:
+serialize the WHOLE fused detect -> crop -> embed -> gallery-match program
+(serve/pipeline.py) via jax.export; a serving process calls
+``serve.aot.load_pipeline(artifact)`` — no model code, no weights files
+(the gallery and parameters are baked into the program).
+
+  fx.export_aot --export-dir runs/bb/export --gallery gal.npz \\
+      --frame-size 480 640 --out deploy/pipe.shlo [--max-faces 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--export-dir", required=True,
+                   help="trained model export (serve/export.py layout)")
+    p.add_argument("--gallery", required=True,
+                   help=".npz feature store: the enrolled gallery to bake")
+    p.add_argument("--frame-size", type=int, nargs=2, required=True,
+                   metavar=("H", "W"))
+    p.add_argument("--out", required=True, help="artifact path (.shlo)")
+    p.add_argument("--embed-size", type=int, default=0,
+                   help="face-crop size fed to the embedder (default: the "
+                        "export manifest's input height)")
+    p.add_argument("--max-faces", type=int, default=1,
+                   help=">1 exports the multi-face pipeline")
+    p.add_argument("--minsize", type=int, default=20)
+    p.add_argument("--thresholds", type=float, nargs=3,
+                   default=(0.6, 0.7, 0.7))
+    p.add_argument("--sim-threshold", type=float, default=0.5)
+    p.add_argument("--det-weights", nargs=3,
+                   metavar=("DET1", "DET2", "DET3"),
+                   help="MTCNN det*.npy files (random init if omitted)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    from ..data import load_feature_store
+    from ..detect.pipeline import MTCNNDetector
+    from ..serve.aot import export_pipeline
+    from ..serve.export import load_exported_params
+    from ..serve.pipeline import (make_multiface_pipeline,
+                                  make_recognition_pipeline)
+    from .train_backbone import _model_by_name
+
+    params, batch_stats, manifest = load_exported_params(args.export_dir)
+    head = params.get("fc2") or params.get("f8")
+    num_classes = int(head["kernel"].shape[1]) if head else 1000
+    model = _model_by_name(manifest["model"], num_classes, bf16=True)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    gallery, _ = load_feature_store(args.gallery)
+    detector = (MTCNNDetector.from_npy(*args.det_weights)
+                if args.det_weights else MTCNNDetector())
+    embed_size = args.embed_size or int(manifest["input"]["height"])
+
+    fh, fw = args.frame_size
+    maker = (make_recognition_pipeline if args.max_faces <= 1
+             else make_multiface_pipeline)
+    extra = {} if args.max_faces <= 1 else {"max_faces": args.max_faces}
+    pipe = maker(detector, model, variables, np.asarray(gallery, np.float32),
+                 frame_h=fh, frame_w=fw, embed_size=embed_size,
+                 minsize=args.minsize, thresholds=tuple(args.thresholds),
+                 sim_threshold=args.sim_threshold, **extra)
+    path = export_pipeline(args.out, pipe, fh, fw)
+    import os
+
+    print(f"AOT artifact: {path} "
+          f"({os.path.getsize(path) / 1e6:.1f} MB, "
+          f"{gallery.shape[0]}-row gallery baked, "
+          f"{'multi-face K=%d' % args.max_faces if args.max_faces > 1 else 'single-face'})")
+    return path
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,47 @@ def test_aot_extract_export_roundtrip(tmp_path):
     want2 = np.asarray(make_extract_fn(model)(v2, imgs)[1])
     np.testing.assert_allclose(got2, want2, atol=1e-5)
     assert not np.allclose(got2, np.asarray(want_f))
+
+
+def test_export_aot_cli_roundtrip(tmp_path):
+    """export_aot CLI: export-dir + gallery -> StableHLO artifact that
+    load_pipeline runs without model code."""
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        export_aot,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        load_pipeline,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="lightcnn9",
+                  feature_dim=256, input_hw=(64, 64), input_channels=1)
+    rng = np.random.default_rng(0)
+    gal = rng.normal(size=(5, 256)).astype(np.float32)
+    gal_path = str(tmp_path / "gal.npz")
+    save_feature_store(gal_path, gal, np.arange(5))
+
+    out = str(tmp_path / "pipe.shlo")
+    path = export_aot.main([
+        "--export-dir", export_dir, "--gallery", gal_path,
+        "--frame-size", "72", "72", "--embed-size", "64",
+        "--thresholds", "0.3", "0.3", "0.3", "--out", out])
+    fn = load_pipeline(path)
+    frame = (rng.random((72, 72, 3)) * 255).astype(np.float32)
+    got = fn(frame)
+    assert np.isfinite(np.asarray(got["similarity"]))
+    assert np.asarray(got["box"]).shape == (4,)
