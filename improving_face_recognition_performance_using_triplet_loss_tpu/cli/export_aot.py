@@ -36,8 +36,31 @@ def build_parser():
     p.add_argument("--sim-threshold", type=float, default=0.5)
     p.add_argument("--det-weights", nargs=3,
                    metavar=("DET1", "DET2", "DET3"),
-                   help="MTCNN det*.npy files (random init if omitted)")
+                   help="MTCNN det*.npy files (converted-Caffe layout)")
+    p.add_argument("--mtcnn-npz",
+                   help="detector weights in this repo's export_mtcnn "
+                        "layout (fx.align --export-native-mtcnn writes it)")
+    p.add_argument("--platforms", nargs="+",
+                   help="lowering platforms baked into the artifact, e.g. "
+                        "'tpu' or 'cpu tpu' (default: the CURRENT backend "
+                        "only — export on a CPU box without this flag and "
+                        "the artifact will refuse to run on TPU)")
     return p
+
+
+def _detector_from_mtcnn_npz(path):
+    """Rebuild MTCNNDetector params from an export_mtcnn .npz
+    (keys {pnet|rnet|onet}/{layer}/{param})."""
+    import numpy as np
+
+    from ..detect.pipeline import MTCNNDetector
+
+    nets = {"pnet": {}, "rnet": {}, "onet": {}}
+    with np.load(path) as z:
+        for key in z.files:
+            net, layer, param = key.split("/", 2)
+            nets[net].setdefault(layer, {})[param] = z[key]
+    return MTCNNDetector(nets["pnet"], nets["rnet"], nets["onet"])
 
 
 def main(argv=None):
@@ -60,8 +83,15 @@ def main(argv=None):
     if batch_stats:
         variables["batch_stats"] = batch_stats
     gallery, _ = load_feature_store(args.gallery)
-    detector = (MTCNNDetector.from_npy(*args.det_weights)
-                if args.det_weights else MTCNNDetector())
+    if args.det_weights:
+        detector = MTCNNDetector.from_npy(*args.det_weights)
+    elif args.mtcnn_npz:
+        detector = _detector_from_mtcnn_npz(args.mtcnn_npz)
+    else:
+        detector = MTCNNDetector()
+        print("WARNING: no --det-weights/--mtcnn-npz — a RANDOM-INIT "
+              "detector is being baked into the artifact (demo only; "
+              "re-export with real weights before deploying)")
     embed_size = args.embed_size or int(manifest["input"]["height"])
 
     fh, fw = args.frame_size
@@ -72,13 +102,19 @@ def main(argv=None):
                  frame_h=fh, frame_w=fw, embed_size=embed_size,
                  minsize=args.minsize, thresholds=tuple(args.thresholds),
                  sim_threshold=args.sim_threshold, **extra)
-    path = export_pipeline(args.out, pipe, fh, fw)
+    path = export_pipeline(args.out, pipe, fh, fw,
+                           platforms=args.platforms)
     import os
 
+    import json
+
+    with open(path + ".json") as f:
+        platforms = json.load(f)["platforms"]
     print(f"AOT artifact: {path} "
           f"({os.path.getsize(path) / 1e6:.1f} MB, "
           f"{gallery.shape[0]}-row gallery baked, "
-          f"{'multi-face K=%d' % args.max_faces if args.max_faces > 1 else 'single-face'})")
+          f"{'multi-face K=%d' % args.max_faces if args.max_faces > 1 else 'single-face'}, "
+          f"platforms={platforms})")
     return path
 
 

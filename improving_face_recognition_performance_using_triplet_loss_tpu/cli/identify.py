@@ -32,11 +32,12 @@ def _add_native_mtcnn_args(sp):
                     help="crop margin in px (0 = the serving-style direct "
                          "box crop; align-style dataset prep uses 44)")
     sp.add_argument("--mtcnn-all-faces", action="store_true",
-                    help="embed EVERY detected face per frame instead of "
-                         "the largest-centered one (the reference runs "
-                         "Compare_Face_DB per detection, "
-                         "Feature.hpp:763-804); match results carry a "
-                         "'face' index next to 'probe'")
+                    help="MATCH ONLY: embed EVERY detected face per frame "
+                         "instead of the largest-centered one (the "
+                         "reference runs Compare_Face_DB per detection, "
+                         "Feature.hpp:763-804); results carry a 'face' "
+                         "index next to 'probe'. Rejected for enrollment "
+                         "(bystander faces would inherit the frame label)")
 
 
 def build_parser():
@@ -157,14 +158,15 @@ def _person_main(args):
             return pid
 
     face_crops = None
+    person_probe_idx = None
     if getattr(args, "native_export", None):
         from ..data.records import load_image_store
         from ..serve.native import NativeEmbedder
 
         images, labels = load_image_store(args.features)
         if getattr(args, "native_mtcnn", None):
-            feats, labels, face_crops, _ = _detect_and_embed_native(
-                args, images, labels)
+            feats, labels, face_crops, person_probe_idx = \
+                _detect_and_embed_native(args, images, labels)
         else:
             with NativeEmbedder(args.native_export,
                                 quantized=args.int8) as emb:
@@ -199,12 +201,20 @@ def _person_main(args):
                   f"({rows.shape[0]} faces, card {args.card_id})")
             return rid
     # match-person
+    if person_probe_idx is None:
+        person_probe_idx = np.arange(feats.shape[0])
     results = []
     with PersonStore(args.store, dim) as store:
         for i, fv in enumerate(feats):
             res = store.match(fv, args.sim_th)
+            # probe = ORIGINAL frame index; 'face' = box index with
+            # --mtcnn-all-faces (same contract as plain `match`)
+            pi = person_probe_idx[i]
+            frame_i, face_i = ((int(pi[0]), int(pi[1]))
+                               if np.ndim(pi) else (int(pi), 0))
             results.append({
-                "probe": int(i),
+                "probe": frame_i,
+                "face": face_i,
                 "label": int(labels[i]) if labels is not None else None,
                 "pid": None if res.person is None else res.person.pid,
                 "name": None if res.person is None else res.person.name,
@@ -232,7 +242,8 @@ def _detect_and_embed_native(args, images, labels):
     from ..detect.align import crop_face, select_main_face
     from ..serve.native import NativeEmbedder, NativeMtcnn
 
-    feats, kept, crops, src_idx, skipped = [], [], [], [], 0
+    feats, kept, crops, src_idx = [], [], [], []
+    skipped = crop_failed = 0
     with NativeMtcnn(args.native_mtcnn, quantized=args.int8) as det, \
             NativeEmbedder(args.native_export, quantized=args.int8) as emb:
         size = int(((emb.manifest or {}).get("input") or {})
@@ -251,16 +262,16 @@ def _detect_and_embed_native(args, images, labels):
             else:
                 dets = select_main_face(boxes, frame.shape)
             frame3 = (frame[..., None].repeat(3, -1) if frame.ndim == 2
-                      else frame)
+                      else frame).astype(np.float32)
             for fi, det_box in enumerate(dets):
                 try:
                     # regression offsets are unbounded: a degenerate box
                     # (x2 <= x1 after clamping) must skip the face, not
                     # abort the whole run
-                    crop = crop_face(frame3.astype(np.float32), det_box,
-                                     image_size=size,
+                    crop = crop_face(frame3, det_box, image_size=size,
                                      margin=args.mtcnn_margin)
                 except Exception:
+                    crop_failed += 1
                     continue
                 gray = (0.299 * crop[..., 0] + 0.587 * crop[..., 1]
                         + 0.114 * crop[..., 2]).astype(np.float32) / 255.0
@@ -272,7 +283,8 @@ def _detect_and_embed_native(args, images, labels):
         raise SystemExit("no faces detected in any frame — check "
                          "--mtcnn-thresholds / --mtcnn-minsize")
     print(f"native detect+embed: {len(feats)} faces from "
-          f"{len(images)} frames ({skipped} frames skipped)")
+          f"{len(images)} frames ({skipped} frames without a detection, "
+          f"{crop_failed} degenerate boxes dropped)")
     return np.stack(feats), np.asarray(kept), crops, np.asarray(src_idx)
 
 
@@ -284,6 +296,12 @@ def main(argv=None):
             and not getattr(args, "native_export", None)):
         raise SystemExit("--native-mtcnn needs --native-export (frames are "
                          "embedded by the native forward after detection)")
+    if (getattr(args, "mtcnn_all_faces", False)
+            and args.command not in ("match", "match-person")):
+        raise SystemExit("--mtcnn-all-faces is match-only: during "
+                         "enrollment every face in the frame would inherit "
+                         "the frame's label, registering bystanders under "
+                         "the target identity")
 
     if args.command in ("enroll-person", "match-person", "register-card",
                         "lookup-id", "promote"):

@@ -207,3 +207,60 @@ def test_export_aot_cli_roundtrip(tmp_path):
     got = fn(frame)
     assert np.isfinite(np.asarray(got["similarity"]))
     assert np.asarray(got["box"]).shape == (4,)
+
+
+def test_export_aot_cli_mtcnn_npz_and_guards(tmp_path):
+    """export_aot consumes the repo's own export_mtcnn detector weights;
+    identify rejects --mtcnn-all-faces on enrollment."""
+    import jax
+    import pytest
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        export_aot,
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+        mtcnn as mtcnn_nets,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        load_pipeline,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_mtcnn,
+        export_params,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    npz = str(tmp_path / "mtcnn.npz")
+    export_mtcnn(npz, mtcnn_nets.init_pnet_params(k1),
+                 mtcnn_nets.init_rnet_params(k2),
+                 mtcnn_nets.init_onet_params(k3))
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="lightcnn9",
+                  feature_dim=256, input_hw=(64, 64), input_channels=1)
+    gal_path = str(tmp_path / "gal.npz")
+    save_feature_store(gal_path,
+                       np.random.default_rng(0).normal(
+                           size=(3, 256)).astype(np.float32), np.arange(3))
+
+    path = export_aot.main([
+        "--export-dir", export_dir, "--gallery", gal_path,
+        "--frame-size", "72", "72", "--embed-size", "64",
+        "--mtcnn-npz", npz, "--out", str(tmp_path / "p.shlo")])
+    fn = load_pipeline(path)
+    frame = (np.random.default_rng(1).random((72, 72, 3)) * 255
+             ).astype(np.float32)
+    assert np.isfinite(np.asarray(fn(frame)["similarity"]))
+
+    with pytest.raises(SystemExit, match="match-only"):
+        identify.main(["enroll", "--store", str(tmp_path / "d.fjdb"),
+                       "--features", gal_path,
+                       "--native-export", export_dir,
+                       "--native-mtcnn", npz, "--mtcnn-all-faces"])

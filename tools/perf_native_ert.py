@@ -52,7 +52,8 @@ def main():
     pred = ShapePredictor(
         mean_shape=rng.uniform(0, 1, (L, 2)).astype(np.float32),
         levels=levels)
-    npz = export_ert(os.path.join(tempfile.mkdtemp(), "ert.npz"), pred)
+    tmpdir = tempfile.TemporaryDirectory()
+    npz = export_ert(os.path.join(tmpdir.name, "ert.npz"), pred)
     print(f"model: T={T} K={K} D={D} P={P}, "
           f"{os.path.getsize(npz) / 1e6:.1f} MB", file=sys.stderr)
 
@@ -65,13 +66,16 @@ def main():
             t0 = time.perf_counter()
             ert.predict(img, rect)
             ts.append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    for _ in range(3):
+    py_ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         pred.predict(img, rect)
-    py_ms = (time.perf_counter() - t0) / 3 * 1e3
+        py_ts.append(time.perf_counter() - t0)
+    py_ms = min(py_ts) * 1e3  # min vs min: like statistics on both sides
     print(f"native ERT predict: {min(ts) * 1e3:.2f} ms/face "
           f"(numpy inference: {py_ms:.2f} ms, "
           f"{py_ms / (min(ts) * 1e3):.0f}x)")
+    tmpdir.cleanup()
 
 
 if __name__ == "__main__":
