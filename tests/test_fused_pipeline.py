@@ -264,3 +264,25 @@ def test_export_aot_cli_mtcnn_npz_and_guards(tmp_path):
                        "--features", gal_path,
                        "--native-export", export_dir,
                        "--native-mtcnn", npz, "--mtcnn-all-faces"])
+
+
+def test_export_aot_platforms_metadata(tmp_path):
+    """--platforms bakes the requested lowering targets into the artifact
+    and its metadata sidecar (the default pins the current backend, which
+    would refuse other platforms at serve time)."""
+    import json
+
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        export_pipeline,
+    )
+
+    def tiny(frame):
+        return {"similarity": frame.sum()}
+
+    path = export_pipeline(str(tmp_path / "t.shlo"), tiny, 8, 8,
+                           platforms=["cpu"])
+    meta = json.load(open(path + ".json"))
+    assert meta["platforms"] == ["cpu"]
+    assert meta["frame_h"] == 8 and meta["frame_w"] == 8
