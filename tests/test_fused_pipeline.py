@@ -286,3 +286,54 @@ def test_export_aot_platforms_metadata(tmp_path):
     meta = json.load(open(path + ".json"))
     assert meta["platforms"] == ["cpu"]
     assert meta["frame_h"] == 8 and meta["frame_w"] == 8
+
+
+def test_aot_artifact_runs_without_model_imports(tmp_path):
+    """The deploy claim, proven strictly: a FRESH process that imports only
+    serve.aot (never models/, detect/, or the weights) loads the artifact
+    and identifies a frame."""
+    import subprocess
+    import sys
+
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        export_pipeline,
+    )
+
+    det = MTCNNDetector(seed=2)
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    gallery = np.random.default_rng(0).normal(size=(5, 256)).astype(
+        np.float32)
+    pipe = make_recognition_pipeline(
+        det, model, variables, gallery, frame_h=72, frame_w=72,
+        embed_size=64, thresholds=(0.3, 0.3, 0.3), sim_threshold=-1.0)
+    path = export_pipeline(str(tmp_path / "pipe.shlo"), pipe, 72, 72)
+
+    script = f"""
+import sys
+sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.models'] = None
+sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.detect'] = None
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import load_pipeline
+fn = load_pipeline({path!r})
+frame = (np.random.default_rng(3).random((72, 72, 3)) * 255).astype(np.float32)
+out = fn(frame)
+print('SIM', float(np.asarray(out['similarity'])))
+"""
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=300,
+                       env={**__import__("os").environ,
+                            "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "SIM" in r.stdout
