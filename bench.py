@@ -32,9 +32,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# analytic conv+fc FLOPs per image at 128px (tools/perf_layers.py table)
+# analytic conv+fc FLOPs per image at 128px (tools/perf_layers.py table);
+# cross-checked at run time against XLA's cost analysis (see
+# measured_flops_per_image) and in tests/test_bench_mfu.py
 FLOPS_PER_IMAGE = 1.95e9
 PEAK_BF16_TFLOPS = 197.0  # v5e nominal
+
+
+def measured_flops_per_image(batch_size: int = 128) -> float:
+    """FLOPs/image from XLA cost analysis of the single-batch forward —
+    the mechanical MFU denominator (falls back to the analytic constant
+    when the backend exposes no cost analysis)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.distances import (
+        l2_normalize,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
+        compiled_flops,
+    )
+
+    model = LightCNN9(num_classes=1000, dtype=jnp.bfloat16)
+    x = np.zeros((batch_size, 128, 128, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+    def fwd(variables, x):
+        _, feat = model.apply(variables, x, train=False)
+        return l2_normalize(feat)
+
+    total = compiled_flops(fwd, variables, x)
+    if total is None:
+        log("cost_analysis unavailable — using analytic FLOPS_PER_IMAGE")
+        return FLOPS_PER_IMAGE
+    per_image = total / batch_size
+    ratio = per_image / FLOPS_PER_IMAGE
+    log(f"XLA cost-analysis FLOPs/image: {per_image / 1e9:.3f} G "
+        f"(analytic {FLOPS_PER_IMAGE / 1e9:.2f} G, ratio {ratio:.3f})")
+    return per_image
 
 
 def bench_lightcnn9_extraction(batch_size: int = 128, n_batches: int = 256) -> float:
@@ -99,13 +134,19 @@ def main():
             "vs_baseline": 0.0, "error": str(e)[:200],
         }))
         return
+    try:
+        flops_per_image = measured_flops_per_image()
+    except Exception as e:
+        log(f"flops measurement failed ({e}); using analytic constant")
+        flops_per_image = FLOPS_PER_IMAGE
     print(json.dumps({
         "metric": "lightcnn9_embeddings_per_sec_per_chip",
         "value": round(emb_per_sec, 1),
         "unit": "embeddings/s",
         "vs_baseline": round(emb_per_sec / BASELINE_EMB_PER_SEC, 3),
-        "mfu_pct": round(emb_per_sec * FLOPS_PER_IMAGE
+        "mfu_pct": round(emb_per_sec * flops_per_image
                          / (PEAK_BF16_TFLOPS * 1e12) * 100, 1),
+        "flops_per_image": round(flops_per_image / 1e9, 3),
     }))
 
 

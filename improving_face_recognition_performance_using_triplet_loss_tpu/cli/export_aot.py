@@ -40,6 +40,14 @@ def build_parser():
     p.add_argument("--mtcnn-npz",
                    help="detector weights in this repo's export_mtcnn "
                         "layout (fx.align --export-native-mtcnn writes it)")
+    p.add_argument("--precision", choices=("manifest", "bf16", "f32"),
+                   default="manifest",
+                   help="embedder compute precision baked into the artifact. "
+                        "'manifest' (default) reads the export manifest's "
+                        "'precision' field (written by fx.train_backbone) so "
+                        "an f32-trained model serves in f32; manifests "
+                        "without the field fall back to bf16 (the historic "
+                        "behavior)")
     p.add_argument("--platforms", nargs="+",
                    help="lowering platforms baked into the artifact, e.g. "
                         "'tpu' or 'cpu tpu' (default: the CURRENT backend "
@@ -78,7 +86,11 @@ def main(argv=None):
     params, batch_stats, manifest = load_exported_params(args.export_dir)
     head = params.get("fc2") or params.get("f8")
     num_classes = int(head["kernel"].shape[1]) if head else 1000
-    model = _model_by_name(manifest["model"], num_classes, bf16=True)
+    if args.precision == "manifest":
+        bf16 = manifest.get("precision", "bf16") == "bf16"
+    else:
+        bf16 = args.precision == "bf16"
+    model = _model_by_name(manifest["model"], num_classes, bf16=bf16)
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats

@@ -334,7 +334,8 @@ def main(argv=None):
         os.path.join(args.out_dir, "export"), export_weights,
         model_name=args.model, feature_dim=model.feature_dim,
         input_hw=in_hw, input_channels=images.shape[3],
-        batch_stats=state.batch_stats)
+        batch_stats=state.batch_stats,
+        extra={"precision": "bf16" if args.bf16 else "f32"})
 
     from ..eval.plots import draw_curve
     if history:

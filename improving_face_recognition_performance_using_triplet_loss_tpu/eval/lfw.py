@@ -13,6 +13,7 @@ This is the harness that generates the repo's LFW baseline numbers
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 
@@ -141,6 +142,16 @@ def calculate_val(thresholds, embeddings1, embeddings2, actual_issame,
             # slinear interpolation of threshold(far), facenet.py:499-500
             threshold = float(np.interp(far_target, far_train, thresholds))
         else:
+            # the reference falls back silently (facenet.py:501); on a tiny
+            # gallery FAR may never reach the target and VAL=0 looks like a
+            # model failure rather than a protocol artifact — warn loudly
+            warnings.warn(
+                f"calculate_val fold {fold_idx}: FAR never reached the "
+                f"target {far_target:g} on the train split (max "
+                f"{np.max(far_train):g}) — falling back to threshold 0.0, "
+                "which forces VAL=0 for this fold. The pair set is likely "
+                "too small for this FAR target.",
+                stacklevel=2)
             threshold = 0.0
         val[fold_idx], far[fold_idx] = calculate_val_far(
             threshold, dist[test_set], actual_issame[test_set])

@@ -96,7 +96,7 @@ def make_sharded_gallery_matcher(gallery: np.ndarray, mesh=None):
         # infer replication through all_gather)
         return glob_idx[None, :], loc_sim[None, :]
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     matched = shard_map(
         local_scan, mesh=mesh,

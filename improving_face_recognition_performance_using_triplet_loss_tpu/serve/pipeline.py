@@ -118,7 +118,8 @@ def make_multiface_pipeline(
     Returns fn(frame) -> dict of per-face arrays (length ``max_faces``):
     ``found`` (bool mask), ``boxes`` [K, 4], ``scores``, ``indices``
     (gallery row, -1 below threshold/not found), ``similarities``, plus the
-    scalar ``cap_dropped``.
+    scalar ``cap_dropped`` (cascade-internal capacity drops) and
+    ``topk_dropped`` (valid detections beyond ``max_faces``).
     """
     if max_faces > 64:  # the cascade's out_cap; no silent truncation
         raise ValueError(
@@ -166,6 +167,11 @@ def make_multiface_pipeline(
             # per-face L2-normalized embeddings for sharded re-matching
             "embeddings": embs,
             "cap_dropped": counts[0] + counts[1] + counts[2],
+            # valid detections the top-k truncation discarded (the cascade
+            # found more faces than max_faces) — without this the k-cap
+            # would be the one silent truncation in the accounting
+            "topk_dropped": jnp.maximum(
+                jnp.sum(valid.astype(jnp.int32)) - k, 0),
         }
 
     return pipeline

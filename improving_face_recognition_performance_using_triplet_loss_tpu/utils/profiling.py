@@ -70,3 +70,25 @@ class MetricsWriter:
             return []
         with open(self.path) as f:
             return [json.loads(l) for l in f if l.strip()]
+
+
+def compiled_flops(fn, *example_args) -> float | None:
+    """Total FLOPs of ``fn(*example_args)`` from XLA's own cost analysis.
+
+    The mechanical denominator for MFU figures: ``jit(fn).lower(...)
+    .compile().cost_analysis()["flops"]`` — so a headline MFU cannot
+    silently drift from an analytic constant when the model changes
+    (VERDICT r2 item 7). Returns None when the backend does not expose
+    cost analysis (some plugin backends).
+    """
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*example_args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None

@@ -121,3 +121,18 @@ def test_pairs_file_parsing(tmp_path):
     paths, issame = get_paths(str(lfw_dir), pairs)
     assert len(paths) == 4
     np.testing.assert_array_equal(issame, [True, False])
+
+
+def test_calculate_val_warns_on_unreachable_far():
+    """When FAR never reaches the target on the train split, the reference
+    silently falls back to threshold 0.0 (facenet.py:501) forcing VAL=0; we
+    keep the arithmetic but emit a warning so tiny galleries don't read as
+    model failures (VERDICT r2 item 9)."""
+    # perfectly separated pairs: with thresholds below the negative
+    # distances, FAR stays 0 < target on every fold
+    e1, e2, issame = _synthetic_pairs(n=60, sep=50.0)
+    thresholds = np.arange(0, 0.5, 0.01)
+    with pytest.warns(UserWarning, match="FAR never reached"):
+        val, _, _ = lfw.calculate_val(
+            thresholds, e1, e2, issame, far_target=1e-3, nrof_folds=3)
+    assert val == 0.0

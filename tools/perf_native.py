@@ -65,7 +65,8 @@ def main():
     frames = rng.random((args.frames, *mani_hw)).astype(np.float32)
 
     def run(emb):
-        emb.extract(frames[0])  # warm (quantize-on-first-use, page-in)
+        emb.extract(frames[0])  # warm (page-in + thread-pool spin-up;
+        # quantization happens eagerly in the NativeNet constructor)
         t0 = time.perf_counter()
         feats = [emb.extract(f) for f in frames]
         dt = (time.perf_counter() - t0) / len(frames)
