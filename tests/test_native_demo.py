@@ -1,0 +1,165 @@
+"""Standalone native demo binary (cpp/src/demo_main.cpp) — VERDICT r2
+item 5: the reference's C++ app process (tmp.cpp:24-28, StreamLoop
+CameraSettings.h:21) with ZERO Python in the process: MJPG video ->
+producer thread -> SpscQueue (drop-stale) -> NativeMtcnn -> NativeErt ->
+NativeNet -> IdentityStore -> registration state machine.
+
+The test synthesizes the full fixture set (random-init MTCNN export, a
+random-init EFMNet342 export, a small trained ERT, an MJPG scene video),
+builds the binary, runs it end-to-end, and asserts it enrolls and then
+identifies the enrolled name on the identification frames.
+"""
+
+import os
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CPP = os.path.join(REPO, "cpp")
+SRC = os.path.join(CPP, "src", "demo_main.cpp")
+
+
+def _build_demo(tmpdir: str) -> str:
+    """Prefer the cmake-built binary when fresh; otherwise g++ directly."""
+    prebuilt = os.path.join(CPP, "build", "facejax_demo")
+    hdrs = [os.path.join(CPP, "include", "facejax", h)
+            for h in os.listdir(os.path.join(CPP, "include", "facejax"))]
+    newest = max(os.path.getmtime(p) for p in hdrs + [SRC])
+    if os.path.exists(prebuilt) and os.path.getmtime(prebuilt) > newest:
+        return prebuilt
+    if not os.path.exists("/usr/include/opencv4/opencv2/videoio.hpp"):
+        pytest.skip("OpenCV dev headers unavailable")
+    out = os.path.join(tmpdir, "facejax_demo")
+    cmd = ["g++", "-O2", "-std=c++17", "-Wall",
+           "-I", os.path.join(CPP, "include"), "-I/usr/include/opencv4",
+           SRC, "-o", out, "-lopencv_core", "-lopencv_videoio",
+           "-lopencv_imgproc", "-lpthread"]
+    probe = subprocess.run(["g++", "-mavx2", "-mfma", "-E", "-x", "c++",
+                            "/dev/null"], capture_output=True)
+    if probe.returncode == 0:
+        cmd[1:1] = ["-mavx2", "-mfma"]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.fail(f"demo build failed:\n{r.stderr[-4000:]}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.ert import (
+        train_shape_predictor,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+        mtcnn as mtcnn_nets,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_ert,
+        export_mtcnn,
+        export_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.video import (
+        write_test_video,
+    )
+
+    d = tmp_path_factory.mktemp("native_demo")
+
+    model = EFMNet342(num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    export_dir = str(d / "export")
+    export_params(export_dir, variables["params"], model_name="efmnet342",
+                  feature_dim=342, input_hw=(32, 32), input_channels=1)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    mtcnn_npz = str(d / "mtcnn.npz")
+    export_mtcnn(mtcnn_npz, mtcnn_nets.init_pnet_params(k1),
+                 mtcnn_nets.init_rnet_params(k2),
+                 mtcnn_nets.init_onet_params(k3))
+
+    # tiny trained ERT so the 68-pt refine stage runs for real
+    rng = np.random.default_rng(0)
+    size = 64
+    images, rects, shapes = [], [], []
+    canon = np.stack([rng.uniform(0.2, 0.8, 68), rng.uniform(0.2, 0.8, 68)],
+                     axis=1).astype(np.float32)
+    for _ in range(12):
+        scale = rng.uniform(0.6, 0.8) * (size - 8)
+        tx, ty = rng.uniform(2, size - scale - 2, 2)
+        s = canon * scale + [tx, ty]
+        img = rng.uniform(0, 255, (size, size)).astype(np.float32)
+        images.append(img)
+        rects.append([tx, ty, tx + scale, ty + scale])
+        shapes.append(s)
+    pred = train_shape_predictor(
+        images, np.asarray(rects, np.float32),
+        np.asarray(shapes, np.float32), cascades=2, trees_per_cascade=10,
+        tree_depth=2, feature_pool=40, n_split_candidates=8, nu=0.3,
+        oversampling=1, seed=0)
+    ert_npz = str(d / "ert.npz")
+    export_ert(ert_npz, pred)
+
+    # structured static scene (the serve_demo fixture recipe): random-init
+    # MTCNN at permissive thresholds finds stable boxes on it
+    rng2 = np.random.default_rng(42)
+    base = rng2.uniform(40, 210, (9, 12, 3))
+    scene = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    video = str(d / "scene.avi")
+    write_test_video(video, np.stack([scene] * 30))
+
+    return {"export": os.path.join(export_dir, "weights.npz"),
+            "mtcnn": mtcnn_npz, "ert": ert_npz, "video": video,
+            "dir": str(d)}
+
+
+def _run(binary, fixtures, *extra):
+    store = os.path.join(fixtures["dir"], "demo.fjdb")
+    if os.path.exists(store):
+        os.remove(store)
+    cmd = [binary, "--video", fixtures["video"],
+           "--mtcnn", fixtures["mtcnn"], "--weights", fixtures["export"],
+           "--model", "efmnet342", "--store", store,
+           "--register-name", "alice", "--register-frames", "2",
+           "--image-size", "32", "--th", "0.45", "0.35", "0.3",
+           "--sim-th", "0.3", *extra]
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+
+
+def test_demo_end_to_end(fixtures, tmp_path):
+    binary = _build_demo(str(tmp_path))
+    r = _run(binary, fixtures, "--ert", fixtures["ert"])
+    assert r.returncode == 0, f"demo failed rc={r.returncode}:\n" \
+                              f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+    m = re.search(r"enrolled 'alice': acquired=(\d+) selected=(\d+) "
+                  r"stored=(\d+) dim=342", r.stdout)
+    assert m, r.stdout[-2000:]
+    assert int(m.group(1)) >= 1
+    s = re.search(r"summary frames_read=(\d+) processed=(\d+) faces=(\d+) "
+                  r"identified=(\d+) top=(\S+)", r.stdout)
+    assert s, r.stdout[-2000:]
+    assert int(s.group(4)) >= 1, "no identifications"
+    assert s.group(5) == "alice"
+    # static scene + trained ERT in the chain -> landmark tag on id lines
+    assert "landmarks=68" in r.stdout
+
+
+def test_demo_int8_path(fixtures, tmp_path):
+    """--int8 routes the deep convs of BOTH native nets through qgemm."""
+    binary = _build_demo(str(tmp_path))
+    r = _run(binary, fixtures, "--int8")
+    assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    assert re.search(r"summary .*identified=[1-9]", r.stdout), \
+        r.stdout[-2000:]
+
+
+def test_demo_missing_args_usage(fixtures, tmp_path):
+    binary = _build_demo(str(tmp_path))
+    r = subprocess.run([binary, "--video", fixtures["video"]],
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 1
+    assert "usage:" in r.stderr
