@@ -37,6 +37,23 @@ def build_parser():
                    help="also write the uncompressed f32 .npz the native "
                         "regressor reads (cpp/include/facejax/ert.hpp)")
 
+    i = sub.add_parser(
+        "import-dat",
+        help="convert a dlib shape_predictor .dat (e.g. shape_predictor_"
+             "68_face_landmarks.dat) to this framework's ERT formats")
+    i.add_argument("dat", help="dlib .dat file")
+    i.add_argument("--out", required=True, help="output predictor .npz")
+    i.add_argument("--export-native", metavar="NPZ",
+                   help="also write the native-regressor .npz "
+                        "(cpp/include/facejax/ert.hpp)")
+
+    e = sub.add_parser(
+        "export-dat",
+        help="serialize a predictor .npz in dlib's .dat format (for "
+             "dlib-consuming apps; also the round-trip test vector)")
+    e.add_argument("predictor", help="predictor .npz (train's --out)")
+    e.add_argument("--out", required=True, help="output .dat")
+
     d = sub.add_parser("detect",
                        help="MTCNN detect + ERT 68-pt refinement on images")
     d.add_argument("--predictor", required=True)
@@ -83,6 +100,32 @@ def main(argv=None):
         print(f"trained {args.cascades}x{args.trees} trees, "
               f"{pred.num_points} points -> {args.out}; "
               f"train residual {np.mean(errs):.4f} (of rect width)")
+        return pred
+
+    if args.command == "import-dat":
+        from ..detect.dlib_import import read_shape_predictor_dat
+
+        pred = read_shape_predictor_dat(args.dat)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        pred.save(args.out)
+        msg = (f"imported {len(pred.levels)} cascades x "
+               f"{pred.levels[0].split_idx1.shape[0]} trees, "
+               f"{pred.num_points} points -> {args.out}")
+        if args.export_native:
+            from ..serve.export import export_ert
+
+            export_ert(args.export_native, pred)
+            msg += f"; native export: {args.export_native}"
+        print(msg)
+        return pred
+
+    if args.command == "export-dat":
+        from ..detect.dlib_import import write_shape_predictor_dat
+
+        pred = ShapePredictor.load(args.predictor)
+        write_shape_predictor_dat(args.out, pred)
+        print(f"wrote dlib-format {args.out} ({pred.num_points} points, "
+              f"{len(pred.levels)} cascades)")
         return pred
 
     # detect
