@@ -21,6 +21,20 @@ from ..detect.device_cascade import crop_resize_boxes, make_device_cascade
 from ..ops.distances import l2_normalize
 
 
+def _apply_embed(model, variables, x, int8_embed: bool):
+    """The embed stage, optionally on the int8 MXU path: every eligible
+    conv rerouted through ops/quantized.py's generic interceptor (the
+    dense tail and the K=25 stem stay in the model's compute dtype)."""
+    if int8_embed:
+        import flax.linen as nn
+
+        from ..ops.quantized import int8_conv_interceptor
+
+        with nn.intercept_methods(int8_conv_interceptor()):
+            return model.apply(variables, x, train=False)
+    return model.apply(variables, x, train=False)
+
+
 def make_recognition_pipeline(
     detector,
     embed_model,
@@ -34,6 +48,7 @@ def make_recognition_pipeline(
     minsize: int = 20,
     thresholds=(0.6, 0.7, 0.7),
     sim_threshold: float = 0.5,
+    int8_embed: bool = False,
 ):
     """Build the fused pipeline for frames of [frame_h, frame_w, 3] (0-255).
 
@@ -68,7 +83,8 @@ def make_recognition_pipeline(
         ])
         crop = crop_resize_boxes(frame, box[None], embed_size)[0]
         gray = jnp.mean(crop, axis=-1, keepdims=True) / 255.0  # 1/255 scale
-        _, feat = embed_model.apply(embed_variables, gray[None], train=False)
+        _, feat = _apply_embed(embed_model, embed_variables, gray[None],
+                               int8_embed)
         emb = l2_normalize(feat)[0]
         sims = gallery_n @ emb
         sims = jnp.where(jnp.isnan(sims), -2.0, sims)
@@ -107,6 +123,7 @@ def make_multiface_pipeline(
     thresholds=(0.6, 0.7, 0.7),
     sim_threshold: float = 0.5,
     max_faces: int = 8,
+    int8_embed: bool = False,
 ):
     """Identify EVERY detected face in the frame — the reference's per-frame
     loop runs Feature_Extract_exe + Compare_Face_DB once per detection
@@ -151,7 +168,8 @@ def make_multiface_pipeline(
         safe = jnp.where(jnp.isfinite(bxs), bxs, 0.0)
         crops = crop_resize_boxes(frame, safe, embed_size)  # [K, S, S, 3]
         gray = jnp.mean(crops, axis=-1, keepdims=True) / 255.0
-        _, feats = embed_model.apply(embed_variables, gray, train=False)
+        _, feats = _apply_embed(embed_model, embed_variables, gray,
+                                int8_embed)
         embs = l2_normalize(feats)                          # [K, D]
         sims = embs @ gallery_n.T                           # [K, G]
         sims = jnp.where(jnp.isnan(sims), -2.0, sims)

@@ -74,3 +74,91 @@ def test_int8_extract_decision_consistency(trained):
     gal = embed_f32(base)
     got = np.asarray(fn(probes))
     assert (np.argmax(got @ gal.T, axis=1) == np.arange(5)).all()
+
+
+# ------------------------------------------------- generic interceptor path
+
+
+@pytest.mark.parametrize("model_name", ["efmnet342", "lightcnn29"])
+def test_generic_int8_tracks_f32(model_name):
+    """make_int8_extract (the interceptor-based quantizer, VERDICT r2
+    item 6) reroutes every eligible conv of the SERVING nets through int8
+    with embedding cosine >= 0.999 vs the f32 forward."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+        LightCNN29,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.quantized import (
+        make_int8_extract,
+    )
+
+    model = (EFMNet342(num_classes=6) if model_name == "efmnet342"
+             else LightCNN29(num_classes=6))
+    rng = np.random.default_rng(1)
+    x = rng.random((3, 32, 32, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, want = model.apply(variables, x, train=False)
+    want = np.asarray(want, np.float32)
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    got = np.asarray(make_int8_extract(model, variables,
+                                       compute_dtype=jnp.float32)(x))
+    cos = (got * want).sum(axis=1)
+    assert cos.min() > 0.999, f"{model_name} int8 drifted: {cos}"
+
+
+def test_generic_int8_matches_hardcoded_lightcnn9(trained):
+    """The interceptor path and the hand-written LightCNN9 ladder agree
+    (same eligibility split, same quantization scheme)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.quantized import (
+        make_int8_extract,
+    )
+
+    model, variables, x = trained
+    ladder = np.asarray(make_int8_lightcnn9_extract(
+        quantize_lightcnn9_params(variables["params"]),
+        compute_dtype=jnp.float32)(x))
+    generic = np.asarray(make_int8_extract(model, variables,
+                                           compute_dtype=jnp.float32)(x))
+    cos = (ladder * generic).sum(axis=1)
+    # not bit-identical (the ladder runs the FUSED stem and host-side
+    # weight rounding) but both quantized paths agree to the same 0.999
+    # tolerance each holds against f32
+    assert cos.min() > 0.999, cos
+
+
+def test_pipeline_int8_embed_decisions_unchanged():
+    """The fused pipeline with int8_embed=True returns the same gallery
+    index as the full-precision pipeline (nearest-neighbor decisions
+    pinned, the serving property)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        MTCNNDetector,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_recognition_pipeline,
+    )
+
+    rng = np.random.default_rng(2)
+    model = EFMNet342(num_classes=6)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    detector = MTCNNDetector()
+    frame = rng.uniform(0, 255, (72, 96, 3)).astype(np.float32)
+    gallery = rng.normal(size=(32, 342)).astype(np.float32)
+    kw = dict(frame_h=72, frame_w=96, embed_size=32,
+              thresholds=(0.45, 0.35, 0.3), sim_threshold=-1.0)
+    ref = make_recognition_pipeline(detector, model, {"params":
+                                    variables["params"]}, gallery, **kw)
+    q = make_recognition_pipeline(detector, model, {"params":
+                                  variables["params"]}, gallery,
+                                  int8_embed=True, **kw)
+    out_ref = {k: np.asarray(v) for k, v in ref(frame).items()}
+    out_q = {k: np.asarray(v) for k, v in q(frame).items()}
+    if not bool(out_ref["found"]):
+        pytest.skip("random-weight cascade found no face on this frame")
+    assert bool(out_q["found"])
+    assert int(out_q["index"]) == int(out_ref["index"])
+    np.testing.assert_allclose(out_q["similarity"], out_ref["similarity"],
+                               atol=5e-3)
