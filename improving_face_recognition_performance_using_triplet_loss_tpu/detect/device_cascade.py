@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.mtcnn import onet_forward, rnet_forward
-from ..ops.boxes import nms_jax
+from ..ops.boxes import nms_mask_jax
 from .device_pnet import make_device_stage1
 
 _NEG_INF = -jnp.inf
@@ -127,12 +127,12 @@ def make_device_cascade(
         score2 = prob[:, 1]
         valid2 = (score2 > thresholds[1]) & jnp.isfinite(boxes2[:, 4])
         boxes2 = _masked(boxes2, score2, valid2)
-        keep = nms_jax(boxes2[:, :5], 0.7, "Union")
-        kept = boxes2[jnp.clip(keep, 0, stage2_cap - 1)]
-        kept_reg = reg[jnp.clip(keep, 0, stage2_cap - 1)]
-        kept = _masked(kept, kept[:, 4], (keep >= 0)
-                       & jnp.isfinite(kept[:, 4]))
-        boxes2 = rerec_jax(bbreg_jax(kept, kept_reg))
+        # parallel NMS keeps rows in place (mask, no gather) — reg stays
+        # row-aligned for free
+        mask2 = nms_mask_jax(boxes2[:, :5], 0.7, "Union")
+        kept = _masked(boxes2, boxes2[:, 4],
+                       mask2 & jnp.isfinite(boxes2[:, 4]))
+        boxes2 = rerec_jax(bbreg_jax(kept, reg))
         boxes2 = boxes2.at[:, :4].set(jnp.trunc(boxes2[:, :4]))
 
         # stage 3: ONet over stage-2 survivors (top out_cap)
@@ -151,12 +151,10 @@ def make_device_cascade(
             bh[:, None] * lmk[:, 5:10] + boxes3[:, 1:2] - 1,
         ], axis=1)                                          # [N, 10]
         boxes3 = bbreg_jax(boxes3, reg3)
-        keep3 = nms_jax(boxes3[:, :5], 0.7, "Min")
-        rows = jnp.clip(keep3, 0, out_cap - 1)
-        out_boxes = boxes3[rows]
-        out_boxes = _masked(out_boxes, out_boxes[:, 4],
-                            (keep3 >= 0) & jnp.isfinite(out_boxes[:, 4]))
-        out_pts = pts[rows]
+        mask3 = nms_mask_jax(boxes3[:, :5], 0.7, "Min")
+        out_boxes = _masked(boxes3, boxes3[:, 4],
+                            mask3 & jnp.isfinite(boxes3[:, 4]))
+        out_pts = pts  # row-aligned with out_boxes (mask NMS, no gather)
         # saturation accounting (no-silent-caps discipline): candidates the
         # fixed capacities DROPPED relative to the unbounded host cascade
         counts = jnp.stack([

@@ -23,18 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.mtcnn import pnet_forward
-from ..ops.boxes import decode_pnet_topk_jax, nms_jax
+from ..ops.boxes import decode_pnet_topk_jax, nms_mask_jax
 from .pipeline import pyramid_scales
 
 _NEG_INF = -jnp.inf
-
-
-def _mask_unkept(cand: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
-    """Gather kept rows of [K, 9] candidates; unkept rows get score -inf."""
-    rows = cand[jnp.clip(keep, 0, cand.shape[0] - 1)]
-    valid = keep >= 0
-    score = jnp.where(valid, rows[:, 4], _NEG_INF)
-    return rows.at[:, 4].set(score)
 
 
 def make_device_stage1(
@@ -80,11 +72,27 @@ def make_device_stage1(
             dropped = dropped + jnp.maximum(n_above - k_per_scale, 0)
             cand = decode_pnet_topk_jax(prob_o[:, :, 1], reg_o, scale,
                                         threshold, k_per_scale)
-            keep = nms_jax(cand[:, :5], 0.5, "Union")
-            per_scale.append(_mask_unkept(cand, keep))
-        allc = jnp.concatenate(per_scale, axis=0)
-        keep = nms_jax(allc[:, :5], 0.7, "Union", max_out=out_cap)
-        out = _mask_unkept(allc, keep)
+            if cand.shape[0] < k_per_scale:
+                # the smallest scales have < k heatmap cells — pad with
+                # -inf rows so every scale stacks to [k_per_scale, 9]
+                pad = jnp.zeros((k_per_scale - cand.shape[0], 9),
+                                cand.dtype).at[:, 4].set(_NEG_INF)
+                cand = jnp.concatenate([cand, pad], axis=0)
+            per_scale.append(cand)
+        # ALL per-scale NMS passes run as one vmapped parallel fixed-point
+        # (nms_mask_jax) — the sequential-scan NMS was the cascade's real
+        # bottleneck on TPU (tools/perf_detect_breakdown.py)
+        stacked = jnp.stack(per_scale)                      # [S, k, 9]
+        masks = jax.vmap(lambda c: nms_mask_jax(c[:, :5], 0.5,
+                                                "Union"))(stacked)
+        scores = jnp.where(masks, stacked[:, :, 4], _NEG_INF)
+        stacked = stacked.at[:, :, 4].set(scores)
+        allc = stacked.reshape(-1, 9)
+        mask = nms_mask_jax(allc[:, :5], 0.7, "Union")
+        score = jnp.where(mask, allc[:, 4], _NEG_INF)
+        # fixed-capacity output: top out_cap survivors by score
+        top_s, top_i = jax.lax.top_k(score, out_cap)
+        out = allc[top_i].at[:, 4].set(top_s)
         if with_counts:
             return out, dropped
         return out

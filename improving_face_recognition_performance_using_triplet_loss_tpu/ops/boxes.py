@@ -43,7 +43,10 @@ def nms_jax(boxes: jnp.ndarray, threshold: float, method: str = "Union",
     def body(carry, _):
         alive, out_i, keep = carry
         masked = jnp.where(alive, s, -jnp.inf)
-        i = jnp.argmax(masked)
+        # the oracle (facenet nms: ascending argsort, pop from the END)
+        # breaks score ties by HIGHEST index; argmax alone would pick the
+        # lowest — reverse so ties match the reference exactly
+        i = n - 1 - jnp.argmax(masked[::-1])
         valid = masked[i] > -jnp.inf
         keep = keep.at[out_i].set(jnp.where(valid, i, -1).astype(jnp.int32))
         xx1 = jnp.maximum(x1[i], x1)
@@ -65,6 +68,73 @@ def nms_jax(boxes: jnp.ndarray, threshold: float, method: str = "Union",
     (alive, cnt, keep), _ = jax.lax.scan(body, (alive0, 0, keep0), None,
                                          length=max_out)
     return keep
+def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
+                 method: str = "Union") -> jnp.ndarray:
+    """Exact greedy NMS as a PARALLEL fixed-point — returns a keep mask.
+
+    ``nms_jax`` computes greedy NMS with a ``max_out``-long sequential
+    ``lax.scan`` (data-dependent argmax each step). On TPU those serial
+    iterations dominate the fused cascade's latency (~1800 of them per
+    frame across stages — tools/perf_detect_breakdown.py). This variant
+    uses the recursive definition directly: in score order, box j survives
+    iff no SURVIVING higher-scored box overlaps it above threshold — the
+    unique fixed point of ``k = valid & ~(O^T k)`` over the strictly
+    upper-triangular overlap DAG ``O``. Iterating that update converges in
+    suppression-chain-depth passes (bounded by N, typically < 8), each
+    pass one fully-parallel [N, N] masked reduction. Equivalence with the
+    sequential greedy and the numpy oracle is pinned in
+    tests/test_property_based.py, including score ties (the oracle pops
+    from the END of an ascending argsort, so ties break by HIGHEST index —
+    reproduced here by sorting the reversed array).
+
+    Args:
+      boxes: [N, 5]; invalid rows must carry score -inf.
+    Returns:
+      keep [N] bool, in the ORIGINAL row order.
+    """
+    n = boxes.shape[0]
+    s = boxes[:, 4]
+    # sort by (-score, -index): stable ascending argsort on the reversed
+    # scores, mapped back — ties break by highest original index, the
+    # oracle's semantics (oracles.py::nms, detect_face.py:626-660)
+    order = n - 1 - jnp.argsort(-s[::-1], stable=True)
+    b = boxes[order]
+    x1, y1, x2, y2, sc = (b[:, i] for i in range(5))
+    area = (x2 - x1 + 1) * (y2 - y1 + 1)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = (jnp.maximum(0.0, xx2 - xx1 + 1)
+             * jnp.maximum(0.0, yy2 - yy1 + 1))
+    if method == "Min":
+        o = inter / jnp.minimum(area[:, None], area[None, :])
+    else:
+        o = inter / (area[:, None] + area[None, :] - inter)
+    # O[i, j]: higher-ranked i suppresses j (strict: i before j)
+    tri = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    suppr = (o > threshold) & tri & jnp.isfinite(o)
+    valid = jnp.isfinite(sc) & (sc > -jnp.inf)
+
+    def step(k):
+        return valid & ~jnp.any(suppr & k[:, None], axis=0)
+
+    k0 = valid
+    k1 = step(k0)
+
+    def cond(state):
+        k, prev, it = state
+        return jnp.any(k != prev) & (it < n)
+
+    def body(state):
+        k, _, it = state
+        return step(k), k, it + 1
+
+    k, _, _ = jax.lax.while_loop(cond, body, (k1, k0, jnp.ones((),
+                                                               jnp.int32)))
+    return jnp.zeros((n,), bool).at[order].set(k)
+
+
 def decode_pnet_topk_jax(imap: jnp.ndarray, reg: jnp.ndarray, scale: float,
                          threshold: float, k: int) -> jnp.ndarray:
     """Device-side PNet heatmap decode with a fixed top-k capacity.

@@ -87,3 +87,84 @@ def test_rerec_outputs_squares_containing_center(seed, n):
     # original center preserved
     np.testing.assert_allclose((sq[:, 0] + sq[:, 2]) / 2,
                                (boxes[:, 0] + boxes[:, 2]) / 2, rtol=1e-6)
+
+
+@_settings
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60),
+       st.sampled_from(["Union", "Min"]),
+       st.floats(0.1, 0.9))
+def test_nms_mask_always_matches_oracle(seed, n, method, threshold):
+    """The parallel fixed-point NMS (nms_mask_jax) is EXACTLY greedy NMS:
+    its keep set equals the numpy oracle's on arbitrary box soups."""
+    rng = np.random.default_rng(seed)
+    x1 = rng.uniform(0, 60, n)
+    y1 = rng.uniform(0, 60, n)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(1, 50, n),
+                      y1 + rng.uniform(1, 50, n),
+                      rng.uniform(0, 1, n)], 1)
+    ref = np.sort(B.nms(boxes, threshold, method))
+    mask = np.asarray(B.nms_mask_jax(jnp.asarray(boxes), threshold, method))
+    np.testing.assert_array_equal(ref, np.where(mask)[0])
+
+
+@_settings
+@given(st.integers(0, 2**31 - 1), st.integers(4, 40))
+def test_nms_mask_score_ties_and_chains(seed, n):
+    """Adversarial fixed-point cases: duplicated scores and long
+    suppression chains (stacked overlapping boxes whose suppressor is
+    itself suppressed). The ORACLE's tie order is unspecified (facenet
+    uses non-stable np.argsort, detect_face.py:664), so on ties the
+    contract is that BOTH jax variants agree with each other under the
+    documented deterministic highest-index tiebreak; tie-free equivalence
+    with the oracle is covered by the tests above."""
+    rng = np.random.default_rng(seed)
+    # chain: boxes shifted by a fraction of width, descending-ish scores
+    # with deliberate ties
+    x = np.arange(n) * 6.0
+    boxes = np.stack([x, np.zeros(n), x + 20.0, np.full(n, 20.0),
+                      np.round(rng.uniform(0, 1, n), 1)], 1)  # 1-dp ties
+    for th in (0.2, 0.5):
+        mask = np.asarray(B.nms_mask_jax(jnp.asarray(boxes), th, "Union"))
+        seq = np.asarray(B.nms_jax(jnp.asarray(boxes), th, "Union"))
+        np.testing.assert_array_equal(np.where(mask)[0],
+                                      np.sort(seq[seq >= 0]))
+        # and the keep set is a valid greedy solution: no two kept boxes
+        # overlap above threshold; every dropped valid box overlaps a kept
+        # higher-or-equal-scoring one
+        kept = np.where(mask)[0]
+        ar = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+        def iou(i, j):
+            w = max(0.0, min(boxes[i, 2], boxes[j, 2])
+                    - max(boxes[i, 0], boxes[j, 0]) + 1)
+            h = max(0.0, min(boxes[i, 3], boxes[j, 3])
+                    - max(boxes[i, 1], boxes[j, 1]) + 1)
+            return w * h / (ar[i] + ar[j] - w * h)
+        for a in kept:
+            for b in kept:
+                if a < b:
+                    assert iou(a, b) <= th
+        for d in set(range(n)) - set(kept):
+            assert any(iou(d, k) > th and boxes[k, 4] >= boxes[d, 4]
+                       for k in kept)
+
+
+def test_nms_mask_invalid_rows_and_batch():
+    """-inf rows never keep nor suppress; vmap over stacked sets matches
+    per-set calls (the per-scale batch structure in device_pnet)."""
+    rng = np.random.default_rng(0)
+    sets = []
+    for s in range(4):
+        x1 = rng.uniform(0, 50, 16)
+        y1 = rng.uniform(0, 50, 16)
+        b = np.stack([x1, y1, x1 + rng.uniform(5, 30, 16),
+                      y1 + rng.uniform(5, 30, 16),
+                      rng.uniform(0, 1, 16)], 1).astype(np.float32)
+        b[rng.integers(0, 16, 4), 4] = -np.inf
+        sets.append(b)
+    stacked = jnp.asarray(np.stack(sets))
+    batched = np.asarray(jax.vmap(
+        lambda c: B.nms_mask_jax(c, 0.4, "Union"))(stacked))
+    for i, b in enumerate(sets):
+        single = np.asarray(B.nms_mask_jax(jnp.asarray(b), 0.4, "Union"))
+        np.testing.assert_array_equal(batched[i], single)
+        assert not single[np.isinf(b[:, 4])].any()
