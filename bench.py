@@ -72,6 +72,69 @@ def measured_flops_per_image(batch_size: int = 128) -> float:
     return per_image
 
 
+def measure_mbu_pct(batch_size: int = 128, iters: int = 32):
+    """Memory-bandwidth utilization of the HBM-BOUND layers (the pre-32px
+    front of the network: conv1/conv2a/conv2 — tools/perf_layers.py table)
+    against a MEASURED streaming-bandwidth ceiling on this chip.
+
+    The extraction MFU ceiling is set by these layers (DESIGN.md round-2
+    adversarial pass); mbu_pct makes 'HBM-bound' a measured statement:
+    achieved GB/s on the bound layers / peak GB/s of a pure streaming
+    kernel (VERDICT r2 item 1). Returns (mbu_pct, peak_gb_s).
+    """
+    from tools.perf_layers import measure_hbm_peak_gbs
+
+    peak = measure_hbm_peak_gbs()
+    # the bound layers at the bench batch (LightCNN9 at 128px)
+    early = [(128, 1, 96, 5, True), (64, 48, 96, 1, False),
+             (64, 48, 192, 3, True)]
+    total_bytes = 0.0
+    total_s = 0.0
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.mfm import (
+        mfm2,
+    )
+
+    for h, cin, cout, k, pool in early:
+        key = jax.random.PRNGKey(h)
+        x = jax.jit(lambda kk: jax.random.normal(
+            kk, (batch_size, h, h, cin), jnp.bfloat16))(key)
+        w = jax.jit(lambda kk: jax.random.normal(
+            kk, (k, k, cin, cout), jnp.bfloat16) * 0.05)(
+                jax.random.fold_in(key, 1))
+
+        @jax.jit
+        def run(x, w):
+            def body(acc, _):
+                w_dep = w + (acc * 1e-24).astype(jnp.bfloat16)
+                y = jax.lax.conv_general_dilated(
+                    x, w_dep, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                y = mfm2(y.astype(jnp.bfloat16))
+                if pool:
+                    y = jax.lax.reduce_window(
+                        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                        (1, 2, 2, 1), "VALID")
+                return acc + y.sum(dtype=jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                  length=iters)
+            return acc
+
+        float(run(x, w))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x, w))
+            ts.append(time.perf_counter() - t0)
+        total_s += min(ts) / iters
+        out_h = h // 2 if pool else h
+        total_bytes += 2 * batch_size * (h * h * cin
+                                         + out_h * out_h * (cout // 2))
+    achieved = total_bytes / total_s / 1e9
+    return achieved / peak * 100.0, peak
+
+
 def bench_lightcnn9_extraction(batch_size: int = 128, n_batches: int = 256) -> float:
     """Time ``n_batches`` forward passes chained in ONE lax.scan program with
     a scalar fetch at the end. A host-side dispatch loop cannot be trusted
@@ -139,6 +202,14 @@ def main():
     except Exception as e:
         log(f"flops measurement failed ({e}); using analytic constant")
         flops_per_image = FLOPS_PER_IMAGE
+    extra = {}
+    try:
+        mbu, peak_bw = measure_mbu_pct()
+        extra = {"mbu_pct": round(mbu, 1),
+                 "hbm_peak_gb_s": round(peak_bw, 1)}
+        log(f"bound-layer MBU {mbu:.1f}% of measured {peak_bw:.0f} GB/s")
+    except Exception as e:
+        log(f"mbu measurement failed: {e}")
     print(json.dumps({
         "metric": "lightcnn9_embeddings_per_sec_per_chip",
         "value": round(emb_per_sec, 1),
@@ -147,6 +218,7 @@ def main():
         "mfu_pct": round(emb_per_sec * flops_per_image
                          / (PEAK_BF16_TFLOPS * 1e12) * 100, 1),
         "flops_per_image": round(flops_per_image / 1e9, 3),
+        **extra,
     }))
 
 

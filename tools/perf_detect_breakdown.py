@@ -138,6 +138,17 @@ def main():
     sub("NMS [256]->128 (stage2 shape)",
         lambda c: nms_jax(c[:256], 0.7, "Union", max_out=128), cand)
 
+    # parallel fixed-point NMS at the same shapes (what the cascade uses)
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.boxes import (
+        nms_mask_jax,
+    )
+
+    sub("maskNMS 10 x [128] (vmapped)",
+        lambda c: jax.vmap(lambda b: nms_mask_jax(b, 0.5, "Union"))(
+            c.reshape(10, 128, 5)), cand)
+    sub("maskNMS [1280] (cross-scale)",
+        lambda c: nms_mask_jax(c, 0.7, "Union"), cand)
+
     # --- crops + stage 2/3 forwards at capacity
     boxes = jnp.asarray(
         np.concatenate([rng.uniform(0, args.size - 48, (256, 2)),

@@ -67,6 +67,32 @@ def _null_baseline() -> float:
     return min(ts)
 
 
+def measure_hbm_peak_gbs(mb: int = 256, iters: int = 16) -> float:
+    """MEASURED HBM bandwidth ceiling: a pure streaming kernel (x -> x*c,
+    read + write of one large tensor per iteration) chained in a scan that
+    carries the tensor (no hoisting possible). The roofline denominator —
+    a datasheet number would let 'HBM-bound' stay an inference."""
+    n = mb * (1 << 20) // 2  # bf16 elements
+    x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(x):
+        def body(t, _):
+            return t * jnp.bfloat16(1.0000001), None
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y.sum(dtype=jnp.float32)
+
+    float(run(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / iters
+    return 2 * n * 2 / dt / 1e9  # read + write, bf16
+
+
 def time_block(name, h, cin, cout, k, pool, fixed_s=0.0):
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (B, h, h, cin), jnp.bfloat16)
@@ -116,6 +142,9 @@ def time_block(name, h, cin, cout, k, pool, fixed_s=0.0):
     }
 
 
+PEAK_BF16_TFLOPS = 197.0  # v5e nominal (matmul-calibrated ~160 measured)
+
+
 def main():
     enable_compilation_cache()
     print(f"batch {B}, iters {ITERS}, device {jax.devices()}",
@@ -123,16 +152,32 @@ def main():
     fixed_s = _null_baseline()
     print(f"null-scan fixed dispatch cost: {fixed_s * 1e3:.1f} ms "
           f"(subtracted from every block)", file=sys.stderr, flush=True)
+    peak_bw = measure_hbm_peak_gbs()
+    print(json.dumps({"hbm_peak_gb_s_measured": round(peak_bw, 1)}),
+          flush=True)
     rows = []
     total_ms = 0.0
     for cfg in LAYERS:
         r = time_block(*cfg, fixed_s=fixed_s)
+        # per-layer roofline: which term (MXU vs HBM) bounds it, and the
+        # attainment vs that bound (VERDICT r2 item 1's measured ceiling)
+        t_mxu = r["flops_g"] / PEAK_BF16_TFLOPS / 1e3          # ms
+        t_hbm = r["min_traffic_mb"] / peak_bw                   # ms
+        r["bound"] = "hbm" if t_hbm > t_mxu else "mxu"
+        r["pct_bw_roofline"] = round(r["min_hbm_gb_s"] / peak_bw * 100, 1)
+        r["pct_roofline"] = round(max(t_mxu, t_hbm) / r["ms"] * 100, 1)
         rows.append(r)
         total_ms += r["ms"]
         print(json.dumps(r), flush=True)
-    print(json.dumps({"layer": "SUM(blocks)", "ms": round(total_ms, 3),
-                      "emb_per_sec_implied": round(B / total_ms * 1e3, 1)}),
-          flush=True)
+    hbm_rows = [r for r in rows if r["bound"] == "hbm"]
+    summary = {
+        "layer": "SUM(blocks)", "ms": round(total_ms, 3),
+        "emb_per_sec_implied": round(B / total_ms * 1e3, 1),
+        "hbm_bound_layers": [r["layer"] for r in hbm_rows],
+        "hbm_bound_pct_bw_roofline": {
+            r["layer"]: r["pct_bw_roofline"] for r in hbm_rows},
+    }
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
