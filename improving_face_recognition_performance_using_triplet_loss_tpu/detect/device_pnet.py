@@ -6,7 +6,8 @@ tunneled TPU each dispatch pays the link round-trip. This module compiles
 the ENTIRE stage 1 — resize, normalize, PNet, fixed-capacity top-k decode,
 per-scale NMS, cross-scale NMS — into a single jitted program per image
 shape, using the fixed-capacity primitives (`decode_pnet_topk_jax`,
-`nms_jax`) that are oracle-validated in tests.
+`nms_mask_jax` — the parallel fixed-point NMS) that are oracle-validated
+in tests.
 
 Documented deviation: device resize uses ``jax.image.resize`` (bilinear),
 not cv2 INTER_AREA, so candidate scores differ slightly from the host path;
