@@ -72,22 +72,28 @@ def measured_flops_per_image(batch_size: int = 128) -> float:
     return per_image
 
 
-def measure_mbu_pct(batch_size: int = 128, iters: int = 32):
-    """Memory-bandwidth utilization of the HBM-BOUND layers (the pre-32px
-    front of the network: conv1/conv2a/conv2 — tools/perf_layers.py table)
-    against a MEASURED streaming-bandwidth ceiling on this chip.
+def measure_mbu_pct(batch_size: int = 256, iters: int = 256):
+    """Memory-bandwidth utilization of the network's genuinely HBM-BOUND
+    layer against a MEASURED streaming-bandwidth ceiling on this chip.
 
-    The extraction MFU ceiling is set by these layers (DESIGN.md round-2
-    adversarial pass); mbu_pct makes 'HBM-bound' a measured statement:
-    achieved GB/s on the bound layers / peak GB/s of a pure streaming
-    kernel (VERDICT r2 item 1). Returns (mbu_pct, peak_gb_s).
+    Per the round-3 roofline pass (tools/perf_layers.py): conv1 is
+    MXU-structure-bound (K=25), the 3x3 convs are MXU-bound, the small
+    late layers fit VMEM (their apparent GB/s is a residency artifact) —
+    the bandwidth-bound layer is conv2a (1x1, 201 MB working set at
+    B=256). mbu_pct = its achieved GB/s / the best rate any streaming
+    kernel reaches here (~650 GB/s measured with a non-foldable abs
+    kernel; v5e spec 819). Measured attainment is ~44% (52% when the 1x1
+    is expressed as a reshaped matmul — tools-level probe): the early
+    layers run at half the streaming roofline, i.e. the extraction
+    ceiling is XLA's small-channel conv lowering, not the HBM itself
+    (docs/DESIGN.md round-3 section). B=256 keeps the working set well
+    above VMEM so HBM traffic is actually observed (VERDICT r2 item 1).
+    Returns (mbu_pct, peak_gb_s).
     """
     from tools.perf_layers import measure_hbm_peak_gbs
 
     peak = measure_hbm_peak_gbs()
-    # the bound layers at the bench batch (LightCNN9 at 128px)
-    early = [(128, 1, 96, 5, True), (64, 48, 96, 1, False),
-             (64, 48, 192, 3, True)]
+    early = [(64, 48, 96, 1, False)]  # conv2a at the bench geometry
     total_bytes = 0.0
     total_s = 0.0
     from improving_face_recognition_performance_using_triplet_loss_tpu.ops.mfm import (
@@ -102,32 +108,38 @@ def measure_mbu_pct(batch_size: int = 128, iters: int = 32):
             kk, (k, k, cin, cout), jnp.bfloat16) * 0.05)(
                 jax.random.fold_in(key, 1))
 
-        @jax.jit
-        def run(x, w):
-            def body(acc, _):
-                w_dep = w + (acc * 1e-24).astype(jnp.bfloat16)
-                y = jax.lax.conv_general_dilated(
-                    x, w_dep, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32)
-                y = mfm2(y.astype(jnp.bfloat16))
-                if pool:
-                    y = jax.lax.reduce_window(
-                        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
-                        (1, 2, 2, 1), "VALID")
-                return acc + y.sum(dtype=jnp.float32), None
+        def make(length):
+            @jax.jit
+            def run(x, w):
+                def body(acc, _):
+                    w_dep = w + (acc * 1e-24).astype(jnp.bfloat16)
+                    y = jax.lax.conv_general_dilated(
+                        x, w_dep, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                    y = mfm2(y.astype(jnp.bfloat16))
+                    if pool:
+                        y = jax.lax.reduce_window(
+                            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                            (1, 2, 2, 1), "VALID")
+                    return acc + y.sum(dtype=jnp.float32), None
 
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                  length=iters)
-            return acc
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                      None, length=length)
+                return acc
+            return run
 
+        # iters sized to dwarf the tunneled link's ~26 ms fixed dispatch
+        # cost, which is additionally subtracted (differencing drowned in
+        # per-dispatch jitter)
+        run = make(iters)
         float(run(x, w))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             float(run(x, w))
             ts.append(time.perf_counter() - t0)
-        total_s += min(ts) / iters
+        total_s += max(min(ts) - 0.026, 1e-9) / iters
         out_h = h // 2 if pool else h
         total_bytes += 2 * batch_size * (h * h * cin
                                          + out_h * out_h * (cout // 2))

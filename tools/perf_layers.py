@@ -67,11 +67,19 @@ def _null_baseline() -> float:
     return min(ts)
 
 
-def measure_hbm_peak_gbs(mb: int = 256, iters: int = 16) -> float:
+def measure_hbm_peak_gbs(mb: int = 128, iters: int = 256) -> float:
     """MEASURED HBM bandwidth ceiling: a pure streaming kernel (x -> x*c,
     read + write of one large tensor per iteration) chained in a scan that
     carries the tensor (no hoisting possible). The roofline denominator —
-    a datasheet number would let 'HBM-bound' stay an inference."""
+    a datasheet number would let 'HBM-bound' stay an inference.
+
+    The body must be NON-FOLDABLE: a linear body (t*c) gets reassociated
+    by XLA into one multiply regardless of scan length (measured: "peak"
+    then scales with iters, up to absurd 240 TB/s). abs() breaks the
+    algebra, and iteration time verifiably scales with length. Measured
+    on this chip (round 3): ~645-650 GB/s (79% of the 819 GB/s v5e
+    spec). ``iters`` is sized so streaming work dwarfs the tunneled
+    link's ~26 ms fixed dispatch cost (also subtracted)."""
     n = mb * (1 << 20) // 2  # bf16 elements
     x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.bfloat16))(
         jax.random.PRNGKey(0))
@@ -79,7 +87,8 @@ def measure_hbm_peak_gbs(mb: int = 256, iters: int = 16) -> float:
     @jax.jit
     def run(x):
         def body(t, _):
-            return t * jnp.bfloat16(1.0000001), None
+            return (jnp.abs(t) * jnp.bfloat16(0.9999)
+                    + jnp.bfloat16(1e-6)), None
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y.sum(dtype=jnp.float32)
 
@@ -89,7 +98,7 @@ def measure_hbm_peak_gbs(mb: int = 256, iters: int = 16) -> float:
         t0 = time.perf_counter()
         float(run(x))
         ts.append(time.perf_counter() - t0)
-    dt = min(ts) / iters
+    dt = max(min(ts) - 0.026, 1e-9) / iters  # subtract the fixed dispatch
     return 2 * n * 2 / dt / 1e9  # read + write, bf16
 
 
@@ -159,13 +168,23 @@ def main():
     total_ms = 0.0
     for cfg in LAYERS:
         r = time_block(*cfg, fixed_s=fixed_s)
-        # per-layer roofline: which term (MXU vs HBM) bounds it, and the
-        # attainment vs that bound (VERDICT r2 item 1's measured ceiling)
-        t_mxu = r["flops_g"] / PEAK_BF16_TFLOPS / 1e3          # ms
-        t_hbm = r["min_traffic_mb"] / peak_bw                   # ms
-        r["bound"] = "hbm" if t_hbm > t_mxu else "mxu"
+        name, h, cin, cout, k, pool = cfg
+        # three-term roofline (ms): raw MXU peak; MXU derated by the
+        # contraction-depth structure (K < 128 wastes systolic lanes —
+        # the stem's K=25 problem, DESIGN.md); measured HBM streaming
+        t_mxu = r["flops_g"] / PEAK_BF16_TFLOPS / 1e3
+        k_util = min(1.0, (k * k * cin) / 128.0)
+        t_struct = t_mxu / k_util
+        t_hbm = r["min_traffic_mb"] / peak_bw
+        terms = {"mxu": t_mxu, "mxu-kstruct": t_struct, "hbm": t_hbm}
+        r["bound"] = max(terms, key=terms.get)
+        # when the whole working set fits VMEM, the scan can keep tensors
+        # resident and the benchmark cannot observe HBM traffic — flag it
+        # (apparent GB/s above peak on small layers is this artifact)
+        if r["min_traffic_mb"] < 100:
+            r["bound"] += "(fits-vmem)"
         r["pct_bw_roofline"] = round(r["min_hbm_gb_s"] / peak_bw * 100, 1)
-        r["pct_roofline"] = round(max(t_mxu, t_hbm) / r["ms"] * 100, 1)
+        r["pct_roofline"] = round(max(terms.values()) / r["ms"] * 100, 1)
         rows.append(r)
         total_ms += r["ms"]
         print(json.dumps(r), flush=True)

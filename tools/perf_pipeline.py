@@ -8,6 +8,11 @@ make_recognition_pipeline) and multi-face (top-K per frame,
 make_multiface_pipeline).
 
     python tools/perf_pipeline.py [--size 250] [--gallery 10000] [--frames 32]
+
+Per-STAGE cost decomposition of the detector inside this pipeline
+(convs vs NMS vs crops vs RNet/ONet) lives in
+tools/perf_detect_breakdown.py — the round-3 table that located the
+sequential-NMS bottleneck (BASELINE.md "Round-3 detector restructure").
 """
 
 import argparse
