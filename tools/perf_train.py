@@ -3,8 +3,9 @@
 Chains N steps in one lax.scan (same timing method as bench.py: one
 dispatch, scalar fetch) and reports ms/step, images/sec, and TRAIN-STEP
 MFU where the FLOP numerator comes from XLA's own cost analysis of the
-compiled scan program (fwd+bwd+optimizer, divided by N) — not an analytic
-constant (VERDICT r2 items 3+7).
+compiled scan program (fwd+bwd+optimizer; HloCostAnalysis counts the scan
+body once, so that count IS one step) — not an analytic constant
+(VERDICT r2 items 3+7).
 
     python tools/perf_train.py            # reference configs (B=64)
     python tools/perf_train.py --sweep    # batch sweep 64 -> 2048
@@ -63,8 +64,11 @@ def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
 
     t0 = time.perf_counter()
     compiled = jax.jit(run).lower(state).compile()
-    # the MFU numerator: XLA's FLOP count for the WHOLE scanned program
-    # (forward, backward, mining, Adam), per step
+    # the MFU numerator: XLA's FLOP count of the compiled program.
+    # HloCostAnalysis counts a while/scan BODY ONCE regardless of trip
+    # count (verified: flops identical for length 1/4/8), so the scanned
+    # program's count IS one step's flops (fwd+bwd+mining+Adam) plus
+    # negligible outside ops — no division by n_steps
     flops_per_step = None
     try:
         cost = compiled.cost_analysis()
@@ -72,7 +76,7 @@ def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
             cost = cost[0]
         f = float(cost.get("flops", -1.0))
         if f > 0:
-            flops_per_step = f / n_steps
+            flops_per_step = f
     except Exception:
         pass
     _ = float(compiled(state))
@@ -98,6 +102,10 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="batch sweep 64->2048 for both backbones")
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--model", choices=("lightcnn29", "efmnet342"),
+                    help="restrict the sweep to one backbone")
+    ap.add_argument("--batches", type=int, nargs="+",
+                    help="restrict the sweep to these batch sizes")
     args = ap.parse_args()
 
     print("devices:", jax.devices(), file=sys.stderr)
@@ -109,8 +117,10 @@ def main():
 
     results = {}
     for name, size in (("lightcnn29", 128), ("efmnet342", 64)):
+        if args.model and name != args.model:
+            continue
         rows = []
-        for batch in (64, 128, 256, 512, 1024, 2048):
+        for batch in (args.batches or (64, 128, 256, 512, 1024, 2048)):
             try:
                 rows.append((batch, *bench_backbone(
                     name, size, batch, n_steps=args.steps)))
