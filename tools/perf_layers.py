@@ -172,16 +172,16 @@ def main():
         # three-term roofline (ms): raw MXU peak; MXU derated by the
         # contraction-depth structure (K < 128 wastes systolic lanes —
         # the stem's K=25 problem, DESIGN.md); measured HBM streaming
-        t_mxu = r["flops_g"] / PEAK_BF16_TFLOPS / 1e3
+        t_mxu = r["flops_g"] / PEAK_BF16_TFLOPS  # GFLOP/TFLOPS = ms
         k_util = min(1.0, (k * k * cin) / 128.0)
         t_struct = t_mxu / k_util
-        t_hbm = r["min_traffic_mb"] / peak_bw
+        t_hbm = r["min_traffic_mb"] / peak_bw     # MB/(GB/s) = ms
         terms = {"mxu": t_mxu, "mxu-kstruct": t_struct, "hbm": t_hbm}
         r["bound"] = max(terms, key=terms.get)
         # when the whole working set fits VMEM, the scan can keep tensors
         # resident and the benchmark cannot observe HBM traffic — flag it
         # (apparent GB/s above peak on small layers is this artifact)
-        if r["min_traffic_mb"] < 100:
+        if r["min_traffic_mb"] < 128:  # v5e VMEM size: scan residency
             r["bound"] += "(fits-vmem)"
         r["pct_bw_roofline"] = round(r["min_hbm_gb_s"] / peak_bw * 100, 1)
         r["pct_roofline"] = round(max(terms.values()) / r["ms"] * 100, 1)
