@@ -91,9 +91,15 @@ def make_device_stage1(
         allc = stacked.reshape(-1, 9)
         mask = nms_mask_jax(allc[:, :5], 0.7, "Union")
         score = jnp.where(mask, allc[:, 4], _NEG_INF)
-        # fixed-capacity output: top out_cap survivors by score
-        top_s, top_i = jax.lax.top_k(score, out_cap)
+        # fixed-capacity output: top out_cap survivors by score (tiny
+        # frames can have fewer total candidates than out_cap — pad)
+        kk = min(out_cap, score.shape[0])
+        top_s, top_i = jax.lax.top_k(score, kk)
         out = allc[top_i].at[:, 4].set(top_s)
+        if kk < out_cap:
+            pad = jnp.zeros((out_cap - kk, 9), out.dtype).at[:, 4].set(
+                _NEG_INF)
+            out = jnp.concatenate([out, pad], axis=0)
         if with_counts:
             return out, dropped
         return out

@@ -248,3 +248,30 @@ def test_pipeline_embeddings_compose_with_sharded_gallery():
     idx, sim = match_gallery_sharded(gallery, emb, sim_th=-1.0)
     assert int(idx[0]) == int(out["index"])
     np.testing.assert_allclose(sim[0], float(out["similarity"]), atol=1e-5)
+
+
+def test_stage1_tiny_frame_single_scale():
+    """A frame small enough for a 1-2 scale pyramid has fewer total
+    candidates than out_cap — the fixed-capacity output must pad, not
+    crash (round-3 regression: top_k(k > n))."""
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_pnet import (
+        make_device_stage1,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.pipeline import (
+        MTCNNDetector,
+    )
+
+    det = MTCNNDetector(seed=0)
+    for size in (24, 32):
+        s1 = make_device_stage1(det.pnet_params, size, size, threshold=0.3,
+                                with_counts=True)
+        rng = np.random.default_rng(0)
+        out, dropped = s1(jnp.asarray(
+            rng.uniform(0, 255, (size, size, 3)), jnp.float32))
+        assert out.shape == (256, 9)
+        assert int(dropped) >= 0
+        scores = np.asarray(out)[:, 4]
+        # padded rows are -inf; finite rows are genuine candidates
+        assert np.isfinite(scores).sum() < 256
