@@ -113,3 +113,66 @@ def test_head_train_step_with_fused_mining():
     p1 = jax.tree_util.tree_leaves(s1.params)[0]
     p2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused front-half chain (conv1+mfm+pool -> conv2a+mfm -> conv2+mfm -> pool)
+# ---------------------------------------------------------------------------
+
+
+def _front9_params(seed=0, c1=96, c2a=96, c2=192):
+    rng = np.random.default_rng(seed)
+
+    def t(shape, s):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * s)
+
+    return {
+        "conv1": {"kernel": t((5, 5, 1, c1), 0.1), "bias": t((c1,), 0.1)},
+        "conv2a": {"kernel": t((1, 1, c1 // 2, c2a), 0.1),
+                   "bias": t((c2a,), 0.1)},
+        "conv2": {"kernel": t((3, 3, c2a // 2, c2), 0.05),
+                  "bias": t((c2,), 0.1)},
+    }
+
+
+@pytest.mark.parametrize("pool,wtap,maxout", [
+    ("rows", "roll", "slices"),
+    ("none", "roll", "slices"),
+    ("rows", "slice3d", "slices"),
+    ("rows", "roll", "roll"),
+])
+def test_front9_chain_matches_reference(pool, wtap, maxout):
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.pallas import (
+        front9_chain_pallas,
+        front9_reference,
+        pack_front9_weights,
+    )
+
+    params = _front9_params()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    packed = pack_front9_weights(params, dtype=jnp.float32)
+    got = front9_chain_pallas(x, packed, pool=pool, interpret=True,
+                              wtap=wtap, maxout=maxout)
+    want = front9_reference(x, params, pool_out=pool != "none")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_front9_chain_bench_geometry_128px():
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.pallas import (
+        front9_chain_pallas,
+        front9_reference,
+        pack_front9_weights,
+    )
+
+    params = _front9_params(seed=1)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 1)).astype(np.float32))
+    packed = pack_front9_weights(params, dtype=jnp.float32)
+    got = front9_chain_pallas(x, packed, pool="rows", interpret=True)
+    want = front9_reference(x, params, pool_out=True)
+    assert got.shape == (1, 32, 32, 96)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
