@@ -68,6 +68,11 @@ def build_parser():
                         "matcher, and store are already native, so the "
                         "whole loop then runs without JAX — the reference's "
                         "single-process runtime (Feature.hpp:163-205)")
+    p.add_argument("--streams", type=int, default=0,
+                   help="throughput mode: identify the best face in N "
+                        "same-shape camera streams per dispatch (vmapped "
+                        "fused pipeline, serve/pipeline.py::"
+                        "make_multistream_pipeline); prints frames/s")
     p.add_argument("--int8", action="store_true",
                    help="with --native: int8 quantized convs")
     return p
@@ -357,6 +362,50 @@ def _video_main(args, model, variables):
         return results
 
 
+def _streams_main(args, model, variables):
+    """Multi-camera throughput mode: one vmapped fused pipeline dispatch
+    identifies the best face of all N streams (the batch analogue of the
+    reference's per-camera StreamLoop process, CameraSettings.h:21)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..detect.pipeline import MTCNNDetector
+    from ..serve.pipeline import make_multistream_pipeline
+
+    fh, fw = args.frame_size
+    det = MTCNNDetector(seed=args.seed)
+    rng = np.random.default_rng(args.seed + 1)
+    gallery = rng.normal(size=(max(args.identities, 1),
+                               model.feature_dim)).astype(np.float32)
+    pipe = make_multistream_pipeline(
+        det, model, variables, gallery, frame_h=fh, frame_w=fw,
+        embed_size=args.image_size,
+        thresholds=tuple(args.det_thresholds),
+        sim_threshold=args.sim_threshold)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (args.streams, fh, fw, 3)), jnp.float32)
+    t0 = time.perf_counter()
+    out = jax.tree_util.tree_map(
+        lambda x: x.block_until_ready(), pipe(frames))
+    print(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    steps = max(args.frames // args.streams, 1)
+    for _ in range(steps):
+        out = jax.tree_util.tree_map(
+            lambda x: x.block_until_ready(), pipe(frames))
+    dt = time.perf_counter() - t0
+    found = np.asarray(out["found"])
+    sims = np.asarray(out["similarity"])
+    for i in range(args.streams):
+        state = (f"match idx={int(np.asarray(out['index'])[i])} "
+                 f"sim {sims[i]:+.3f}" if found[i] else "no face")
+        print(f"stream {i:3d}: {state}")
+    fps = args.streams * steps / dt
+    print(f"{args.streams} streams x {steps} dispatches: "
+          f"{fps:,.0f} frames/s ({fh}x{fw}px)")
+    return int(found.sum()), args.streams
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import os
@@ -387,6 +436,8 @@ def main(argv=None):
             np.zeros((1, args.image_size, args.image_size, 1), np.float32))
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
+    if args.streams:
+        return _streams_main(args, model, variables)
     if args.video and args.detect and args.native:
         return _video_native_detect_main(args, model)
     if args.video and args.detect:

@@ -13,6 +13,8 @@ serving path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +51,7 @@ def make_recognition_pipeline(
     thresholds=(0.6, 0.7, 0.7),
     sim_threshold: float = 0.5,
     int8_embed: bool = False,
+    _jit: bool = True,
 ):
     """Build the fused pipeline for frames of [frame_h, frame_w, 3] (0-255).
 
@@ -56,13 +59,15 @@ def make_recognition_pipeline(
     (face prob), ``index`` (gallery row, -1 below threshold), ``similarity``.
     Selection rule: largest-centered detection, the alignment CLI's rule
     (align_dataset_mtcnn.py:86-95).
+
+    ``_jit=False`` returns the untraced body (for
+    ``make_multistream_pipeline``'s vmap).
     """
     cascade = make_device_cascade(
         detector.pnet_params, detector.rnet_params, detector.onet_params,
         frame_h, frame_w, minsize=minsize, thresholds=thresholds)
     gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
 
-    @jax.jit
     def pipeline(frame: jnp.ndarray):
         boxes, _, counts = cascade(frame)             # [cap, 5]
         valid = jnp.isfinite(boxes[:, 4])
@@ -106,7 +111,78 @@ def make_recognition_pipeline(
             "cap_dropped": counts[0] + counts[1] + counts[2],
         }
 
-    return pipeline
+    return jax.jit(pipeline) if _jit else pipeline
+
+
+def make_multistream_pipeline(
+    detector,
+    embed_model,
+    embed_variables,
+    gallery: np.ndarray,
+    **kwargs,
+):
+    """Throughput-mode serving: identify the best face in EVERY frame of a
+    same-shape multi-camera batch [N, frame_h, frame_w, 3] as ONE XLA
+    program — the TPU-first answer to scaling the reference's
+    one-camera-one-process loop (SURVEY.md §3.4, CameraSettings.h:21)
+    across streams. vmap maps the per-frame cascade onto batched convs and
+    the N embedding forwards onto one [N, S, S, 1] batch, so the MXU sees
+    production-sized matmuls instead of N latency-shaped dispatches.
+
+    Accepts ``make_recognition_pipeline``'s keyword config; returns
+    fn(frames [N, H, W, 3]) -> the same result dict with a leading N axis
+    on every field. N is a trace-time constant per call shape (one compile
+    per stream count — keep N fixed per deployment).
+    """
+    single = make_recognition_pipeline(
+        detector, embed_model, embed_variables, gallery, _jit=False,
+        **kwargs)
+    return jax.jit(jax.vmap(single))
+
+
+def make_sharded_multistream_pipeline(
+    detector,
+    embed_model,
+    embed_variables,
+    gallery: np.ndarray,
+    mesh,
+    *,
+    axis: str = "data",
+    **kwargs,
+):
+    """Multi-stream serving sharded over a device mesh: frames
+    [N, H, W, 3] split along the stream axis, weights + gallery replicated
+    (the same layout the sharded extractor uses — frames ride ICI only at
+    dispatch, every collective-free pipeline runs chip-local). N must be a
+    multiple of the mesh axis size.
+
+    This is the serving analogue of `extract.make_sharded_extract_fn`:
+    K cameras per chip x D chips in ONE dispatch. Replaces the reference's
+    process-per-camera scaling (SURVEY.md §3.4).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    single = make_recognition_pipeline(
+        detector, embed_model, embed_variables, gallery, _jit=False,
+        **kwargs)
+    batched = jax.vmap(single)
+    frames_sharding = NamedSharding(mesh, P(axis))
+
+    @functools.partial(jax.jit, in_shardings=(frames_sharding,),
+                       out_shardings=NamedSharding(mesh, P(axis)))
+    def pipeline(frames: jnp.ndarray):
+        return batched(frames)
+
+    def run(frames):
+        n = frames.shape[0]
+        d = mesh.shape[axis]
+        if n % d != 0:
+            raise ValueError(
+                f"stream count ({n}) must be a multiple of the mesh "
+                f"'{axis}' axis size ({d})")
+        return pipeline(jnp.asarray(frames, jnp.float32))
+
+    return run
 
 
 def make_multiface_pipeline(

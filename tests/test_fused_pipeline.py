@@ -337,3 +337,77 @@ print('SIM', float(np.asarray(out['similarity'])))
                             "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-800:]
     assert "SIM" in r.stdout
+
+
+def test_multistream_pipeline_matches_per_frame():
+    """The vmapped multi-camera pipeline must agree field-for-field with N
+    independent single-frame runs (same weights, same gallery)."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
+    )
+
+    h = w = 64
+    det = MTCNNDetector(seed=0)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(5)
+    gallery = rng.normal(size=(5, 342))
+    kw = dict(frame_h=h, frame_w=w, embed_size=32,
+              thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    frames = (rng.random((3, h, w, 3)) * 255).astype(np.float32)
+
+    single = make_recognition_pipeline(det, model, variables, gallery, **kw)
+    multi = make_multistream_pipeline(det, model, variables, gallery, **kw)
+    batched = multi(jnp.asarray(frames))
+    assert batched["box"].shape == (3, 4)
+    assert batched["embedding"].shape == (3, 342)
+    for i in range(3):
+        one = single(jnp.asarray(frames[i]))
+        for key in ("found", "index", "cap_dropped"):
+            assert np.asarray(one[key]) == np.asarray(batched[key][i]), key
+        np.testing.assert_allclose(np.asarray(one["box"]),
+                                   np.asarray(batched["box"][i]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(one["similarity"]),
+            np.asarray(batched["similarity"][i]), atol=1e-5)
+
+
+def test_sharded_multistream_pipeline_equals_unsharded():
+    """Streams sharded over the 8-device mesh must produce the same results
+    as the single-device vmapped pipeline."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.parallel import (
+        make_mesh,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
+        make_sharded_multistream_pipeline,
+    )
+
+    h = w = 48
+    det = MTCNNDetector(seed=3)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(2),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(7)
+    gallery = rng.normal(size=(4, 342))
+    kw = dict(frame_h=h, frame_w=w, embed_size=32,
+              thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    frames = (rng.random((8, h, w, 3)) * 255).astype(np.float32)
+
+    mesh = make_mesh()
+    sharded = make_sharded_multistream_pipeline(
+        det, model, variables, gallery, mesh, axis="data", **kw)
+    plain = make_multistream_pipeline(det, model, variables, gallery, **kw)
+    a = sharded(frames)
+    b = plain(jnp.asarray(frames))
+    np.testing.assert_array_equal(np.asarray(a["found"]),
+                                  np.asarray(b["found"]))
+    np.testing.assert_allclose(np.asarray(a["similarity"]),
+                               np.asarray(b["similarity"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a["index"]),
+                                  np.asarray(b["index"]))
+    # wrong multiple -> loud error, not silent padding
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sharded(frames[:3])

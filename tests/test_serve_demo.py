@@ -54,3 +54,15 @@ def test_serve_demo_native_loop(tmp_path):
     ])
     assert seen >= 1
     assert correct == seen
+
+
+def test_serve_demo_streams_mode(tmp_path):
+    """--streams: the multi-camera throughput mode runs the vmapped fused
+    pipeline on N frames per dispatch and reports per-stream results."""
+    found, streams = serve_demo.main([
+        "--streams", "2", "--frames", "4", "--frame-size", "48", "48",
+        "--image-size", "32", "--det-thresholds", "0.05", "0.05", "0.05",
+        "--store", str(tmp_path / "demo.fjdb"),
+    ])
+    assert streams == 2
+    assert 0 <= found <= 2

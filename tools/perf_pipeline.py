@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--gallery", type=int, default=10000)
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--max-faces", type=int, default=8)
+    ap.add_argument("--streams", type=int, nargs="*", default=[8, 32, 64],
+                    help="multi-stream batch sizes for the throughput rows "
+                         "(make_multistream_pipeline); [] skips them")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +96,46 @@ def main():
             ts.append(time.perf_counter() - t0)
         per = min(ts) / args.frames
         print(f"{name}: {per * 1e3:.1f} ms/frame "
+              f"({args.size}px, {args.gallery}-row gallery)")
+
+    # throughput mode: N same-shape camera streams per dispatch (vmapped
+    # pipeline), scan-chained over args.frames steps -> frames/s/chip
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
+    )
+
+    for n in args.streams:
+        multi = make_multistream_pipeline(
+            det, model, variables, gallery, frame_h=args.size,
+            frame_w=args.size, embed_size=64, thresholds=(0.3, 0.3, 0.3))
+        batch = jnp.asarray(rng.uniform(
+            0, 255, (n, args.size, args.size, 3)), jnp.float32)
+
+        @jax.jit
+        def scanned_multi(b):
+            def body(acc, _):
+                b_dep = b + (acc * 1e-24)
+                out = multi(b_dep)
+                return acc + jnp.sum(jnp.where(
+                    jnp.isfinite(out["similarity"]),
+                    out["similarity"], 0.0)), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None,
+                                  length=args.frames)
+            return acc
+
+        t0 = time.perf_counter()
+        _ = float(scanned_multi(batch))
+        print(f"multistream N={n}: compile+first "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = float(scanned_multi(batch))
+            ts.append(time.perf_counter() - t0)
+        per_batch = min(ts) / args.frames
+        print(f"multistream N={n}: {per_batch / n * 1e3:.2f} ms/frame, "
+              f"{n / per_batch:,.0f} frames/s "
               f"({args.size}px, {args.gallery}-row gallery)")
 
 
