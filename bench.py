@@ -90,9 +90,13 @@ def measure_mbu_pct(batch_size: int = 256, iters: int = 256):
     above VMEM so HBM traffic is actually observed (VERDICT r2 item 1).
     Returns (mbu_pct, peak_gb_s).
     """
-    from tools.perf_layers import measure_hbm_peak_gbs
+    from tools.perf_layers import _null_baseline, measure_hbm_peak_gbs
 
-    peak = measure_hbm_peak_gbs()
+    # fixed dispatch+fetch cost is MEASURED, not assumed (the old 26 ms
+    # constant was tunnel-specific and would skew both the streaming peak
+    # and the conv timing on directly-attached hardware)
+    fixed_s = _null_baseline(iters)
+    peak = measure_hbm_peak_gbs(iters=iters, fixed_s=fixed_s)
     early = [(64, 48, 96, 1, False)]  # conv2a at the bench geometry
     total_bytes = 0.0
     total_s = 0.0
@@ -129,9 +133,9 @@ def measure_mbu_pct(batch_size: int = 256, iters: int = 256):
                 return acc
             return run
 
-        # iters sized to dwarf the tunneled link's ~26 ms fixed dispatch
-        # cost, which is additionally subtracted (differencing drowned in
-        # per-dispatch jitter)
+        # iters sized to dwarf the link's fixed dispatch cost, which is
+        # additionally subtracted using the measured baseline above
+        # (differencing drowned in per-dispatch jitter)
         run = make(iters)
         float(run(x, w))
         ts = []
@@ -139,7 +143,7 @@ def measure_mbu_pct(batch_size: int = 256, iters: int = 256):
             t0 = time.perf_counter()
             float(run(x, w))
             ts.append(time.perf_counter() - t0)
-        total_s += max(min(ts) - 0.026, 1e-9) / iters
+        total_s += max(min(ts) - fixed_s, 1e-9) / iters
         out_h = h // 2 if pool else h
         total_bytes += 2 * batch_size * (h * h * cin
                                          + out_h * out_h * (cout // 2))

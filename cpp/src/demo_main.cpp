@@ -20,6 +20,7 @@
 // exactly this); all inference math is the facejax native library.
 
 #include <atomic>
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <map>
@@ -60,6 +61,7 @@ struct Args {
   float scth = 0.9999f;  // representative-selection similarity ceiling
   float dedup_th = 0.999999f;
   bool int8 = false;
+  bool reset_store = false;  // delete an existing --store before opening
   long max_frames = 0;  // 0 = until EOF
 };
 
@@ -70,7 +72,8 @@ void Usage(const char* argv0) {
       "  --store DB.fjdb --register-name NAME [--model efmnet342]\n"
       "  [--ert ERT.npz] [--register-frames N] [--image-size S]\n"
       "  [--margin M] [--minsize N] [--th T1 T2 T3] [--factor F]\n"
-      "  [--sim-th S] [--scth S] [--int8] [--max-frames N]\n",
+      "  [--sim-th S] [--scth S] [--dedup-th S] [--int8]\n"
+      "  [--reset-store] [--max-frames N]\n",
       argv0);
 }
 
@@ -96,8 +99,10 @@ bool Parse(int argc, char** argv, Args& a) {
     else if (k == "--factor") v = need(i), a.factor = v ? std::atof(v) : 0;
     else if (k == "--sim-th") v = need(i), a.sim_th = v ? std::atof(v) : 0;
     else if (k == "--scth") v = need(i), a.scth = v ? std::atof(v) : 0;
+    else if (k == "--dedup-th") v = need(i), a.dedup_th = v ? std::atof(v) : 0;
     else if (k == "--max-frames") v = need(i), a.max_frames = v ? std::atol(v) : 0;
     else if (k == "--int8") { a.int8 = true; continue; }
+    else if (k == "--reset-store") { a.reset_store = true; continue; }
     else if (k == "--th") {
       for (int j = 0; j < 3; ++j) {
         v = need(i);
@@ -181,12 +186,22 @@ int main(int argc, char** argv) {
   facejax::NativeNet net(a.weights, a.model, a.int8);
   std::unique_ptr<facejax::NativeErt> ert;
   if (!a.ert.empty()) ert.reset(new facejax::NativeErt(a.ert));
-  std::remove(a.store.c_str());
+  if (a.reset_store) std::remove(a.store.c_str());
   facejax::IdentityStore store(a.store, net.feature_dim());
   facejax::RegistrationStateMachine sm;
   facejax::SpscQueue<Frame> queue;
   std::atomic<bool> producer_done{false};
   std::atomic<long> frames_read{0};
+  // backpressure: the queue is unbounded, and during enrollment the
+  // consumer takes every frame sequentially while decode outruns
+  // detect+embed by orders of magnitude — without a bound a long 1080p
+  // video (~25 MB/frame as f32 RGB) buffers gigabytes. The consumer
+  // publishes the seq it last took; the producer stalls while more than
+  // kMaxInflight frames are unconsumed.
+  constexpr long kMaxInflight = 16;
+  std::atomic<long> consumed_seq{-1};
+  std::atomic<bool> consumer_gone{false};  // lets a stalled producer exit
+                                           // on early consumer error paths
 
   // ---- producer thread: the reference's StreamLoop (CameraSettings.h:21)
   std::thread producer([&]() {
@@ -200,6 +215,14 @@ int main(int argc, char** argv) {
     long seq = 0;
     while (cap.read(bgr)) {
       if (a.max_frames && seq >= a.max_frames) break;
+      while (seq - consumed_seq.load(std::memory_order_acquire) >
+             kMaxInflight) {
+        if (consumer_gone.load(std::memory_order_acquire)) {
+          producer_done.store(true);
+          return;
+        }
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+      }
       Frame f;
       f.h = bgr.rows, f.w = bgr.cols, f.seq = seq++;
       f.rgb.resize(static_cast<size_t>(f.h) * f.w * 3);
@@ -255,7 +278,10 @@ int main(int argc, char** argv) {
 
   auto consume = [&](Frame& f, bool drop_stale) -> bool {
     while (true) {
-      if (queue.Consume(f, drop_stale)) return true;
+      if (queue.Consume(f, drop_stale)) {
+        consumed_seq.store(f.seq, std::memory_order_release);
+        return true;
+      }
       if (producer_done.load() && queue.Empty()) return false;
       std::this_thread::yield();
     }
@@ -282,6 +308,7 @@ int main(int argc, char** argv) {
   const int n_acq = static_cast<int>(acquired.size()) / net.feature_dim();
   if (n_acq == 0) {
     std::fprintf(stderr, "no faces acquired for enrollment\n");
+    consumer_gone.store(true);
     producer.join();
     return 2;
   }
@@ -305,6 +332,7 @@ int main(int argc, char** argv) {
               net.feature_dim());
   if (sm.state() != facejax::SystemState::kIdentification) {
     std::fprintf(stderr, "state machine did not return to Identification\n");
+    consumer_gone.store(true);
     producer.join();
     return 3;
   }

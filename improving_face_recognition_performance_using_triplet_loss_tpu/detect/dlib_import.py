@@ -72,7 +72,10 @@ def _read_int(f: BinaryIO) -> int:
     size = ctl & 0x7F
     if size > 8:
         raise ValueError(f"dlib int with {size} payload bytes (corrupt?)")
-    mag = int.from_bytes(f.read(size), "little") if size else 0
+    payload = f.read(size)
+    if len(payload) != size:  # a short read would silently decode garbage
+        raise EOFError("truncated dlib stream (int payload)")
+    mag = int.from_bytes(payload, "little")
     return -mag if neg else mag
 
 
@@ -132,8 +135,25 @@ def _write_fcolumn(f: BinaryIO, col: np.ndarray) -> None:
 # ---------------------------------------------------------------- predictor
 
 
+def _check_count(n: int, f: BinaryIO, total: int, per_item_bytes: int,
+                 what: str) -> int:
+    """Validate a count read from an UNTRUSTED .dat before allocating with
+    it: it must be non-negative and consistent with the bytes remaining in
+    the file (every encoded item costs at least ``per_item_bytes``), so a
+    corrupt/truncated file raises a clean parse error instead of a
+    multi-TB np.empty MemoryError."""
+    if n < 0 or n * per_item_bytes > total - f.tell():
+        raise ValueError(
+            f"implausible {what} count {n} for {total - f.tell()} bytes "
+            "remaining (corrupt or truncated shape_predictor .dat?)")
+    return n
+
+
 def read_shape_predictor_dat(path: str) -> ShapePredictor:
     """Parse a dlib shape_predictor .dat into this repo's ShapePredictor."""
+    import os
+
+    total = os.path.getsize(path)
     with open(path, "rb") as f:
         version = _read_int(f)
         if version != 1:
@@ -152,7 +172,8 @@ def read_shape_predictor_dat(path: str) -> ShapePredictor:
             n_trees = _read_int(f)
             trees = []
             for _ in range(n_trees):
-                n_splits = _read_int(f)
+                # each split encodes two ints + a float: >= 4 bytes
+                n_splits = _check_count(_read_int(f), f, total, 4, "split")
                 idx1 = np.empty(n_splits, np.int64)
                 idx2 = np.empty(n_splits, np.int64)
                 thr = np.empty(n_splits, np.float32)
@@ -160,7 +181,9 @@ def read_shape_predictor_dat(path: str) -> ShapePredictor:
                     idx1[s] = _read_int(f)
                     idx2[s] = _read_int(f)
                     thr[s] = _read_float(f)
-                n_leaves = _read_int(f)
+                # each leaf is a 2L-float column: >= 2 bytes per float
+                n_leaves = _check_count(_read_int(f), f, total,
+                                        2 * two_l, "leaf")
                 leaves = np.empty((n_leaves, two_l), np.float32)
                 for li in range(n_leaves):
                     leaf = _read_fcolumn(f)
@@ -179,7 +202,7 @@ def read_shape_predictor_dat(path: str) -> ShapePredictor:
             raise ValueError("anchor_idx cascade count mismatch")
         anchor_idx = []
         for _ in range(n_casc):
-            n_pix = _read_int(f)
+            n_pix = _check_count(_read_int(f), f, total, 1, "anchor pixel")
             anchor_idx.append(
                 np.asarray([_read_int(f) for _ in range(n_pix)], np.int64))
 
@@ -188,7 +211,8 @@ def read_shape_predictor_dat(path: str) -> ShapePredictor:
             raise ValueError("deltas cascade count mismatch")
         deltas = []
         for _ in range(n_casc):
-            n_pix = _read_int(f)
+            # each delta is two floats: >= 4 bytes
+            n_pix = _check_count(_read_int(f), f, total, 4, "delta pixel")
             d = np.empty((n_pix, 2), np.float32)
             for pi in range(n_pix):
                 d[pi, 0] = _read_float(f)

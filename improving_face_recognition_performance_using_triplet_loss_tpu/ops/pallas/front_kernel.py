@@ -190,8 +190,9 @@ def pack_front9_weights(params: dict, dtype=jnp.bfloat16) -> dict:
     # conv2 [3, 3, Cin, C2] -> H-major blocks of [3*Cin, C2]: block di holds
     # (dj, cin)-ordered rows to match xw's concat-over-dj lane order
     w2 = params["conv2"]["kernel"]                               # [3,3,Cin,C2]
-    w2 = w2.transpose(0, 1, 2, 3).reshape(3, 3 * w2.shape[2], w2.shape[3])
-    w2 = w2.reshape(3 * w2.shape[1], w2.shape[2])                # [3*3*Cin, C2]
+    # row-major reshape alone yields the (di, dj, cin) row order that
+    # matches xw's concat-over-dj lane order
+    w2 = w2.reshape(9 * w2.shape[2], w2.shape[3])                # [3*3*Cin, C2]
     return {
         "w1": w1.astype(dtype),
         "b1": jnp.tile(params["conv1"]["bias"].astype(jnp.float32), 4)[None],

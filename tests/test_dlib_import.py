@@ -126,6 +126,20 @@ def test_version_and_corruption_guards(tmp_path):
         f.write(b"\x7f")  # 127 payload bytes claimed: not a dlib int
     with pytest.raises(ValueError, match="payload"):
         D.read_shape_predictor_dat(bad)
+    # short int payload at EOF must raise, not silently decode garbage
+    with open(bad, "wb") as f:
+        f.write(b"\x04\x01")  # 4 payload bytes claimed, 1 present
+    with pytest.raises(EOFError, match="truncated"):
+        D.read_shape_predictor_dat(bad)
+    # an implausible count must fail BEFORE the np.empty allocation
+    with open(bad, "wb") as f:
+        D._write_int(f, 1)            # version
+        D._write_fcolumn(f, np.zeros(4, np.float32))  # initial_shape (L=2)
+        D._write_int(f, 1)            # n_cascades
+        D._write_int(f, 1)            # n_trees
+        D._write_int(f, 1 << 40)      # n_splits: would allocate ~TBs
+    with pytest.raises(ValueError, match="implausible split count"):
+        D.read_shape_predictor_dat(bad)
 
 
 def test_cli_import_dat(tmp_path, capsys):

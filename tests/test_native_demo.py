@@ -163,3 +163,30 @@ def test_demo_missing_args_usage(fixtures, tmp_path):
                        capture_output=True, text=True, timeout=60)
     assert r.returncode == 1
     assert "usage:" in r.stderr
+
+
+def test_demo_store_persists_across_runs(fixtures, tmp_path):
+    """Without --reset-store an existing identity DB is PRESERVED (the
+    binary must never silently destroy a store); --reset-store wipes it."""
+    binary = _build_demo(str(tmp_path))
+    store = os.path.join(fixtures["dir"], "demo.fjdb")
+    r1 = _run(binary, fixtures)  # _run starts from a fresh store
+    assert r1.returncode == 0, r1.stdout[-2000:]
+    n1 = int(re.search(r"store_size=(\d+)", r1.stdout).group(1))
+    # second run, same store, new name: previous identities must survive
+    cmd = [binary, "--video", fixtures["video"], "--mtcnn",
+           fixtures["mtcnn"], "--weights", fixtures["export"],
+           "--model", "efmnet342", "--store", store,
+           "--register-name", "bob", "--register-frames", "2",
+           "--image-size", "32", "--th", "0.45", "0.35", "0.3",
+           "--sim-th", "0.3"]
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, f"{r2.stdout[-2000:]}\n{r2.stderr[-2000:]}"
+    n2 = int(re.search(r"store_size=(\d+)", r2.stdout).group(1))
+    assert n2 >= n1  # alice's rows still there (bob's may dedup to 0 new)
+    # --reset-store starts over
+    r3 = subprocess.run(cmd + ["--reset-store"], capture_output=True,
+                        text=True, timeout=300)
+    assert r3.returncode == 0, f"{r3.stdout[-2000:]}\n{r3.stderr[-2000:]}"
+    n3 = int(re.search(r"store_size=(\d+)", r3.stdout).group(1))
+    assert n3 <= n1

@@ -44,10 +44,14 @@ LAYERS = [
 ]
 
 
-def _null_baseline() -> float:
+def _null_baseline(iters: int = None) -> float:
     """Fixed cost of one dispatch+scalar-fetch through the (tunneled) link:
     a scan whose body is a trivial add. Subtracted from every block's total
-    so per-iteration numbers reflect device compute, not link latency."""
+    so per-iteration numbers reflect device compute, not link latency.
+    MEASURED, never assumed — the constant differs wildly between the
+    tunnel (~26 ms) and directly-attached hardware (~1 ms)."""
+    if iters is None:
+        iters = ITERS
     x = jnp.zeros((8, 128), jnp.float32)
 
     @jax.jit
@@ -55,7 +59,7 @@ def _null_baseline() -> float:
         def body(acc, _):
             return acc + x.sum() * 1e-30, None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                              length=ITERS)
+                              length=iters)
         return acc
 
     float(run(x))
@@ -67,7 +71,8 @@ def _null_baseline() -> float:
     return min(ts)
 
 
-def measure_hbm_peak_gbs(mb: int = 128, iters: int = 256) -> float:
+def measure_hbm_peak_gbs(mb: int = 128, iters: int = 256,
+                         fixed_s: float | None = None) -> float:
     """MEASURED HBM bandwidth ceiling: a pure streaming kernel (x -> x*c,
     read + write of one large tensor per iteration) chained in a scan that
     carries the tensor (no hoisting possible). The roofline denominator —
@@ -78,8 +83,10 @@ def measure_hbm_peak_gbs(mb: int = 128, iters: int = 256) -> float:
     then scales with iters, up to absurd 240 TB/s). abs() breaks the
     algebra, and iteration time verifiably scales with length. Measured
     on this chip (round 3): ~645-650 GB/s (79% of the 819 GB/s v5e
-    spec). ``iters`` is sized so streaming work dwarfs the tunneled
-    link's ~26 ms fixed dispatch cost (also subtracted)."""
+    spec). ``iters`` is sized so streaming work dwarfs the link's fixed
+    dispatch cost, which is additionally MEASURED (``_null_baseline``)
+    and subtracted — pass ``fixed_s`` to reuse an existing
+    measurement."""
     n = mb * (1 << 20) // 2  # bf16 elements
     x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.bfloat16))(
         jax.random.PRNGKey(0))
@@ -92,13 +99,15 @@ def measure_hbm_peak_gbs(mb: int = 128, iters: int = 256) -> float:
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y.sum(dtype=jnp.float32)
 
+    if fixed_s is None:
+        fixed_s = _null_baseline(iters)
     float(run(x))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(run(x))
         ts.append(time.perf_counter() - t0)
-    dt = max(min(ts) - 0.026, 1e-9) / iters  # subtract the fixed dispatch
+    dt = max(min(ts) - fixed_s, 1e-9) / iters  # subtract measured dispatch
     return 2 * n * 2 / dt / 1e9  # read + write, bf16
 
 
