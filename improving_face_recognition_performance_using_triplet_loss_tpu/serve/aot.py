@@ -27,12 +27,19 @@ import numpy as np
 
 
 def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
-                    *, platforms=None) -> str:
+                    *, streams: int = 0, platforms=None) -> str:
     """Serialize a pipeline fn (from make_recognition_pipeline /
-    make_multiface_pipeline) for frames of [frame_h, frame_w, 3] f32."""
+    make_multiface_pipeline) for frames of [frame_h, frame_w, 3] f32.
+
+    ``streams > 0`` exports a multi-stream pipeline
+    (make_multistream_pipeline) at a FIXED stream count: the artifact's
+    call signature becomes [streams, frame_h, frame_w, 3] — one deployed
+    stream count per artifact, matching the one-compile-per-N contract."""
     from jax.export import export as jexport
 
-    spec = jax.ShapeDtypeStruct((frame_h, frame_w, 3), np.float32)
+    shape = ((streams, frame_h, frame_w, 3) if streams
+             else (frame_h, frame_w, 3))
+    spec = jax.ShapeDtypeStruct(shape, np.float32)
     exported = jexport(jax.jit(pipeline), platforms=platforms)(spec)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -41,6 +48,8 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     meta = {"frame_h": frame_h, "frame_w": frame_w,
             "platforms": list(exported.platforms),
             "format": "jax.export StableHLO"}
+    if streams:
+        meta["streams"] = streams
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     return out_path

@@ -132,11 +132,19 @@ def make_multistream_pipeline(
     Accepts ``make_recognition_pipeline``'s keyword config; returns
     fn(frames [N, H, W, 3]) -> the same result dict with a leading N axis
     on every field. N is a trace-time constant per call shape (one compile
-    per stream count — keep N fixed per deployment).
+    per stream count — keep N fixed per deployment). Pass ``max_faces``
+    (> 0) to batch the MULTI-face pipeline instead: every field gains a
+    leading N axis over ``make_multiface_pipeline``'s per-face arrays.
     """
-    single = make_recognition_pipeline(
-        detector, embed_model, embed_variables, gallery, _jit=False,
-        **kwargs)
+    if kwargs.get("max_faces", 0):
+        single = make_multiface_pipeline(
+            detector, embed_model, embed_variables, gallery, _jit=False,
+            **kwargs)
+    else:
+        kwargs.pop("max_faces", None)
+        single = make_recognition_pipeline(
+            detector, embed_model, embed_variables, gallery, _jit=False,
+            **kwargs)
     return jax.jit(jax.vmap(single))
 
 
@@ -200,6 +208,7 @@ def make_multiface_pipeline(
     sim_threshold: float = 0.5,
     max_faces: int = 8,
     int8_embed: bool = False,
+    _jit: bool = True,
 ):
     """Identify EVERY detected face in the frame — the reference's per-frame
     loop runs Feature_Extract_exe + Compare_Face_DB once per detection
@@ -224,7 +233,6 @@ def make_multiface_pipeline(
         frame_h, frame_w, minsize=minsize, thresholds=thresholds)
     gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
 
-    @jax.jit
     def pipeline(frame: jnp.ndarray):
         boxes, _, counts = cascade(frame)                 # [cap, 5]
         valid = jnp.isfinite(boxes[:, 4])
@@ -268,4 +276,4 @@ def make_multiface_pipeline(
                 jnp.sum(valid.astype(jnp.int32)) - k, 0),
         }
 
-    return pipeline
+    return jax.jit(pipeline) if _jit else pipeline

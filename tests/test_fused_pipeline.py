@@ -411,3 +411,71 @@ def test_sharded_multistream_pipeline_equals_unsharded():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sharded(frames[:3])
+
+
+def test_multistream_multiface_matches_per_frame():
+    """max_faces > 0 batches the MULTI-face pipeline across streams."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multiface_pipeline,
+        make_multistream_pipeline,
+    )
+
+    h = w = 48
+    det = MTCNNDetector(seed=4)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(9)
+    gallery = rng.normal(size=(4, 342))
+    kw = dict(frame_h=h, frame_w=w, embed_size=32, max_faces=4,
+              thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    frames = (rng.random((2, h, w, 3)) * 255).astype(np.float32)
+
+    single = make_multiface_pipeline(det, model, variables, gallery, **kw)
+    multi = make_multistream_pipeline(det, model, variables, gallery, **kw)
+    batched = multi(jnp.asarray(frames))
+    assert batched["boxes"].shape == (2, 4, 4)
+    assert batched["embeddings"].shape == (2, 4, 342)
+    for i in range(2):
+        one = single(jnp.asarray(frames[i]))
+        np.testing.assert_array_equal(np.asarray(one["found"]),
+                                      np.asarray(batched["found"][i]))
+        np.testing.assert_allclose(
+            np.asarray(one["similarities"]),
+            np.asarray(batched["similarities"][i]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(one["indices"]),
+                                      np.asarray(batched["indices"][i]))
+
+
+def test_aot_export_multistream_pipeline(tmp_path):
+    """A multi-stream pipeline serializes/loads with the [N, H, W, 3]
+    signature and reproduces the live results."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        export_pipeline,
+        load_pipeline,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
+    )
+
+    h = w = 48
+    det = MTCNNDetector(seed=5)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(4),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(11)
+    gallery = rng.normal(size=(3, 342))
+    pipe = make_multistream_pipeline(
+        det, model, variables, gallery, frame_h=h, frame_w=w,
+        embed_size=32, thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    path = export_pipeline(str(tmp_path / "ms.shlo"), pipe, h, w, streams=2)
+    import json as _json
+    meta = _json.load(open(path + ".json"))
+    assert meta["streams"] == 2
+    frames = (rng.random((2, h, w, 3)) * 255).astype(np.float32)
+    live = pipe(jnp.asarray(frames))
+    loaded = load_pipeline(path)(frames)
+    np.testing.assert_allclose(np.asarray(live["similarity"]),
+                               np.asarray(loaded["similarity"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(live["index"]),
+                                  np.asarray(loaded["index"]))
