@@ -51,6 +51,7 @@ def make_recognition_pipeline(
     thresholds=(0.6, 0.7, 0.7),
     sim_threshold: float = 0.5,
     int8_embed: bool = False,
+    dynamic_gallery: bool = False,
     _jit: bool = True,
 ):
     """Build the fused pipeline for frames of [frame_h, frame_w, 3] (0-255).
@@ -60,15 +61,25 @@ def make_recognition_pipeline(
     Selection rule: largest-centered detection, the alignment CLI's rule
     (align_dataset_mtcnn.py:86-95).
 
+    ``dynamic_gallery=True`` returns fn(frame, gallery_n) instead: the
+    L2-NORMALIZED gallery ([G, D] f32, see :func:`normalize_gallery`) is a
+    runtime argument, so enrollments update the identity DB WITHOUT
+    retracing, and million-row galleries never pass through the compiler
+    as baked constants (constant-baking a 1.4 GB gallery stalls
+    XLA serialization; measured round 3). One compile per gallery SHAPE —
+    grow the gallery by doubling + padding rows with zeros (zero rows
+    cosine to 0 and never win the argmax above a real match).
+
     ``_jit=False`` returns the untraced body (for
     ``make_multistream_pipeline``'s vmap).
     """
     cascade = make_device_cascade(
         detector.pnet_params, detector.rnet_params, detector.onet_params,
         frame_h, frame_w, minsize=minsize, thresholds=thresholds)
-    gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
+    baked_gallery_n = (None if dynamic_gallery
+                       else l2_normalize(jnp.asarray(gallery, jnp.float32)))
 
-    def pipeline(frame: jnp.ndarray):
+    def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n):
         boxes, _, counts = cascade(frame)             # [cap, 5]
         valid = jnp.isfinite(boxes[:, 4])
         found = jnp.any(valid)
@@ -114,6 +125,12 @@ def make_recognition_pipeline(
     return jax.jit(pipeline) if _jit else pipeline
 
 
+def normalize_gallery(gallery: np.ndarray) -> jnp.ndarray:
+    """Gallery rows -> the L2-normalized [G, D] f32 device array the
+    ``dynamic_gallery`` pipelines take at call time."""
+    return l2_normalize(jnp.asarray(gallery, jnp.float32))
+
+
 def make_multistream_pipeline(
     detector,
     embed_model,
@@ -145,6 +162,9 @@ def make_multistream_pipeline(
         single = make_recognition_pipeline(
             detector, embed_model, embed_variables, gallery, _jit=False,
             **kwargs)
+    if kwargs.get("dynamic_gallery"):
+        # fn(frames [N, H, W, 3], gallery_n [G, D]) — gallery shared
+        return jax.jit(jax.vmap(single, in_axes=(0, None)))
     return jax.jit(jax.vmap(single))
 
 
@@ -208,6 +228,7 @@ def make_multiface_pipeline(
     sim_threshold: float = 0.5,
     max_faces: int = 8,
     int8_embed: bool = False,
+    dynamic_gallery: bool = False,
     _jit: bool = True,
 ):
     """Identify EVERY detected face in the frame — the reference's per-frame
@@ -222,6 +243,9 @@ def make_multiface_pipeline(
     (gallery row, -1 below threshold/not found), ``similarities``, plus the
     scalar ``cap_dropped`` (cascade-internal capacity drops) and
     ``topk_dropped`` (valid detections beyond ``max_faces``).
+
+    ``dynamic_gallery=True``: fn(frame, gallery_n) with the normalized
+    gallery as a runtime argument (see ``make_recognition_pipeline``).
     """
     if max_faces > 64:  # the cascade's out_cap; no silent truncation
         raise ValueError(
@@ -231,9 +255,10 @@ def make_multiface_pipeline(
     cascade = make_device_cascade(
         detector.pnet_params, detector.rnet_params, detector.onet_params,
         frame_h, frame_w, minsize=minsize, thresholds=thresholds)
-    gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
+    baked_gallery_n = (None if dynamic_gallery
+                       else l2_normalize(jnp.asarray(gallery, jnp.float32)))
 
-    def pipeline(frame: jnp.ndarray):
+    def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n):
         boxes, _, counts = cascade(frame)                 # [cap, 5]
         valid = jnp.isfinite(boxes[:, 4])
         score = jnp.where(valid, boxes[:, 4], -jnp.inf)

@@ -479,3 +479,75 @@ def test_aot_export_multistream_pipeline(tmp_path):
                                np.asarray(loaded["similarity"]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(live["index"]),
                                   np.asarray(loaded["index"]))
+
+
+def test_dynamic_gallery_matches_baked():
+    """dynamic_gallery=True (gallery as a runtime arg — enrollment without
+    retrace, no giant baked constants) must match the baked-gallery
+    pipeline, for both the single-frame and multistream variants."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
+        normalize_gallery,
+    )
+
+    h = w = 48
+    det = MTCNNDetector(seed=6)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(5),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(13)
+    gallery = rng.normal(size=(6, 342))
+    kw = dict(frame_h=h, frame_w=w, embed_size=32,
+              thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    frame = (rng.random((h, w, 3)) * 255).astype(np.float32)
+
+    baked = make_recognition_pipeline(det, model, variables, gallery, **kw)
+    dyn = make_recognition_pipeline(det, model, variables, None,
+                                    dynamic_gallery=True, **kw)
+    gal_n = normalize_gallery(gallery)
+    a = baked(jnp.asarray(frame))
+    b = dyn(jnp.asarray(frame), gal_n)
+    np.testing.assert_allclose(np.asarray(a["similarity"]),
+                               np.asarray(b["similarity"]), atol=1e-6)
+    assert int(a["index"]) == int(b["index"])
+    # enrollment without retrace: a grown gallery reuses... a new shape
+    # recompiles, but the same fn object accepts it (no rebuild needed)
+    g2 = np.concatenate([gallery, rng.normal(size=(2, 342))])
+    c = dyn(jnp.asarray(frame), normalize_gallery(g2))
+    assert np.asarray(c["similarity"]).shape == ()
+
+    ms_dyn = make_multistream_pipeline(det, model, variables, None,
+                                       dynamic_gallery=True, **kw)
+    frames = np.stack([frame, frame])
+    d = ms_dyn(jnp.asarray(frames), gal_n)
+    np.testing.assert_allclose(np.asarray(d["similarity"]),
+                               [np.asarray(a["similarity"])] * 2, atol=1e-6)
+
+
+def test_dynamic_gallery_multiface_matches_baked():
+    """Multiface pipeline with dynamic_gallery=True matches baked gallery."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multiface_pipeline,
+        normalize_gallery,
+    )
+
+    h = w = 48
+    det = MTCNNDetector(seed=7)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(8),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(17)
+    gallery = rng.normal(size=(5, 342))
+    kw = dict(frame_h=h, frame_w=w, embed_size=32, max_faces=4,
+              thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    frame = (rng.random((h, w, 3)) * 255).astype(np.float32)
+
+    baked = make_multiface_pipeline(det, model, variables, gallery, **kw)
+    dyn = make_multiface_pipeline(det, model, variables, None,
+                                  dynamic_gallery=True, **kw)
+    a = baked(jnp.asarray(frame))
+    b = dyn(jnp.asarray(frame), normalize_gallery(gallery))
+    np.testing.assert_allclose(np.asarray(a["similarities"]),
+                               np.asarray(b["similarities"]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a["indices"]),
+                                  np.asarray(b["indices"]))
