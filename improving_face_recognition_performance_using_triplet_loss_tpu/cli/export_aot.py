@@ -5,10 +5,14 @@ without any training code (Feature.hpp:163-205). The TPU-era equivalent:
 serialize the WHOLE fused detect -> crop -> embed -> gallery-match program
 (serve/pipeline.py) via jax.export; a serving process calls
 ``serve.aot.load_pipeline(artifact)`` — no model code, no weights files
-(the gallery and parameters are baked into the program).
+(parameters are baked into the program; the gallery is baked too by
+default, or shipped as a runtime argument with --dynamic-gallery-rows so
+the identity DB can grow without re-exporting).
 
   fx.export_aot --export-dir runs/bb/export --gallery gal.npz \\
       --frame-size 480 640 --out deploy/pipe.shlo [--max-faces 8]
+  fx.export_aot --export-dir runs/bb/export --dynamic-gallery-rows 100000 \\
+      --frame-size 480 640 --out deploy/pipe.shlo
 """
 
 from __future__ import annotations
@@ -20,8 +24,18 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--export-dir", required=True,
                    help="trained model export (serve/export.py layout)")
-    p.add_argument("--gallery", required=True,
-                   help=".npz feature store: the enrolled gallery to bake")
+    p.add_argument("--gallery",
+                   help=".npz feature store: the enrolled gallery to bake "
+                        "(required unless --dynamic-gallery-rows)")
+    p.add_argument("--dynamic-gallery-rows", type=int, default=0,
+                   metavar="G",
+                   help="export with the gallery as a RUNTIME argument of "
+                        "shape [G, feature_dim] instead of baking it: one "
+                        "artifact serves every state of the identity DB "
+                        "(enroll without re-export; pad unused rows with "
+                        "zeros — they cosine to 0). Call the loaded "
+                        "artifact as fn(frame, gallery_n) with "
+                        "serve.pipeline.normalize_gallery's output")
     p.add_argument("--frame-size", type=int, nargs=2, required=True,
                    metavar=("H", "W"))
     p.add_argument("--out", required=True, help="artifact path (.shlo)")
@@ -89,6 +103,10 @@ def main(argv=None):
                                   make_recognition_pipeline)
     from .train_backbone import _model_by_name
 
+    if not args.gallery and not args.dynamic_gallery_rows:
+        raise SystemExit(
+            "one of --gallery (baked) or --dynamic-gallery-rows (runtime "
+            "argument) is required")
     params, batch_stats, manifest = load_exported_params(args.export_dir)
     head = params.get("fc2") or params.get("f8")
     num_classes = int(head["kernel"].shape[1]) if head else 1000
@@ -100,7 +118,14 @@ def main(argv=None):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    gallery, _ = load_feature_store(args.gallery)
+    dynamic = bool(args.dynamic_gallery_rows)
+    if dynamic:
+        gallery = None
+        gallery_shape = (args.dynamic_gallery_rows,
+                         int(manifest["feature_dim"]))
+    else:
+        gallery, _ = load_feature_store(args.gallery)
+        gallery_shape = None
     if args.det_weights:
         detector = MTCNNDetector.from_npy(*args.det_weights)
     elif args.mtcnn_npz:
@@ -116,12 +141,15 @@ def main(argv=None):
     maker = (make_recognition_pipeline if args.max_faces <= 1
              else make_multiface_pipeline)
     extra = {} if args.max_faces <= 1 else {"max_faces": args.max_faces}
-    pipe = maker(detector, model, variables, np.asarray(gallery, np.float32),
+    pipe = maker(detector, model, variables,
+                 None if dynamic else np.asarray(gallery, np.float32),
                  frame_h=fh, frame_w=fw, embed_size=embed_size,
                  minsize=args.minsize, thresholds=tuple(args.thresholds),
                  sim_threshold=args.sim_threshold,
-                 int8_embed=args.int8_embed, **extra)
+                 int8_embed=args.int8_embed, dynamic_gallery=dynamic,
+                 **extra)
     path = export_pipeline(args.out, pipe, fh, fw,
+                           gallery_shape=gallery_shape,
                            platforms=args.platforms)
     import os
 
@@ -129,9 +157,12 @@ def main(argv=None):
 
     with open(path + ".json") as f:
         platforms = json.load(f)["platforms"]
+    gal_desc = (f"dynamic gallery [{gallery_shape[0]}, {gallery_shape[1]}] "
+                f"runtime arg" if dynamic
+                else f"{gallery.shape[0]}-row gallery baked")
     print(f"AOT artifact: {path} "
           f"({os.path.getsize(path) / 1e6:.1f} MB, "
-          f"{gallery.shape[0]}-row gallery baked, "
+          f"{gal_desc}, "
           f"{'multi-face K=%d' % args.max_faces if args.max_faces > 1 else 'single-face'}, "
           f"platforms={platforms})")
     return path

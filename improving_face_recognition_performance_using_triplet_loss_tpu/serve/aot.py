@@ -12,9 +12,13 @@ costs minutes through the dev tunnel; the serialized artifact skips the
 trace entirely (XLA compile of the deserialized module is cached like any
 jit).
 
-The artifact pins the export platform (cpu/tpu) and the frame shape; the
-gallery is BAKED at export time (re-export on enrollment changes, or match
-outside the program via the returned embedding + serve/gallery.py).
+The artifact pins the export platform (cpu/tpu) and the frame shape. The
+gallery ships one of two ways: BAKED at export time (the default —
+re-export on enrollment changes), or as a RUNTIME ARGUMENT
+(``gallery_shape=(G, D)`` with a ``dynamic_gallery=True`` pipeline): one
+artifact serves every state of the identity DB, enrollments never touch
+the artifact, and million-row galleries avoid the constant-serialization
+stall (BASELINE.md "Production-scale galleries").
 """
 
 from __future__ import annotations
@@ -27,20 +31,29 @@ import numpy as np
 
 
 def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
-                    *, streams: int = 0, platforms=None) -> str:
+                    *, streams: int = 0, gallery_shape=None,
+                    platforms=None) -> str:
     """Serialize a pipeline fn (from make_recognition_pipeline /
     make_multiface_pipeline) for frames of [frame_h, frame_w, 3] f32.
 
     ``streams > 0`` exports a multi-stream pipeline
     (make_multistream_pipeline) at a FIXED stream count: the artifact's
     call signature becomes [streams, frame_h, frame_w, 3] — one deployed
-    stream count per artifact, matching the one-compile-per-N contract."""
+    stream count per artifact, matching the one-compile-per-N contract.
+
+    ``gallery_shape=(G, D)`` exports a ``dynamic_gallery=True`` pipeline:
+    the artifact's call signature gains a second ``[G, D]`` f32 argument —
+    the L2-NORMALIZED gallery (serve/pipeline.py::normalize_gallery).
+    Pad unused rows with zeros (they cosine to 0); re-export only when the
+    gallery outgrows G, never on enrollment."""
     from jax.export import export as jexport
 
     shape = ((streams, frame_h, frame_w, 3) if streams
              else (frame_h, frame_w, 3))
-    spec = jax.ShapeDtypeStruct(shape, np.float32)
-    exported = jexport(jax.jit(pipeline), platforms=platforms)(spec)
+    specs = [jax.ShapeDtypeStruct(shape, np.float32)]
+    if gallery_shape is not None:
+        specs.append(jax.ShapeDtypeStruct(tuple(gallery_shape), np.float32))
+    exported = jexport(jax.jit(pipeline), platforms=platforms)(*specs)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "wb") as f:
@@ -50,21 +63,27 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
             "format": "jax.export StableHLO"}
     if streams:
         meta["streams"] = streams
+    if gallery_shape is not None:
+        meta["gallery_rows"] = int(gallery_shape[0])
+        meta["gallery_dim"] = int(gallery_shape[1])
+        meta["dynamic_gallery"] = True
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     return out_path
 
 
 def load_pipeline(path: str):
-    """Deserialize an exported pipeline; returns fn(frame) -> outputs dict.
-    No access to the original Python model/weights is needed."""
+    """Deserialize an exported pipeline; returns fn(frame) -> outputs dict
+    (fn(frame, gallery_n) for dynamic-gallery artifacts — check the
+    sidecar .json's ``dynamic_gallery``). No access to the original Python
+    model/weights is needed."""
     from jax.export import deserialize
 
     with open(path, "rb") as f:
         exported = deserialize(bytearray(f.read()))
 
-    def fn(frame):
-        return exported.call(frame)
+    def fn(*args):
+        return exported.call(*args)
 
     return fn
 

@@ -551,3 +551,60 @@ def test_dynamic_gallery_multiface_matches_baked():
                                np.asarray(b["similarities"]), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(a["indices"]),
                                   np.asarray(b["indices"]))
+
+
+def test_export_aot_cli_dynamic_gallery(tmp_path):
+    """--dynamic-gallery-rows exports an artifact whose gallery is a
+    runtime argument: enrollment updates never touch the artifact."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        export_aot,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        load_pipeline,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        normalize_gallery,
+    )
+
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="lightcnn9",
+                  feature_dim=256, input_hw=(64, 64), input_channels=1)
+
+    out = str(tmp_path / "pipe.shlo")
+    path = export_aot.main([
+        "--export-dir", export_dir, "--dynamic-gallery-rows", "8",
+        "--frame-size", "72", "72", "--embed-size", "64",
+        "--thresholds", "0.3", "0.3", "0.3", "--out", out])
+    import json as _json
+    meta = _json.load(open(path + ".json"))
+    assert meta["dynamic_gallery"] and meta["gallery_rows"] == 8
+    assert meta["gallery_dim"] == 256
+
+    fn = load_pipeline(path)
+    rng = np.random.default_rng(0)
+    frame = (rng.random((72, 72, 3)) * 255).astype(np.float32)
+    # 5 enrolled + 3 zero-padded rows (zero rows cosine to 0)
+    gal = np.zeros((8, 256), np.float32)
+    gal[:5] = rng.normal(size=(5, 256))
+    got = fn(frame, np.asarray(normalize_gallery(gal)))
+    assert np.isfinite(np.asarray(got["similarity"]))
+    # enroll row 5 WITHOUT re-export: same artifact, new gallery contents
+    gal[5] = rng.normal(size=256)
+    got2 = fn(frame, np.asarray(normalize_gallery(gal)))
+    assert np.asarray(got2["index"]).shape == ()
+
+    # neither flag -> loud error
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        export_aot.main([
+            "--export-dir", export_dir,
+            "--frame-size", "72", "72", "--out", out])
