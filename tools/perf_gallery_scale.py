@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--galleries", type=int, nargs="*",
                     default=[10_000, 100_000, 1_000_000])
+    ap.add_argument("--streams", type=int, default=0,
+                    help="also measure the multistream dynamic pipeline at "
+                         "N streams/dispatch: the [N, D] x [D, G] match "
+                         "streams the gallery ONCE per dispatch, so the "
+                         "per-frame gallery HBM cost divides by N")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +54,7 @@ def main():
         EFMNet342,
     )
     from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
         make_recognition_pipeline,
         normalize_gallery,
     )
@@ -117,6 +123,42 @@ def main():
         print(f"G={g:>9,}: enroll-at-fixed-shape call "
               f"{dt / args.frames * 1e3:.2f} ms/frame "
               f"({'RETRACED — BUG' if retraced else 'no retrace'})")
+
+        if args.streams:
+            n = args.streams
+            multi = make_multistream_pipeline(
+                det, model, variables, None, frame_h=args.size,
+                frame_w=args.size, embed_size=64,
+                thresholds=(0.3, 0.3, 0.3), dynamic_gallery=True)
+            batch = jnp.asarray(rng.uniform(
+                0, 255, (n, args.size, args.size, 3)), jnp.float32)
+
+            @jax.jit
+            def scanned_multi(b, gn):
+                def body(acc, _):
+                    out = multi(b + acc * 1e-24, gn)
+                    return acc + jnp.sum(jnp.where(
+                        jnp.isfinite(out["similarity"]),
+                        out["similarity"], 0.0)), None
+
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), None,
+                                      length=args.frames)
+                return acc
+
+            t0 = time.perf_counter()
+            _ = float(scanned_multi(batch, gal_n))
+            print(f"G={g:>9,} N={n}: compile+first "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+            ts = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = float(scanned_multi(batch, gal_n))
+                ts.append(time.perf_counter() - t0)
+            per_batch = min(ts) / args.frames
+            print(f"G={g:>9,} N={n} streams: "
+                  f"{per_batch / n * 1e3:.2f} ms/frame, "
+                  f"{n / per_batch:,.0f} frames/s "
+                  f"(gallery streamed once per dispatch)")
         del gal, gal2, gal_n, gal2_n
 
 
