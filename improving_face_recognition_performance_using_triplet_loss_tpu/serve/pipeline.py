@@ -37,6 +37,47 @@ def _apply_embed(model, variables, x, int8_embed: bool):
     return model.apply(variables, x, train=False)
 
 
+def _make_detect_embed(detector, embed_model, embed_variables, *, frame_h,
+                       frame_w, embed_size, margin, minsize, thresholds,
+                       int8_embed):
+    """The gallery-independent front of the fused pipeline: cascade ->
+    largest-centered selection -> margin crop -> grayscale resize -> embed
+    -> L2 norm. Returns fn(frame) -> (found, box, score, emb, cap_dropped).
+    Shared by the baked/dynamic pipelines and the gallery-sharded mesh
+    variant (which matches the embedding against sharded gallery rows)."""
+    cascade = make_device_cascade(
+        detector.pnet_params, detector.rnet_params, detector.onet_params,
+        frame_h, frame_w, minsize=minsize, thresholds=thresholds)
+
+    def detect_embed(frame: jnp.ndarray):
+        boxes, _, counts = cascade(frame)             # [cap, 5]
+        valid = jnp.isfinite(boxes[:, 4])
+        found = jnp.any(valid)
+        # largest-centered selection (area - 2 * center offset^2)
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5 - frame_w / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5 - frame_h / 2.0
+        rank = jnp.where(valid, area - 2.0 * (cx * cx + cy * cy), -jnp.inf)
+        best = jnp.argmax(rank)
+        box = boxes[best, :4]
+        # margin pad + clip (crop_face semantics, align_dataset_mtcnn:99-107)
+        box = jnp.stack([
+            jnp.maximum(box[0] - margin / 2, 0.0),
+            jnp.maximum(box[1] - margin / 2, 0.0),
+            jnp.minimum(box[2] + margin / 2, float(frame_w)),
+            jnp.minimum(box[3] + margin / 2, float(frame_h)),
+        ])
+        crop = crop_resize_boxes(frame, box[None], embed_size)[0]
+        gray = jnp.mean(crop, axis=-1, keepdims=True) / 255.0  # 1/255 scale
+        _, feat = _apply_embed(embed_model, embed_variables, gray[None],
+                               int8_embed)
+        emb = l2_normalize(feat)[0]
+        cap_dropped = counts[0] + counts[1] + counts[2]
+        return found, box, boxes[best, 4], emb, cap_dropped
+
+    return detect_embed
+
+
 def make_recognition_pipeline(
     detector,
     embed_model,
@@ -73,35 +114,15 @@ def make_recognition_pipeline(
     ``_jit=False`` returns the untraced body (for
     ``make_multistream_pipeline``'s vmap).
     """
-    cascade = make_device_cascade(
-        detector.pnet_params, detector.rnet_params, detector.onet_params,
-        frame_h, frame_w, minsize=minsize, thresholds=thresholds)
+    detect_embed = _make_detect_embed(
+        detector, embed_model, embed_variables, frame_h=frame_h,
+        frame_w=frame_w, embed_size=embed_size, margin=margin,
+        minsize=minsize, thresholds=thresholds, int8_embed=int8_embed)
     baked_gallery_n = (None if dynamic_gallery
                        else l2_normalize(jnp.asarray(gallery, jnp.float32)))
 
     def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n):
-        boxes, _, counts = cascade(frame)             # [cap, 5]
-        valid = jnp.isfinite(boxes[:, 4])
-        found = jnp.any(valid)
-        # largest-centered selection (area - 2 * center offset^2)
-        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5 - frame_w / 2.0
-        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5 - frame_h / 2.0
-        rank = jnp.where(valid, area - 2.0 * (cx * cx + cy * cy), -jnp.inf)
-        best = jnp.argmax(rank)
-        box = boxes[best, :4]
-        # margin pad + clip (crop_face semantics, align_dataset_mtcnn:99-107)
-        box = jnp.stack([
-            jnp.maximum(box[0] - margin / 2, 0.0),
-            jnp.maximum(box[1] - margin / 2, 0.0),
-            jnp.minimum(box[2] + margin / 2, float(frame_w)),
-            jnp.minimum(box[3] + margin / 2, float(frame_h)),
-        ])
-        crop = crop_resize_boxes(frame, box[None], embed_size)[0]
-        gray = jnp.mean(crop, axis=-1, keepdims=True) / 255.0  # 1/255 scale
-        _, feat = _apply_embed(embed_model, embed_variables, gray[None],
-                               int8_embed)
-        emb = l2_normalize(feat)[0]
+        found, box, score, emb, cap_dropped = detect_embed(frame)
         sims = gallery_n @ emb
         sims = jnp.where(jnp.isnan(sims), -2.0, sims)
         idx = jnp.argmax(sims)
@@ -110,7 +131,7 @@ def make_recognition_pipeline(
         return {
             "found": found,
             "box": box,
-            "score": boxes[best, 4],
+            "score": score,
             "index": jnp.where(matched, idx, -1).astype(jnp.int32),
             "similarity": jnp.where(found, sim, -2.0),
             # the L2-normalized face embedding — lets callers re-match
@@ -119,7 +140,7 @@ def make_recognition_pipeline(
             "embedding": emb,
             # candidates dropped by the cascade's fixed caps this frame
             # (no-silent-caps accounting; 0 on uncrowded frames)
-            "cap_dropped": counts[0] + counts[1] + counts[2],
+            "cap_dropped": cap_dropped,
         }
 
     return jax.jit(pipeline) if _jit else pipeline
@@ -209,6 +230,110 @@ def make_sharded_multistream_pipeline(
                 f"stream count ({n}) must be a multiple of the mesh "
                 f"'{axis}' axis size ({d})")
         return pipeline(jnp.asarray(frames, jnp.float32))
+
+    return run
+
+
+def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model"):
+    """L2-normalize the gallery on host, zero-pad rows to a
+    ``gallery_axis`` multiple, and device_put it sharded [Gpad, D] over the
+    mesh. Returns ``(gal_n, rows)`` for
+    :func:`make_gallery_sharded_multistream_pipeline`; padding rows are
+    masked by ``rows`` inside the pipeline, so (unlike the single-chip
+    dynamic-gallery zero-pad contract) they can never win the argmax even
+    when every real similarity is negative. Enrollments at a fixed Gpad are
+    one re-upload; growth past Gpad re-shards at the next multiple."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape[gallery_axis]
+    g, d = gallery.shape
+    gal = np.asarray(gallery, np.float32)
+    norm = np.sqrt((gal * gal).sum(-1, keepdims=True))
+    gal = gal / np.maximum(norm, 1e-12)  # l2_normalize's eps semantics
+    pad = (-g) % ndev
+    if pad:
+        gal = np.concatenate([gal, np.zeros((pad, d), np.float32)])
+    arr = jax.device_put(gal, NamedSharding(mesh, P(gallery_axis, None)))
+    return arr, g
+
+
+def make_gallery_sharded_multistream_pipeline(
+    detector,
+    embed_model,
+    embed_variables,
+    mesh,
+    *,
+    stream_axis: str = "data",
+    gallery_axis: str = "model",
+    frame_h: int,
+    frame_w: int,
+    embed_size: int = 128,
+    margin: int = 16,
+    minsize: int = 20,
+    thresholds=(0.6, 0.7, 0.7),
+    sim_threshold: float = 0.5,
+    int8_embed: bool = False,
+):
+    """Serve identity DBs BIGGER than one chip's HBM in ONE dispatch: a 2-D
+    mesh shards camera streams over every device for detect+crop+embed
+    (frames [N, H, W, 3] split over the flattened mesh — zero redundant
+    conv work), and shards GALLERY ROWS over ``gallery_axis`` for the
+    match (a 16M x 342 f32 gallery is ~22 GB — over a v5e's 16 GB HBM;
+    8-way sharding holds ~2.7 GB/chip). The [N, D] embeddings are tiny, so
+    XLA's inserted all_gather to replicate them across gallery shards
+    rides ICI for ~N*D*4 bytes; the [N, G] argmax reduces across shards
+    with the compiler's collectives (the scaling-book recipe: annotate
+    shardings, let XLA place the collectives).
+
+    Call as ``fn(frames, gal_n, rows)`` with ``(gal_n, rows)`` from
+    :func:`shard_gallery`; the gallery is a runtime argument (dynamic —
+    enrollments never retrace). N must be a multiple of the mesh size.
+    Semantics match ``make_multistream_pipeline`` row for row minus the
+    ``embedding`` output's sharding layout.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    detect_embed = _make_detect_embed(
+        detector, embed_model, embed_variables, frame_h=frame_h,
+        frame_w=frame_w, embed_size=embed_size, margin=margin,
+        minsize=minsize, thresholds=thresholds, int8_embed=int8_embed)
+    batched = jax.vmap(detect_embed)
+    frames_spec = NamedSharding(mesh, P((stream_axis, gallery_axis)))
+    gal_spec = NamedSharding(mesh, P(gallery_axis, None))
+
+    @functools.partial(jax.jit, in_shardings=(frames_spec, gal_spec, None))
+    def pipeline(frames: jnp.ndarray, gal_n: jnp.ndarray, rows):
+        found, box, score, emb, cap_dropped = batched(frames)
+        # replicate the tiny [N, D] embeddings so every gallery shard
+        # scans the full query set (one all_gather over ICI)
+        emb = jax.lax.with_sharding_constraint(
+            emb, NamedSharding(mesh, P(None, None)))
+        sims = emb @ gal_n.T                     # [N, Gpad], G-dim sharded
+        sims = jnp.where(jnp.isnan(sims), -2.0, sims)
+        valid_col = jnp.arange(gal_n.shape[0]) < rows
+        sims = jnp.where(valid_col[None, :], sims, -jnp.inf)
+        idx = jnp.argmax(sims, axis=-1)          # cross-shard reduction
+        sim = jnp.max(sims, axis=-1)
+        matched = found & (sim >= sim_threshold)
+        return {
+            "found": found,
+            "box": box,
+            "score": score,
+            "index": jnp.where(matched, idx, -1).astype(jnp.int32),
+            "similarity": jnp.where(found, sim, -2.0),
+            "embedding": emb,
+            "cap_dropped": cap_dropped,
+        }
+
+    ndev = mesh.devices.size
+
+    def run(frames, gal_n, rows):
+        n = frames.shape[0]
+        if n % ndev != 0:
+            raise ValueError(
+                f"stream count ({n}) must be a multiple of the mesh size "
+                f"({ndev}) — frames shard over the whole mesh")
+        return pipeline(jnp.asarray(frames, jnp.float32), gal_n, rows)
 
     return run
 

@@ -608,3 +608,54 @@ def test_export_aot_cli_dynamic_gallery(tmp_path):
         export_aot.main([
             "--export-dir", export_dir,
             "--frame-size", "72", "72", "--out", out])
+
+
+def test_gallery_sharded_multistream_matches_unsharded():
+    """Gallery rows sharded over the mesh's model axis + streams sharded
+    over the whole mesh must reproduce the single-device dynamic-gallery
+    pipeline row for row (incl. a padded, non-divisible gallery size)."""
+    from jax.sharding import Mesh
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_gallery_sharded_multistream_pipeline,
+        make_multistream_pipeline,
+        normalize_gallery,
+        shard_gallery,
+    )
+
+    h = w = 48
+    det = MTCNNDetector(seed=8)
+    model = EFMNet342(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(9),
+                           np.zeros((1, 32, 32, 1), np.float32))
+    rng = np.random.default_rng(23)
+    gallery = rng.normal(size=(7, 342))  # 7 % 2 != 0 -> exercises padding
+    kw = dict(frame_h=h, frame_w=w, embed_size=32,
+              thresholds=(0.05, 0.05, 0.05), sim_threshold=-1.0)
+    frames = (rng.random((8, h, w, 3)) * 255).astype(np.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    sharded = make_gallery_sharded_multistream_pipeline(
+        det, model, variables, mesh, **kw)
+    gal_n, rows = shard_gallery(gallery, mesh)
+    assert rows == 7 and gal_n.shape == (8, 342)
+    got = sharded(frames, gal_n, rows)
+
+    ref_pipe = make_multistream_pipeline(det, model, variables, None,
+                                         dynamic_gallery=True, **kw)
+    ref = ref_pipe(jnp.asarray(frames), normalize_gallery(gallery))
+
+    np.testing.assert_array_equal(np.asarray(got["found"]),
+                                  np.asarray(ref["found"]))
+    np.testing.assert_allclose(np.asarray(got["similarity"]),
+                               np.asarray(ref["similarity"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["index"]),
+                                  np.asarray(ref["index"]))
+    np.testing.assert_allclose(np.asarray(got["box"]),
+                               np.asarray(ref["box"]), atol=1e-4)
+
+    # padding rows are MASKED (not just zero): with every real similarity
+    # forced negative they still never win
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sharded(frames[:3], gal_n, rows)
