@@ -32,10 +32,11 @@ def build_parser():
                    help="export with the gallery as a RUNTIME argument of "
                         "shape [G, feature_dim] instead of baking it: one "
                         "artifact serves every state of the identity DB "
-                        "(enroll without re-export; pad unused rows with "
-                        "zeros — they cosine to 0). Call the loaded "
-                        "artifact as fn(frame, gallery_n) with "
-                        "serve.pipeline.normalize_gallery's output")
+                        "(enroll without re-export). Call the loaded "
+                        "artifact as fn(frame, gallery_n, rows) with "
+                        "serve.pipeline.normalize_gallery's output and the "
+                        "enrolled-row count — rows beyond it are masked "
+                        "out of the match, so padding contents are inert")
     p.add_argument("--frame-size", type=int, nargs=2, required=True,
                    metavar=("H", "W"))
     p.add_argument("--out", required=True, help="artifact path (.shlo)")
@@ -107,6 +108,14 @@ def main(argv=None):
         raise SystemExit(
             "one of --gallery (baked) or --dynamic-gallery-rows (runtime "
             "argument) is required")
+    if args.gallery and args.dynamic_gallery_rows:
+        raise SystemExit(
+            "--gallery and --dynamic-gallery-rows are mutually exclusive: "
+            "a dynamic artifact takes the gallery at CALL time, so the "
+            ".npz would be silently ignored")
+    if args.dynamic_gallery_rows < 0:
+        raise SystemExit("--dynamic-gallery-rows must be a positive row "
+                         "count")
     params, batch_stats, manifest = load_exported_params(args.export_dir)
     head = params.get("fc2") or params.get("f8")
     num_classes = int(head["kernel"].shape[1]) if head else 1000

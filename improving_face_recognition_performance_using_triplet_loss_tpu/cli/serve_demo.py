@@ -75,6 +75,15 @@ def build_parser():
                         "make_multistream_pipeline); prints frames/s")
     p.add_argument("--int8", action="store_true",
                    help="with --native: int8 quantized convs")
+    p.add_argument("--dynamic-gallery", action="store_true",
+                   help="with --video --detect: the gallery is a RUNTIME "
+                        "argument of the fused pipeline (enrollments grow "
+                        "the row count, never retrace) and the pipeline "
+                        "compiles at STARTUP instead of mid-stream — "
+                        "identification runs from frame 1 against the "
+                        "rows enrolled so far (the production serving "
+                        "shape; see BASELINE.md 'Production-scale "
+                        "galleries')")
     return p
 
 
@@ -203,7 +212,8 @@ def _video_detect_main(args, model, variables):
     from ..detect.pipeline import MTCNNDetector
     from ..extract import make_extract_fn
     from ..serve.pipeline import (make_multiface_pipeline,
-                                  make_recognition_pipeline)
+                                  make_recognition_pipeline,
+                                  normalize_gallery)
     from ..serve.recognition import RecognitionService
     from ..serve.video import VideoProducer
 
@@ -227,10 +237,31 @@ def _video_detect_main(args, model, variables):
         reg_feats: list[np.ndarray] = []
         results = []
         pipeline = None
+        gal_n = None
+        maker = (make_recognition_pipeline if args.max_faces <= 1
+                 else make_multiface_pipeline)
+        extra = ({} if args.max_faces <= 1
+                 else {"max_faces": args.max_faces})
+        if args.dynamic_gallery:
+            # production shape: gallery as a runtime argument — compile +
+            # warm ONCE at startup, enrollments only grow the row count
+            import jax as _jax
+
+            pipeline = maker(
+                detector, model, variables, None, dynamic_gallery=True,
+                frame_h=fh, frame_w=fw, embed_size=args.image_size,
+                thresholds=tuple(args.det_thresholds),
+                sim_threshold=args.sim_threshold, **extra)
+            gal_buf = np.zeros((max(args.register_frames, 1),
+                                model.feature_dim), np.float32)
+            gal_n = normalize_gallery(gal_buf)
+            _jax.block_until_ready(pipeline(
+                jnp.zeros(shape, jnp.float32), gal_n, jnp.int32(0)))
         with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
             while True:
+                registering = len(reg_feats) < args.register_frames
                 got = svc.queue.consume(int(np.prod(shape)),
-                                        remove_old=pipeline is not None)
+                                        remove_old=not registering)
                 if got is None:
                     if producer.finished.is_set():
                         break
@@ -251,29 +282,32 @@ def _video_detect_main(args, model, variables):
                     fv = embed_crop(gray)
                     reg_feats.append(fv)
                     svc.store.register(args.register_name, fv)
+                    if args.dynamic_gallery:
+                        # enroll into the runtime gallery: one row upload,
+                        # zero retrace (the pipeline is already compiled)
+                        gal_buf[len(reg_feats) - 1] = fv
+                        gal_n = normalize_gallery(gal_buf)
                     if len(reg_feats) == args.register_frames:
                         print(f"registered '{args.register_name}' from "
                               f"{len(reg_feats)} detected faces")
-                        maker = (make_recognition_pipeline
-                                 if args.max_faces <= 1
-                                 else make_multiface_pipeline)
-                        extra = ({} if args.max_faces <= 1
-                                 else {"max_faces": args.max_faces})
-                        pipeline = maker(
-                            detector, model, variables,
-                            np.stack(reg_feats), frame_h=fh, frame_w=fw,
-                            embed_size=args.image_size,
-                            thresholds=tuple(args.det_thresholds),
-                            sim_threshold=args.sim_threshold, **extra)
-                        import jax as _jax
+                        if not args.dynamic_gallery:
+                            pipeline = maker(
+                                detector, model, variables,
+                                np.stack(reg_feats), frame_h=fh, frame_w=fw,
+                                embed_size=args.image_size,
+                                thresholds=tuple(args.det_thresholds),
+                                sim_threshold=args.sim_threshold, **extra)
+                            import jax as _jax
 
-                        # warm the jit cache before the drop-stale stream
-                        _jax.block_until_ready(
-                            pipeline(jnp.zeros(shape, jnp.float32)))
+                            # warm the jit cache before the drop-stale
+                            # stream
+                            _jax.block_until_ready(
+                                pipeline(jnp.zeros(shape, jnp.float32)))
                     continue
-                out = {k: np.asarray(v)
-                       for k, v in pipeline(
-                           jnp.asarray(frame255, jnp.float32)).items()}
+                frame_dev = jnp.asarray(frame255, jnp.float32)
+                raw = (pipeline(frame_dev, gal_n, jnp.int32(len(reg_feats)))
+                       if args.dynamic_gallery else pipeline(frame_dev))
+                out = {k: np.asarray(v) for k, v in raw.items()}
                 if args.max_faces <= 1:
                     name = (args.register_name if int(out["index"]) >= 0
                             else None)
@@ -436,6 +470,11 @@ def main(argv=None):
             np.zeros((1, args.image_size, args.image_size, 1), np.float32))
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
+    if args.dynamic_gallery and not (args.video and args.detect
+                                     and not args.native):
+        raise SystemExit("--dynamic-gallery applies to the fused TPU "
+                         "pipeline only (use with --video --detect, "
+                         "without --native)")
     if args.streams:
         return _streams_main(args, model, variables)
     if args.video and args.detect and args.native:

@@ -42,10 +42,12 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     stream count per artifact, matching the one-compile-per-N contract.
 
     ``gallery_shape=(G, D)`` exports a ``dynamic_gallery=True`` pipeline:
-    the artifact's call signature gains a second ``[G, D]`` f32 argument —
-    the L2-NORMALIZED gallery (serve/pipeline.py::normalize_gallery).
-    Pad unused rows with zeros (they cosine to 0); re-export only when the
-    gallery outgrows G, never on enrollment."""
+    the artifact's call signature becomes ``fn(frame, gallery_n, rows)`` —
+    the L2-NORMALIZED ``[G, D]`` f32 gallery
+    (serve/pipeline.py::normalize_gallery) plus the scalar int32 count of
+    ENROLLED rows. Rows >= ``rows`` are masked out of the argmax, so
+    padding contents never win a match regardless of sim_threshold;
+    re-export only when the gallery outgrows G, never on enrollment."""
     from jax.export import export as jexport
 
     shape = ((streams, frame_h, frame_w, 3) if streams
@@ -53,6 +55,7 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     specs = [jax.ShapeDtypeStruct(shape, np.float32)]
     if gallery_shape is not None:
         specs.append(jax.ShapeDtypeStruct(tuple(gallery_shape), np.float32))
+        specs.append(jax.ShapeDtypeStruct((), np.int32))
     exported = jexport(jax.jit(pipeline), platforms=platforms)(*specs)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -74,7 +77,7 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
 
 def load_pipeline(path: str):
     """Deserialize an exported pipeline; returns fn(frame) -> outputs dict
-    (fn(frame, gallery_n) for dynamic-gallery artifacts — check the
+    (fn(frame, gallery_n, rows) for dynamic-gallery artifacts — check the
     sidecar .json's ``dynamic_gallery``). No access to the original Python
     model/weights is needed."""
     from jax.export import deserialize

@@ -37,6 +37,23 @@ def _apply_embed(model, variables, x, int8_embed: bool):
     return model.apply(variables, x, train=False)
 
 
+def _match_gallery(sims: jnp.ndarray, rows):
+    """Masked cosine argmax over the last (gallery) axis. NaNs map to -2.0
+    (Compare_Face_From_DB's guard, Feature.hpp:312-317); when ``rows`` is
+    given, columns >= rows are masked to -inf so padding rows can NEVER win
+    — even when every real similarity is negative. Returns
+    ``(idx, sim, real)`` with ``real`` False where every column is masked
+    (rows == 0, the empty-DB case) so callers keep the -2.0 sentinel
+    instead of leaking -inf."""
+    sims = jnp.where(jnp.isnan(sims), -2.0, sims)
+    if rows is not None:
+        valid = jnp.arange(sims.shape[-1]) < rows
+        sims = jnp.where(valid, sims, -jnp.inf)
+    idx = jnp.argmax(sims, axis=-1)
+    sim = jnp.max(sims, axis=-1)
+    return idx, sim, sim > -jnp.inf
+
+
 def _make_detect_embed(detector, embed_model, embed_variables, *, frame_h,
                        frame_w, embed_size, margin, minsize, thresholds,
                        int8_embed):
@@ -102,14 +119,17 @@ def make_recognition_pipeline(
     Selection rule: largest-centered detection, the alignment CLI's rule
     (align_dataset_mtcnn.py:86-95).
 
-    ``dynamic_gallery=True`` returns fn(frame, gallery_n) instead: the
-    L2-NORMALIZED gallery ([G, D] f32, see :func:`normalize_gallery`) is a
-    runtime argument, so enrollments update the identity DB WITHOUT
+    ``dynamic_gallery=True`` returns fn(frame, gallery_n[, rows]) instead:
+    the L2-NORMALIZED gallery ([G, D] f32, see :func:`normalize_gallery`)
+    is a runtime argument, so enrollments update the identity DB WITHOUT
     retracing, and million-row galleries never pass through the compiler
     as baked constants (constant-baking a 1.4 GB gallery stalls
     XLA serialization; measured round 3). One compile per gallery SHAPE —
-    grow the gallery by doubling + padding rows with zeros (zero rows
-    cosine to 0 and never win the argmax above a real match).
+    grow the gallery by doubling + padding rows, passing the enrolled row
+    count as ``rows`` so padding is MASKED out of the argmax. Omitting
+    ``rows`` treats every row as enrolled; zero padding rows then cosine
+    to 0 and can only win when every real similarity is negative (safe iff
+    ``sim_threshold > 0``).
 
     ``_jit=False`` returns the untraced body (for
     ``make_multistream_pipeline``'s vmap).
@@ -121,19 +141,16 @@ def make_recognition_pipeline(
     baked_gallery_n = (None if dynamic_gallery
                        else l2_normalize(jnp.asarray(gallery, jnp.float32)))
 
-    def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n):
+    def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n, rows=None):
         found, box, score, emb, cap_dropped = detect_embed(frame)
-        sims = gallery_n @ emb
-        sims = jnp.where(jnp.isnan(sims), -2.0, sims)
-        idx = jnp.argmax(sims)
-        sim = sims[idx]
-        matched = found & (sim >= sim_threshold)
+        idx, sim, real = _match_gallery(gallery_n @ emb, rows)
+        matched = found & real & (sim >= sim_threshold)
         return {
             "found": found,
             "box": box,
             "score": score,
             "index": jnp.where(matched, idx, -1).astype(jnp.int32),
-            "similarity": jnp.where(found, sim, -2.0),
+            "similarity": jnp.where(found & real, sim, -2.0),
             # the L2-normalized face embedding — lets callers re-match
             # against galleries too large for one chip via
             # serve.gallery.match_gallery_sharded (mesh-sharded matmul)
@@ -184,8 +201,15 @@ def make_multistream_pipeline(
             detector, embed_model, embed_variables, gallery, _jit=False,
             **kwargs)
     if kwargs.get("dynamic_gallery"):
-        # fn(frames [N, H, W, 3], gallery_n [G, D]) — gallery shared
-        return jax.jit(jax.vmap(single, in_axes=(0, None)))
+        # fn(frames [N, H, W, 3], gallery_n [G, D][, rows]) — gallery shared
+        vm2 = jax.jit(jax.vmap(single, in_axes=(0, None)))
+        vm3 = jax.jit(jax.vmap(single, in_axes=(0, None, None)))
+
+        def fn(frames, gallery_n, rows=None):
+            return (vm2(frames, gallery_n) if rows is None
+                    else vm3(frames, gallery_n, rows))
+
+        return fn
     return jax.jit(jax.vmap(single))
 
 
@@ -308,19 +332,15 @@ def make_gallery_sharded_multistream_pipeline(
         # scans the full query set (one all_gather over ICI)
         emb = jax.lax.with_sharding_constraint(
             emb, NamedSharding(mesh, P(None, None)))
-        sims = emb @ gal_n.T                     # [N, Gpad], G-dim sharded
-        sims = jnp.where(jnp.isnan(sims), -2.0, sims)
-        valid_col = jnp.arange(gal_n.shape[0]) < rows
-        sims = jnp.where(valid_col[None, :], sims, -jnp.inf)
-        idx = jnp.argmax(sims, axis=-1)          # cross-shard reduction
-        sim = jnp.max(sims, axis=-1)
-        matched = found & (sim >= sim_threshold)
+        # [N, Gpad] sims, G-dim sharded; argmax = cross-shard reduction
+        idx, sim, real = _match_gallery(emb @ gal_n.T, rows)
+        matched = found & real & (sim >= sim_threshold)
         return {
             "found": found,
             "box": box,
             "score": score,
             "index": jnp.where(matched, idx, -1).astype(jnp.int32),
-            "similarity": jnp.where(found, sim, -2.0),
+            "similarity": jnp.where(found & real, sim, -2.0),
             "embedding": emb,
             "cap_dropped": cap_dropped,
         }
@@ -369,8 +389,9 @@ def make_multiface_pipeline(
     scalar ``cap_dropped`` (cascade-internal capacity drops) and
     ``topk_dropped`` (valid detections beyond ``max_faces``).
 
-    ``dynamic_gallery=True``: fn(frame, gallery_n) with the normalized
-    gallery as a runtime argument (see ``make_recognition_pipeline``).
+    ``dynamic_gallery=True``: fn(frame, gallery_n[, rows]) with the
+    normalized gallery as a runtime argument (see
+    ``make_recognition_pipeline``).
     """
     if max_faces > 64:  # the cascade's out_cap; no silent truncation
         raise ValueError(
@@ -383,7 +404,7 @@ def make_multiface_pipeline(
     baked_gallery_n = (None if dynamic_gallery
                        else l2_normalize(jnp.asarray(gallery, jnp.float32)))
 
-    def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n):
+    def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n, rows=None):
         boxes, _, counts = cascade(frame)                 # [cap, 5]
         valid = jnp.isfinite(boxes[:, 4])
         score = jnp.where(valid, boxes[:, 4], -jnp.inf)
@@ -405,17 +426,14 @@ def make_multiface_pipeline(
         _, feats = _apply_embed(embed_model, embed_variables, gray,
                                 int8_embed)
         embs = l2_normalize(feats)                          # [K, D]
-        sims = embs @ gallery_n.T                           # [K, G]
-        sims = jnp.where(jnp.isnan(sims), -2.0, sims)
-        idx = jnp.argmax(sims, axis=1)
-        sim = jnp.take_along_axis(sims, idx[:, None], axis=1)[:, 0]
-        matched = found & (sim >= sim_threshold)
+        idx, sim, real = _match_gallery(embs @ gallery_n.T, rows)  # [K]
+        matched = found & real & (sim >= sim_threshold)
         return {
             "found": found,
             "boxes": bxs,
             "scores": top_s,
             "indices": jnp.where(matched, idx, -1).astype(jnp.int32),
-            "similarities": jnp.where(found, sim, -2.0),
+            "similarities": jnp.where(found & real, sim, -2.0),
             # per-face L2-normalized embeddings for sharded re-matching
             "embeddings": embs,
             "cap_dropped": counts[0] + counts[1] + counts[2],

@@ -523,6 +523,30 @@ def test_dynamic_gallery_matches_baked():
     np.testing.assert_allclose(np.asarray(d["similarity"]),
                                [np.asarray(a["similarity"])] * 2, atol=1e-6)
 
+    # rows masking: a PADDING row holding an exact-match embedding (sim 1,
+    # the strongest possible adversarial content) must never win once
+    # rows excludes it — and the winner's sim must come from real rows
+    emb = np.asarray(b["embedding"])
+    adversarial = np.concatenate(
+        [np.asarray(gallery, np.float32), emb[None]])  # row 6 = the probe
+    full = dyn(jnp.asarray(frame), normalize_gallery(adversarial))
+    assert int(full["index"]) == 6  # sanity: unmasked, the plant wins
+    masked = dyn(jnp.asarray(frame), normalize_gallery(adversarial),
+                 jnp.int32(6))
+    assert int(masked["index"]) == int(a["index"])
+    np.testing.assert_allclose(np.asarray(masked["similarity"]),
+                               np.asarray(a["similarity"]), atol=1e-6)
+    # rows=0 (empty DB): -2.0 sentinel, index -1 — never -inf
+    empty = dyn(jnp.asarray(frame), normalize_gallery(adversarial),
+                jnp.int32(0))
+    assert int(empty["index"]) == -1
+    assert float(empty["similarity"]) == -2.0
+    # multistream accepts rows too
+    d2 = ms_dyn(jnp.asarray(frames), normalize_gallery(adversarial),
+                jnp.int32(6))
+    np.testing.assert_array_equal(np.asarray(d2["index"]),
+                                  [int(a["index"])] * 2)
+
 
 def test_dynamic_gallery_multiface_matches_baked():
     """Multiface pipeline with dynamic_gallery=True matches baked gallery."""
@@ -592,21 +616,34 @@ def test_export_aot_cli_dynamic_gallery(tmp_path):
     fn = load_pipeline(path)
     rng = np.random.default_rng(0)
     frame = (rng.random((72, 72, 3)) * 255).astype(np.float32)
-    # 5 enrolled + 3 zero-padded rows (zero rows cosine to 0)
-    gal = np.zeros((8, 256), np.float32)
-    gal[:5] = rng.normal(size=(5, 256))
-    got = fn(frame, np.asarray(normalize_gallery(gal)))
+    # 5 enrolled rows + 3 padding rows; the artifact takes the enrolled
+    # count and masks the rest, so padding contents are inert
+    gal = rng.normal(size=(8, 256)).astype(np.float32)
+    got = fn(frame, np.asarray(normalize_gallery(gal)), np.int32(5))
     assert np.isfinite(np.asarray(got["similarity"]))
-    # enroll row 5 WITHOUT re-export: same artifact, new gallery contents
-    gal[5] = rng.normal(size=256)
-    got2 = fn(frame, np.asarray(normalize_gallery(gal)))
+    assert int(got["index"]) < 5
+    # plant the probe's own embedding in a PADDING row: masked, never wins
+    gal[7] = np.asarray(got["embedding"])
+    planted = fn(frame, np.asarray(normalize_gallery(gal)), np.int32(5))
+    assert int(planted["index"]) == int(got["index"])
+    # enroll row 5 WITHOUT re-export: same artifact, bigger row count
+    got2 = fn(frame, np.asarray(normalize_gallery(gal)), np.int32(6))
     assert np.asarray(got2["index"]).shape == ()
 
-    # neither flag -> loud error
+    # neither flag, both flags, negative rows -> loud errors
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         export_aot.main([
             "--export-dir", export_dir,
+            "--frame-size", "72", "72", "--out", out])
+    with _pytest.raises(SystemExit):
+        export_aot.main([
+            "--export-dir", export_dir, "--gallery", "g.npz",
+            "--dynamic-gallery-rows", "8",
+            "--frame-size", "72", "72", "--out", out])
+    with _pytest.raises(SystemExit):
+        export_aot.main([
+            "--export-dir", export_dir, "--dynamic-gallery-rows", "-8",
             "--frame-size", "72", "72", "--out", out])
 
 
@@ -654,8 +691,27 @@ def test_gallery_sharded_multistream_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got["box"]),
                                np.asarray(ref["box"]), atol=1e-4)
 
-    # padding rows are MASKED (not just zero): with every real similarity
-    # forced negative they still never win
+    # padding rows are MASKED, not merely zero: plant each frame's own
+    # embedding (the strongest adversarial content, sim 1) in the padding
+    # row and assert the match still comes from the real rows
+    embs = np.asarray(ref["embedding"])          # [8, 342]
+    same = np.stack([frames[0]] * 8)             # one frame -> one emb
+    adversarial = np.concatenate(
+        [np.asarray(gallery, np.float32), embs[0:1]])  # row 7 = the probe
+    gal_adv, rows_adv = shard_gallery(adversarial, mesh)
+    assert rows_adv == 8
+    unmasked = sharded(same, gal_adv, rows_adv)
+    assert int(np.asarray(unmasked["index"])[0]) == 7  # plant wins unmasked
+    masked = sharded(same, gal_adv, 7)                 # mask the plant
+    np.testing.assert_array_equal(np.asarray(masked["index"]),
+                                  [np.asarray(ref["index"])[0]] * 8)
+    # rows=0 (empty DB): the -2.0 sentinel, never -inf
+    empty = sharded(same, gal_adv, 0)
+    np.testing.assert_array_equal(np.asarray(empty["index"]), [-1] * 8)
+    np.testing.assert_array_equal(np.asarray(empty["similarity"]),
+                                  [-2.0] * 8)
+
+    # stream count must divide the mesh size
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sharded(frames[:3], gal_n, rows)

@@ -139,6 +139,43 @@ def test_serve_demo_video_detect_fused_pipeline(tmp_path):
     assert matched.count("alice") >= len(matched) * 0.6
 
 
+def test_serve_demo_video_detect_dynamic_gallery(tmp_path):
+    """`--detect --dynamic-gallery`: the fused pipeline compiles at startup
+    with the gallery as a runtime argument; enrollments grow the row count
+    with zero retrace, and identification matches the baked-gallery flow."""
+    import numpy as np
+    import pytest
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        serve_demo,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.video import (
+        write_test_video,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.uniform(40, 210, (9, 12, 3))
+    scene = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    path = str(tmp_path / "scene.avi")
+    write_test_video(path, np.stack([scene] * 40))
+
+    results = serve_demo.main([
+        "--video", path, "--detect", "--dynamic-gallery",
+        "--frame-size", "72", "96",
+        "--model", "efmnet342", "--image-size", "32",
+        "--det-thresholds", "0.45", "0.35", "0.3",
+        "--store", str(tmp_path / "dg.fjdb"), "--register-name", "alice",
+        "--register-frames", "2", "--sim-threshold", "0.3",
+        "--fps-cap", "25"])
+    assert results, "no frames went through the fused pipeline"
+    matched = [n for _, n, _ in results]
+    assert matched.count("alice") >= len(matched) * 0.6
+
+    # the flag is pipeline-only: loud error outside --video --detect
+    with pytest.raises(SystemExit):
+        serve_demo.main(["--dynamic-gallery", "--image-size", "32"])
+
+
 def test_serve_demo_video_detect_multiface(tmp_path):
     """`--detect --max-faces K`: per-frame multi-face identification through
     make_multiface_pipeline from the CLI."""
