@@ -21,15 +21,20 @@ def make_gallery_matcher(gallery: np.ndarray):
     the gallery baked in as a device constant (norms precomputed)."""
     gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
 
+    # gallery as a runtime argument, not a jit closure constant (see
+    # make_sharded_gallery_matcher's note on constant-serialization stalls)
     @jax.jit
-    def match(queries: jnp.ndarray):
+    def _match(gal: jnp.ndarray, queries: jnp.ndarray):
         qn = l2_normalize(queries.astype(jnp.float32))
-        sims = jnp.dot(qn, gallery_n.T,
+        sims = jnp.dot(qn, gal.T,
                        preferred_element_type=jnp.float32)  # [N, M]
         sims = jnp.where(jnp.isnan(sims), -2.0, sims)
         idx = jnp.argmax(sims, axis=-1)
         best = jnp.take_along_axis(sims, idx[:, None], axis=-1)[:, 0]
         return idx.astype(jnp.int32), best
+
+    def match(queries: jnp.ndarray):
+        return _match(gallery_n, queries)
 
     return match
 
@@ -103,13 +108,21 @@ def make_sharded_gallery_matcher(gallery: np.ndarray, mesh=None):
         in_specs=(P(axis, None), P()),
         out_specs=(P(axis, None), P(axis, None)))
 
+    # the gallery enters the jitted program as a RUNTIME argument, not a
+    # closure: closed-over arrays embed as compile-time constants, and at
+    # the multi-GB scale this matcher exists for, constant serialization
+    # stalls XLA (measured round 3 at 1M x 342 — BASELINE.md
+    # "Production-scale galleries")
     @jax.jit
-    def match(queries: jnp.ndarray):
-        idxs, sims = matched(gal_sharded, queries)  # [ndev, N]
+    def _match(gal: jnp.ndarray, queries: jnp.ndarray):
+        idxs, sims = matched(gal, queries)  # [ndev, N]
         win = jnp.argmax(sims, axis=0)  # first max = lowest device = lowest row
         best_sim = jnp.take_along_axis(sims, win[None, :], axis=0)[0]
         best_idx = jnp.take_along_axis(idxs, win[None, :], axis=0)[0]
         return best_idx, best_sim
+
+    def match(queries: jnp.ndarray):
+        return _match(gal_sharded, queries)
 
     return match
 
