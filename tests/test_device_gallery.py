@@ -1,0 +1,97 @@
+"""DeviceGallery: device-resident identity matrix with O(row) enrollment
+(serve/device_gallery.py) feeding the dynamic pipelines' (gallery_n, rows)
+contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.device_gallery import (
+    DeviceGallery,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+    normalize_gallery,
+)
+
+
+def test_add_matches_host_normalization():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(5, 16)).astype(np.float32)
+    dg = DeviceGallery(dim=16, capacity=8)
+    for i, v in enumerate(vecs):
+        assert dg.add(v) == i
+    assert dg.rows == 5 and dg.capacity == 8
+    np.testing.assert_allclose(dg.to_host(),
+                               np.asarray(normalize_gallery(vecs)),
+                               atol=1e-6)
+    # padding stays zero
+    np.testing.assert_array_equal(np.asarray(dg.gallery_n[5:]), 0.0)
+
+
+def test_capacity_doubles_and_preserves_rows():
+    rng = np.random.default_rng(1)
+    dg = DeviceGallery(dim=8, capacity=2)
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    for v in vecs:
+        dg.add(v)
+    assert dg.capacity == 8 and dg.rows == 5  # 2 -> 4 -> 8
+    np.testing.assert_allclose(dg.to_host(),
+                               np.asarray(normalize_gallery(vecs)), atol=1e-6)
+
+
+def test_initial_rows_and_update_delete():
+    rng = np.random.default_rng(2)
+    init = rng.normal(size=(3, 8)).astype(np.float32)
+    dg = DeviceGallery(dim=8, capacity=2, initial=init)
+    assert dg.capacity == 4 and dg.rows == 3
+    np.testing.assert_allclose(dg.to_host(),
+                               np.asarray(normalize_gallery(init)), atol=1e-6)
+    new = rng.normal(size=8).astype(np.float32)
+    dg.set_row(1, new)
+    np.testing.assert_allclose(np.asarray(dg.gallery_n[1]),
+                               np.asarray(normalize_gallery(new[None]))[0],
+                               atol=1e-6)
+    dg.clear_row(1)
+    np.testing.assert_array_equal(np.asarray(dg.gallery_n[1]), 0.0)
+    with pytest.raises(IndexError):
+        dg.set_row(3, new)
+    with pytest.raises(IndexError):
+        dg.clear_row(-1)
+    with pytest.raises(ValueError):
+        dg.add(np.zeros((4,), np.float32))
+    with pytest.raises(ValueError):
+        DeviceGallery(dim=8, capacity=0)
+
+
+def test_enrollment_does_not_reupload_gallery():
+    """add() moves O(D) bytes, not O(capacity x D): the device buffer is
+    donated in place. We can't count bytes portably, but we CAN pin the
+    contract that the buffer object is consumed (donation) and the result
+    differs only at the written row."""
+    rng = np.random.default_rng(3)
+    dg = DeviceGallery(dim=8, capacity=16)
+    dg.add(rng.normal(size=8).astype(np.float32))
+    before = np.asarray(dg.gallery_n)
+    dg.add(rng.normal(size=8).astype(np.float32))
+    after = np.asarray(dg.gallery_n)
+    changed = np.any(before != after, axis=1)
+    assert changed[1] and not changed[0] and not changed[2:].any()
+
+
+def test_feeds_dynamic_pipeline_match():
+    """(gallery_n, rows_arg) plug into the dynamic match contract: the
+    enrolled rows win, capacity padding is masked."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        _match_gallery,
+    )
+
+    rng = np.random.default_rng(4)
+    dg = DeviceGallery(dim=8, capacity=8)
+    target = rng.normal(size=8).astype(np.float32)
+    dg.add(rng.normal(size=8).astype(np.float32))
+    row = dg.add(target)
+    probe = np.asarray(normalize_gallery(target[None]))[0]
+    idx, sim, real = _match_gallery(dg.gallery_n @ probe, dg.rows_arg)
+    assert int(idx) == row and bool(real)
+    assert float(sim) == pytest.approx(1.0, abs=1e-5)

@@ -124,6 +124,26 @@ def main():
               f"{dt / args.frames * 1e3:.2f} ms/frame "
               f"({'RETRACED — BUG' if retraced else 'no retrace'})")
 
+        # O(row) enrollment: DeviceGallery.add vs the full re-upload above.
+        # 100 adds queued then forced with a scalar fetch (tunnel timing
+        # honesty — block_until_ready lies, see verify notes)
+        from improving_face_recognition_performance_using_triplet_loss_tpu.serve.device_gallery import (
+            DeviceGallery,
+        )
+
+        dg = DeviceGallery(dim=342, capacity=g)
+        dg.add(rng.normal(size=342).astype(np.float32))  # warm the jits
+        _ = float(jnp.sum(dg.gallery_n[0]))
+        n_adds = 100
+        t0 = time.perf_counter()
+        for _i in range(n_adds):
+            dg.add(rng.normal(size=342).astype(np.float32))
+        _ = float(jnp.sum(dg.gallery_n[0]))
+        per_add = (time.perf_counter() - t0) / n_adds
+        print(f"G={g:>9,}: DeviceGallery.add {per_add * 1e3:.2f} ms/enroll "
+              f"(vs {up:.2f}s full re-upload)")
+        del dg
+
         if args.streams:
             n = args.streams
             multi = make_multistream_pipeline(
