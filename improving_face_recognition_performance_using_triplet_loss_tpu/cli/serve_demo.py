@@ -212,8 +212,7 @@ def _video_detect_main(args, model, variables):
     from ..detect.pipeline import MTCNNDetector
     from ..extract import make_extract_fn
     from ..serve.pipeline import (make_multiface_pipeline,
-                                  make_recognition_pipeline,
-                                  normalize_gallery)
+                                  make_recognition_pipeline)
     from ..serve.recognition import RecognitionService
     from ..serve.video import VideoProducer
 
@@ -237,26 +236,27 @@ def _video_detect_main(args, model, variables):
         reg_feats: list[np.ndarray] = []
         results = []
         pipeline = None
-        gal_n = None
         maker = (make_recognition_pipeline if args.max_faces <= 1
                  else make_multiface_pipeline)
         extra = ({} if args.max_faces <= 1
                  else {"max_faces": args.max_faces})
         if args.dynamic_gallery:
             # production shape: gallery as a runtime argument — compile +
-            # warm ONCE at startup, enrollments only grow the row count
+            # warm ONCE at startup, enrollments are O(row) device scatters
+            # into the HBM-resident gallery (serve/device_gallery.py)
             import jax as _jax
+
+            from ..serve.device_gallery import DeviceGallery
 
             pipeline = maker(
                 detector, model, variables, None, dynamic_gallery=True,
                 frame_h=fh, frame_w=fw, embed_size=args.image_size,
                 thresholds=tuple(args.det_thresholds),
                 sim_threshold=args.sim_threshold, **extra)
-            gal_buf = np.zeros((max(args.register_frames, 1),
-                                model.feature_dim), np.float32)
-            gal_n = normalize_gallery(gal_buf)
+            dg = DeviceGallery(model.feature_dim,
+                               capacity=max(args.register_frames, 1))
             _jax.block_until_ready(pipeline(
-                jnp.zeros(shape, jnp.float32), gal_n, jnp.int32(0)))
+                jnp.zeros(shape, jnp.float32), dg.gallery_n, dg.rows_arg))
         with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
             while True:
                 registering = len(reg_feats) < args.register_frames
@@ -283,10 +283,9 @@ def _video_detect_main(args, model, variables):
                     reg_feats.append(fv)
                     svc.store.register(args.register_name, fv)
                     if args.dynamic_gallery:
-                        # enroll into the runtime gallery: one row upload,
-                        # zero retrace (the pipeline is already compiled)
-                        gal_buf[len(reg_feats) - 1] = fv
-                        gal_n = normalize_gallery(gal_buf)
+                        # enroll into the device-resident gallery: one row
+                        # scatter, zero retrace (pipeline already compiled)
+                        dg.add(fv)
                     if len(reg_feats) == args.register_frames:
                         print(f"registered '{args.register_name}' from "
                               f"{len(reg_feats)} detected faces")
@@ -305,7 +304,7 @@ def _video_detect_main(args, model, variables):
                                 pipeline(jnp.zeros(shape, jnp.float32)))
                     continue
                 frame_dev = jnp.asarray(frame255, jnp.float32)
-                raw = (pipeline(frame_dev, gal_n, jnp.int32(len(reg_feats)))
+                raw = (pipeline(frame_dev, dg.gallery_n, dg.rows_arg)
                        if args.dynamic_gallery else pipeline(frame_dev))
                 out = {k: np.asarray(v) for k, v in raw.items()}
                 if args.max_faces <= 1:
