@@ -111,6 +111,11 @@ def build_parser():
                     help="export dir: embed images/frames with the native "
                          "C++ forward (see enroll-person)")
     mp.add_argument("--int8", action="store_true")
+    mp.add_argument("--tpu", action="store_true",
+                    help="bulk-identify all probes with ONE device matmul "
+                         "(PersonStore.match_batch via serve/gallery.py) "
+                         "instead of the per-probe host scan — the right "
+                         "side of the ~100k-face crossover (BASELINE.md)")
     _add_native_mtcnn_args(mp)
 
     rc = sub.add_parser("register-card",
@@ -205,8 +210,10 @@ def _person_main(args):
         person_probe_idx = np.arange(feats.shape[0])
     results = []
     with PersonStore(args.store, dim) as store:
-        for i, fv in enumerate(feats):
-            res = store.match(fv, args.sim_th)
+        matches = (store.match_batch(feats, args.sim_th)
+                   if getattr(args, "tpu", False)
+                   else [store.match(fv, args.sim_th) for fv in feats])
+        for i, res in enumerate(matches):
             # probe = ORIGINAL frame index; 'face' = box index with
             # --mtcnn-all-faces (same contract as plain `match`)
             pi = person_probe_idx[i]

@@ -312,6 +312,33 @@ class PersonStore:
         return MatchResult(self.get_person(int(pids[best])), sim,
                            fid=int(fids[best]))
 
+    def match_batch(self, features: np.ndarray, sim_th: float = 0.5,
+                    use_tpu: bool = True) -> "list[MatchResult]":
+        """Bulk Compare_Face_DB: identify N probes in one shot. With
+        ``use_tpu`` the cosine scan runs as ONE [N, F] x [F, D] device
+        matmul (serve/gallery.py::match_gallery_tpu) — the right side of
+        the ~100k-face host/TPU crossover (BASELINE.md 'Native AVX2
+        matcher'); ``use_tpu=False`` loops the host scan, same results."""
+        features = np.asarray(features, np.float32)
+        feats, norms, fids, pids = self._matrix()
+        if feats.shape[0] == 0:
+            return [MatchResult(None, 0.0) for _ in range(len(features))]
+        if not use_tpu:
+            return [self.match(fv, sim_th) for fv in features]
+        from .gallery import match_gallery_tpu
+
+        # sim_th=-2 keeps every argmax; thresholding happens here so the
+        # below-threshold similarity is still reported (host parity)
+        idx, sim = match_gallery_tpu(feats, features, sim_th=-2.0)
+        out = []
+        for i, s in zip(idx, sim):
+            if s < sim_th:
+                out.append(MatchResult(None, float(s)))
+            else:
+                out.append(MatchResult(self.get_person(int(pids[i])),
+                                       float(s), fid=int(fids[i])))
+        return out
+
     # ------------------------------------------------- reg_face interop
 
     def export_reg_face(self, path: str) -> int:

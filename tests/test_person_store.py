@@ -171,3 +171,59 @@ def test_identify_cli_person_flows(tmp_path):
                    "--name", "bob", "--student-id", "902"])
     p = identify.main(["lookup-id", "--store", db, "--id-number", "902"])
     assert p is not None and p.name == "bob" and p.card_id == "C9"
+
+
+def test_match_batch_tpu_equals_host(tmp_path):
+    """Bulk Compare_Face_DB (ONE device matmul) must agree with the
+    per-probe host scan, person for person, incl. below-threshold probes
+    and the empty-store case."""
+    feats, labels = _clustered()
+    db = str(tmp_path / "pb.sqlite")
+    with PersonStore(db, DIM) as store:
+        # empty store: no person, similarity 0 (host parity)
+        empty = store.match_batch(feats[:2])
+        assert len(empty) == 2
+        assert all(r.person is None and r.similarity == 0.0 for r in empty)
+        for ident in np.unique(labels):
+            store.register_person(
+                Person(name=f"person{ident}"), list(feats[labels == ident]))
+        probes = np.concatenate([feats, np.eye(DIM, dtype=np.float32)[:1]])
+        host = [store.match(fv, sim_th=0.6) for fv in probes]
+        bulk = store.match_batch(probes, sim_th=0.6)
+        loop = store.match_batch(probes, sim_th=0.6, use_tpu=False)
+        assert len(bulk) == len(host) == len(loop)
+        for h, b, l in zip(host, bulk, loop):
+            assert (h.person is None) == (b.person is None) == (
+                l.person is None)
+            if h.person is not None:
+                assert h.person.pid == b.person.pid == l.person.pid
+                assert h.fid == b.fid
+            assert b.similarity == pytest.approx(h.similarity, abs=1e-5)
+        # the unenrolled probe is below threshold in all paths
+        assert bulk[-1].person is None
+
+
+def test_identify_cli_match_person_tpu(tmp_path):
+    """`identify match-person --tpu` returns the host path's results."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        identify,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        save_feature_store,
+    )
+
+    feats, labels = _clustered()
+    db = str(tmp_path / "pc.sqlite")
+    with PersonStore(db, DIM) as store:
+        for ident in np.unique(labels):
+            store.register_person(
+                Person(name=f"person{ident}"), list(feats[labels == ident]))
+    probes = str(tmp_path / "probes.npz")
+    save_feature_store(probes, feats, labels)
+    host = identify.main(["match-person", "--store", db,
+                          "--features", probes, "--sim-th", "0.6"])
+    tpu = identify.main(["match-person", "--store", db,
+                         "--features", probes, "--sim-th", "0.6", "--tpu"])
+    assert [r["pid"] for r in tpu] == [r["pid"] for r in host]
+    for a, b in zip(tpu, host):
+        assert a["similarity"] == pytest.approx(b["similarity"], abs=1e-5)
