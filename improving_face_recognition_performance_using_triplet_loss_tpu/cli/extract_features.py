@@ -36,11 +36,17 @@ def build_parser():
                    help="shard each extraction batch over every visible "
                         "device (batch-size must divide the device count) "
                         "— bulk Celeb1M-scale extraction on a pod")
+    p.add_argument("--int8", action="store_true",
+                   help="run every eligible conv on the int8 MXU path "
+                        "(ops/quantized.py generic interceptor) — measured "
+                        "1.11x on LightCNN9 bulk extraction, embedding "
+                        "cosine >= 0.9998 vs bf16 (BASELINE.md); no-win on "
+                        "small-input EFMNet342, so it stays opt-in")
     return p
 
 
 def _extract_split(model, variables, images, labels, out_dir, split,
-                   batch_size, log, data_parallel=False):
+                   batch_size, log, data_parallel=False, int8=False):
     from ..data.feature_store import (save_feature_store, write_feature_csv,
                                       write_labels_csv)
     from ..extract import extract_features
@@ -48,7 +54,7 @@ def _extract_split(model, variables, images, labels, out_dir, split,
     tic = time.time()
     feats, labels, acc = extract_features(
         model, variables, images, labels, batch_size=batch_size,
-        data_parallel=data_parallel)
+        data_parallel=data_parallel, int8=int8)
     name = {"train": "train", "valid": "valid"}[split]
     fcsv = os.path.join(out_dir, f"feature_vector_{name}.csv")
     lcsv = os.path.join(out_dir, f"label_{name}.csv")
@@ -137,7 +143,8 @@ def main(argv=None):
         # 300 GB materialization at Celeb1M scale
         results[split] = _extract_split(
             model, variables, images, labels, args.out_dir, split,
-            args.batch_size, log, data_parallel=args.data_parallel)
+            args.batch_size, log, data_parallel=args.data_parallel,
+            int8=args.int8)
     return results
 
 

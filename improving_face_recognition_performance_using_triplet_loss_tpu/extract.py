@@ -19,7 +19,21 @@ import numpy as np
 from .ops.distances import l2_normalize
 
 
-def make_extract_fn(model, *, normalize: bool = True):
+def _apply_model(model, variables, images, int8: bool):
+    """The forward, optionally with every eligible conv on the int8 MXU
+    path (ops/quantized.py's generic interceptor — measured 1.11x on
+    LightCNN9 bulk extraction, BASELINE.md 'Int8 on the serving nets')."""
+    if int8:
+        import flax.linen as nn
+
+        from .ops.quantized import int8_conv_interceptor
+
+        with nn.intercept_methods(int8_conv_interceptor()):
+            return model.apply(variables, images, train=False)
+    return model.apply(variables, images, train=False)
+
+
+def make_extract_fn(model, *, normalize: bool = True, int8: bool = False):
     """Jitted (variables, images) -> (logits, features[, normalized])."""
 
     @jax.jit
@@ -27,7 +41,7 @@ def make_extract_fn(model, *, normalize: bool = True):
         if images.dtype == jnp.uint8:
             # streaming stores ship uint8; normalize on device (1/255)
             images = images.astype(jnp.float32) / 255.0
-        logits, feat = model.apply(variables, images, train=False)
+        logits, feat = _apply_model(model, variables, images, int8)
         if normalize:
             feat = l2_normalize(feat)
         return logits, feat
@@ -35,7 +49,8 @@ def make_extract_fn(model, *, normalize: bool = True):
     return fn
 
 
-def make_sharded_extract_fn(model, *, normalize: bool = True, mesh=None):
+def make_sharded_extract_fn(model, *, normalize: bool = True, mesh=None,
+                            int8: bool = False):
     """Batch-axis SPMD extraction over every visible device — the bulk
     Celeb1M-scale extraction story on a pod (the reference extracts on one
     GPU, extract_feacture_v2.py:50; sharding the batch over the ICI mesh
@@ -54,7 +69,7 @@ def make_sharded_extract_fn(model, *, normalize: bool = True, mesh=None):
     def fn(variables, images):
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
-        logits, feat = model.apply(variables, images, train=False)
+        logits, feat = _apply_model(model, variables, images, int8)
         if normalize:
             feat = l2_normalize(feat)
         return logits, feat
@@ -71,6 +86,7 @@ def extract_features(
     batch_size: int = 256,
     normalize: bool = True,
     data_parallel: bool = False,
+    int8: bool = False,
 ) -> tuple[np.ndarray, np.ndarray | None, float]:
     """Extract embeddings for all rows; returns (features, labels, accuracy).
 
@@ -86,9 +102,9 @@ def extract_features(
             raise ValueError(
                 f"--data-parallel needs batch_size ({batch_size}) "
                 f"divisible by the device count ({ndev})")
-        fn = make_sharded_extract_fn(model, normalize=normalize)
+        fn = make_sharded_extract_fn(model, normalize=normalize, int8=int8)
     else:
-        fn = make_extract_fn(model, normalize=normalize)
+        fn = make_extract_fn(model, normalize=normalize, int8=int8)
     n = images.shape[0]
     feats_out = []
     correct = 0

@@ -162,3 +162,34 @@ def test_pipeline_int8_embed_decisions_unchanged():
     assert int(out_q["index"]) == int(out_ref["index"])
     np.testing.assert_allclose(out_q["similarity"], out_ref["similarity"],
                                atol=5e-3)
+
+
+def test_extract_features_cli_int8(tmp_path):
+    """`extract_features --int8`: the bulk extraction CLI runs the generic
+    int8 conv path end-to-end; embeddings stay cosine-aligned with the
+    default path and the CSV/npz sinks are written."""
+    import os
+
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        extract_features as xf,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.data import (
+        load_feature_store,
+    )
+
+    base = xf.main(["--synthetic", "--model", "lightcnn9",
+                    "--num-classes", "8", "--batch-size", "16",
+                    "--out-dir", str(tmp_path / "f32")])
+    q = xf.main(["--synthetic", "--model", "lightcnn9",
+                 "--num-classes", "8", "--batch-size", "16", "--int8",
+                 "--out-dir", str(tmp_path / "int8")])
+    f_b, l_b, _ = base["train"]
+    f_q, l_q, _ = q["train"]
+    np.testing.assert_array_equal(l_b, l_q)
+    cos = np.sum(f_b * f_q, axis=1)  # rows are L2-normalized
+    assert cos.min() > 0.99, f"int8 embeddings diverged: min cos {cos.min()}"
+    stored, _ = load_feature_store(str(tmp_path / "int8" / "train.npz"))
+    np.testing.assert_allclose(stored, f_q, atol=1e-6)
+    assert os.path.exists(str(tmp_path / "int8" / "feature_vector_train.csv"))
