@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=250)
+    ap.add_argument("--frame-size", type=int, nargs=2, metavar=("H", "W"),
+                    help="non-square frames (e.g. 480 640 = the reference's "
+                         "VGA cameras); overrides --size")
     ap.add_argument("--gallery", type=int, default=10000)
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--max-faces", type=int, default=8)
@@ -33,6 +36,8 @@ def main():
                     help="multi-stream batch sizes for the throughput rows "
                          "(make_multistream_pipeline); [] skips them")
     args = ap.parse_args()
+    fh, fw = (args.frame_size if args.frame_size
+              else (args.size, args.size))
 
     import jax
     import jax.numpy as jnp
@@ -62,15 +67,15 @@ def main():
         size=(args.gallery, 342)).astype(np.float32)
     rng = np.random.default_rng(1)
     frames = jnp.asarray(rng.uniform(
-        0, 255, (args.frames, args.size, args.size, 3)), jnp.float32)
+        0, 255, (args.frames, fh, fw, 3)), jnp.float32)
 
     for name, pipe in (
             ("single-face", make_recognition_pipeline(
-                det, model, variables, gallery, frame_h=args.size,
-                frame_w=args.size, embed_size=64, thresholds=(0.3, 0.3, 0.3))),
+                det, model, variables, gallery, frame_h=fh,
+                frame_w=fw, embed_size=64, thresholds=(0.3, 0.3, 0.3))),
             (f"multi-face K={args.max_faces}", make_multiface_pipeline(
-                det, model, variables, gallery, frame_h=args.size,
-                frame_w=args.size, embed_size=64, thresholds=(0.3, 0.3, 0.3),
+                det, model, variables, gallery, frame_h=fh,
+                frame_w=fw, embed_size=64, thresholds=(0.3, 0.3, 0.3),
                 max_faces=args.max_faces)),
     ):
         @jax.jit
@@ -96,7 +101,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         per = min(ts) / args.frames
         print(f"{name}: {per * 1e3:.1f} ms/frame "
-              f"({args.size}px, {args.gallery}-row gallery)")
+              f"({fh}x{fw}, {args.gallery}-row gallery)")
 
     # throughput mode: N same-shape camera streams per dispatch (vmapped
     # pipeline), scan-chained over args.frames steps -> frames/s/chip
@@ -106,10 +111,10 @@ def main():
 
     for n in args.streams:
         multi = make_multistream_pipeline(
-            det, model, variables, gallery, frame_h=args.size,
-            frame_w=args.size, embed_size=64, thresholds=(0.3, 0.3, 0.3))
+            det, model, variables, gallery, frame_h=fh,
+            frame_w=fw, embed_size=64, thresholds=(0.3, 0.3, 0.3))
         batch = jnp.asarray(rng.uniform(
-            0, 255, (n, args.size, args.size, 3)), jnp.float32)
+            0, 255, (n, fh, fw, 3)), jnp.float32)
 
         @jax.jit
         def scanned_multi(b):
@@ -136,7 +141,7 @@ def main():
         per_batch = min(ts) / args.frames
         print(f"multistream N={n}: {per_batch / n * 1e3:.2f} ms/frame, "
               f"{n / per_batch:,.0f} frames/s "
-              f"({args.size}px, {args.gallery}-row gallery)")
+              f"({fh}x{fw}, {args.gallery}-row gallery)")
 
 
 if __name__ == "__main__":
