@@ -273,36 +273,42 @@ def _video_detect_main(args, model, variables):
                     # host-cascade registration crop (RegImageAcq phase)
                     boxes, _ = detector.detect(
                         frame255, thresholds=tuple(args.det_thresholds))
-                    if boxes.shape[0] == 0:
-                        continue
-                    det = select_main_face(boxes, frame255.shape)
-                    crop = crop_face(frame255.astype(np.float32), det[0],
-                                     image_size=args.image_size, margin=16)
-                    gray = crop.mean(-1, keepdims=True) / 255.0
-                    fv = embed_crop(gray)
-                    reg_feats.append(fv)
-                    svc.store.register(args.register_name, fv)
-                    if args.dynamic_gallery:
-                        # enroll into the device-resident gallery: one row
-                        # scatter, zero retrace (pipeline already compiled)
-                        dg.add(fv)
-                    if len(reg_feats) == args.register_frames:
-                        print(f"registered '{args.register_name}' from "
-                              f"{len(reg_feats)} detected faces")
-                        if not args.dynamic_gallery:
-                            pipeline = maker(
-                                detector, model, variables,
-                                np.stack(reg_feats), frame_h=fh, frame_w=fw,
-                                embed_size=args.image_size,
-                                thresholds=tuple(args.det_thresholds),
-                                sim_threshold=args.sim_threshold, **extra)
-                            import jax as _jax
+                    if boxes.shape[0] > 0:
+                        det = select_main_face(boxes, frame255.shape)
+                        crop = crop_face(frame255.astype(np.float32),
+                                         det[0], image_size=args.image_size,
+                                         margin=16)
+                        gray = crop.mean(-1, keepdims=True) / 255.0
+                        fv = embed_crop(gray)
+                        reg_feats.append(fv)
+                        svc.store.register(args.register_name, fv)
+                        if args.dynamic_gallery:
+                            # enroll into the device-resident gallery: one
+                            # row scatter, zero retrace (pipeline already
+                            # compiled)
+                            dg.add(fv)
+                        if len(reg_feats) == args.register_frames:
+                            print(f"registered '{args.register_name}' from "
+                                  f"{len(reg_feats)} detected faces")
+                            if not args.dynamic_gallery:
+                                pipeline = maker(
+                                    detector, model, variables,
+                                    np.stack(reg_feats), frame_h=fh,
+                                    frame_w=fw, embed_size=args.image_size,
+                                    thresholds=tuple(args.det_thresholds),
+                                    sim_threshold=args.sim_threshold,
+                                    **extra)
+                                import jax as _jax
 
-                            # warm the jit cache before the drop-stale
-                            # stream
-                            _jax.block_until_ready(
-                                pipeline(jnp.zeros(shape, jnp.float32)))
-                    continue
+                                # warm the jit cache before the drop-stale
+                                # stream
+                                _jax.block_until_ready(
+                                    pipeline(jnp.zeros(shape, jnp.float32)))
+                    if not args.dynamic_gallery:
+                        continue
+                    # dynamic gallery: fall through — identification runs
+                    # from frame 1 against the rows enrolled so far (an
+                    # empty gallery is fully masked -> <unknown>)
                 frame_dev = jnp.asarray(frame255, jnp.float32)
                 raw = (pipeline(frame_dev, dg.gallery_n, dg.rows_arg)
                        if args.dynamic_gallery else pipeline(frame_dev))
@@ -470,10 +476,11 @@ def main(argv=None):
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
     if args.dynamic_gallery and not (args.video and args.detect
-                                     and not args.native):
+                                     and not args.native
+                                     and not args.streams):
         raise SystemExit("--dynamic-gallery applies to the fused TPU "
                          "pipeline only (use with --video --detect, "
-                         "without --native)")
+                         "without --native/--streams)")
     if args.streams:
         return _streams_main(args, model, variables)
     if args.video and args.detect and args.native:

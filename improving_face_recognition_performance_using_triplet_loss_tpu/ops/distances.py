@@ -18,6 +18,18 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(norm, eps)
 
 
+def l2_normalize_np(x, axis: int = -1, eps: float = 1e-12):
+    """Host-side (numpy) row-wise L2 normalization with the SAME eps-clamp
+    semantics as :func:`l2_normalize`. The single source of truth for every
+    host-prepared gallery (DeviceGallery.__init__, serve.pipeline
+    .shard_gallery) so host- and device-normalized rows stay bit-comparable."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    norm = np.sqrt(np.sum(np.square(x), axis=axis, keepdims=True))
+    return x / np.maximum(norm, eps)
+
+
 def pairwise_sq_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """[N, D] x [M, D] -> [N, M] squared euclidean distances.
 

@@ -319,7 +319,7 @@ class PersonStore:
         matmul (serve/gallery.py::match_gallery_tpu) — the right side of
         the ~100k-face host/TPU crossover (BASELINE.md 'Native AVX2
         matcher'); ``use_tpu=False`` loops the host scan, same results."""
-        features = np.asarray(features, np.float32)
+        features = np.atleast_2d(np.asarray(features, np.float32))
         feats, norms, fids, pids = self._matrix()
         if feats.shape[0] == 0:
             return [MatchResult(None, 0.0) for _ in range(len(features))]

@@ -269,11 +269,11 @@ def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model"):
     one re-upload; growth past Gpad re-shards at the next multiple."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..ops.distances import l2_normalize_np
+
     ndev = mesh.shape[gallery_axis]
     g, d = gallery.shape
-    gal = np.asarray(gallery, np.float32)
-    norm = np.sqrt((gal * gal).sum(-1, keepdims=True))
-    gal = gal / np.maximum(norm, 1e-12)  # l2_normalize's eps semantics
+    gal = l2_normalize_np(gallery)  # l2_normalize's eps semantics
     pad = (-g) % ndev
     if pad:
         gal = np.concatenate([gal, np.zeros((pad, d), np.float32)])

@@ -201,6 +201,10 @@ def test_match_batch_tpu_equals_host(tmp_path):
             assert b.similarity == pytest.approx(h.similarity, abs=1e-5)
         # the unenrolled probe is below threshold in all paths
         assert bulk[-1].person is None
+        # a single 1-D probe is accepted like match() accepts it
+        single = store.match_batch(probes[0], sim_th=0.6)
+        assert len(single) == 1
+        assert single[0].person.pid == host[0].person.pid
 
 
 def test_identify_cli_match_person_tpu(tmp_path):
