@@ -14,6 +14,14 @@ host round-trip of gallery contents, enrollment is one [D]-vector upload.
 Capacity grows by doubling (one device-side copy into a fresh padded
 buffer); the enrolled row count feeds the pipelines' ``rows`` argument so
 unused capacity is masked out of every match.
+
+With ``mesh=`` the SAME class backs the gallery-sharded pipeline
+(serve/pipeline.py::make_gallery_sharded_multistream_pipeline): rows are
+sharded ``P(gallery_axis, None)`` exactly like :func:`~..serve.pipeline
+.shard_gallery`, and enrollment stays an O(row) donated scatter — the
+one-row dynamic-update-slice lands on one shard, so identity DBs beyond a
+single chip's HBM enroll without ever re-uploading (shard_gallery's
+re-upload path costs seconds at 1M rows; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -24,25 +32,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distances import l2_normalize
+from ..ops.distances import l2_normalize, l2_normalize_np
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _set_row(gal: jnp.ndarray, row: jnp.ndarray, vec: jnp.ndarray):
+def _set_row_impl(gal: jnp.ndarray, row: jnp.ndarray, vec: jnp.ndarray):
     """Normalize ``vec`` and write it at ``row`` in place (donated)."""
     return gal.at[row].set(l2_normalize(vec.astype(jnp.float32)))
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _clear_row(gal: jnp.ndarray, row: jnp.ndarray):
+def _clear_row_impl(gal: jnp.ndarray, row: jnp.ndarray):
     return gal.at[row].set(jnp.zeros((gal.shape[1],), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def _grow(gal: jnp.ndarray, new_capacity: int):
+def _grow_impl(gal: jnp.ndarray, new_capacity: int):
     # not donated: XLA can't reuse a smaller buffer for a larger one
     pad = jnp.zeros((new_capacity - gal.shape[0], gal.shape[1]), jnp.float32)
     return jnp.concatenate([gal, pad])
+
+
+@functools.lru_cache(maxsize=None)
+def _ops_for(sharding):
+    """Jitted (set_row, clear_row, grow) pinned to ``sharding`` (or the
+    default single-device placement when ``None``). Cached per sharding so
+    long-lived galleries never recompile; the scatter/clear donate the old
+    buffer — with a row-sharded gallery the one-row dynamic-update-slice
+    touches a single shard, the rest of the matrix never moves."""
+    kw = {} if sharding is None else {"out_shardings": sharding}
+    return (
+        jax.jit(_set_row_impl, donate_argnums=0, **kw),
+        jax.jit(_clear_row_impl, donate_argnums=0, **kw),
+        jax.jit(_grow_impl, static_argnums=1, **kw),
+    )
 
 
 class DeviceGallery:
@@ -56,14 +76,40 @@ class DeviceGallery:
 
     Each capacity (doubling) is a new gallery SHAPE — one pipeline
     recompile per doubling, amortized to nothing over a DB's lifetime.
+
+    With ``mesh=`` (and the pipeline's ``gallery_axis``) the matrix is
+    row-sharded over the mesh and plugs into
+    ``make_gallery_sharded_multistream_pipeline(fn)(frames, dg.gallery_n,
+    dg.rows_arg)``; capacity rounds up to an axis-size multiple.
+
+    **Buffer-donation contract:** mutations (``add`` / ``set_row`` /
+    ``clear_row``) update the device matrix IN PLACE by donating the old
+    buffer to XLA — that in-place reuse is what makes enrollment O(row).
+    The flip side: any ``gallery_n`` reference taken BEFORE a mutation is
+    invalidated by it (JAX raises "Array has been deleted" on next use).
+    Re-read ``dg.gallery_n`` after every mutation — fetch it per dispatch,
+    don't cache it across enrollments.
     """
 
     def __init__(self, dim: int, capacity: int = 1024,
-                 initial: np.ndarray | None = None):
+                 initial: np.ndarray | None = None,
+                 mesh=None, gallery_axis: str = "model"):
         if capacity <= 0:
             raise ValueError(f"capacity must be positive, got {capacity}")
         self.dim = int(dim)
         self.rows = 0
+        self._sharding = None
+        if mesh is not None:
+            # gallery ROWS sharded over the mesh axis, matching
+            # serve.pipeline.shard_gallery / the gallery-sharded pipeline's
+            # gal_spec; capacity rounds up to an axis multiple (doubling
+            # preserves it), padding rows are masked by ``rows``
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = mesh.shape[gallery_axis]
+            capacity += (-capacity) % ndev
+            self._sharding = NamedSharding(mesh, P(gallery_axis, None))
+        self._set_row, self._clear_row, self._grow = _ops_for(self._sharding)
         if initial is not None:
             initial = np.asarray(initial, np.float32)
             if initial.ndim != 2 or initial.shape[1] != dim:
@@ -73,21 +119,49 @@ class DeviceGallery:
             while capacity < initial.shape[0]:
                 capacity *= 2
             buf = np.zeros((capacity, dim), np.float32)
-            norm = np.sqrt((initial * initial).sum(-1, keepdims=True))
-            buf[:initial.shape[0]] = initial / np.maximum(norm, 1e-12)
+            buf[:initial.shape[0]] = l2_normalize_np(initial)
             self.rows = initial.shape[0]
-            self._gal = jnp.asarray(buf)
+            self._gal = self._put(buf)
         else:
-            self._gal = jnp.zeros((capacity, dim), jnp.float32)
+            self._gal = self._put(np.zeros((capacity, dim), np.float32))
+
+    def _put(self, buf: np.ndarray) -> jnp.ndarray:
+        if self._sharding is None:
+            return jnp.asarray(buf)
+        return jax.device_put(buf, self._sharding)
 
     @property
     def capacity(self) -> int:
         return self._gal.shape[0]
 
+    @classmethod
+    def from_rows(cls, rows: np.ndarray, capacity: int = 1024,
+                  keep: np.ndarray | None = None,
+                  mesh=None, gallery_axis: str = "model") -> "DeviceGallery":
+        """Build a gallery from a [G, D] host matrix — the compaction path
+        when :meth:`clear_row` tombstones accumulate::
+
+            keep = np.ones(dg.rows, bool); keep[deleted_rows] = False
+            dg = DeviceGallery.from_rows(dg.to_host(), keep=keep)
+
+        Row indices change under compaction: remap any externally held row
+        ids via ``np.cumsum(keep) - 1``."""
+        rows = np.asarray(rows, np.float32)
+        if rows.ndim != 2:
+            raise ValueError(f"rows must be [G, D], got {rows.shape}")
+        if keep is not None:
+            rows = rows[np.asarray(keep, bool)]
+        return cls(dim=rows.shape[1], capacity=capacity, initial=rows,
+                   mesh=mesh, gallery_axis=gallery_axis)
+
     @property
     def gallery_n(self) -> jnp.ndarray:
         """The [capacity, D] normalized device matrix (padding rows are
-        zero AND masked by ``rows`` in the pipelines)."""
+        zero AND masked by ``rows`` in the pipelines).
+
+        This is the LIVE buffer, not a copy: it is donated (invalidated)
+        by the next ``add``/``set_row``/``clear_row`` — re-read it after
+        every mutation (see the class docstring)."""
         return self._gal
 
     @property
@@ -104,9 +178,9 @@ class DeviceGallery:
             raise ValueError(f"expected [{self.dim}] embedding, got "
                              f"{vec.shape}")
         if self.rows == self.capacity:
-            self._gal = _grow(self._gal, self.capacity * 2)
+            self._gal = self._grow(self._gal, self.capacity * 2)
         row = self.rows
-        self._gal = _set_row(self._gal, jnp.int32(row), vec)
+        self._gal = self._set_row(self._gal, jnp.int32(row), vec)
         self.rows += 1
         return row
 
@@ -114,17 +188,20 @@ class DeviceGallery:
         """Overwrite an enrolled row (re-enrollment / identity update)."""
         if not 0 <= row < self.rows:
             raise IndexError(f"row {row} not enrolled (rows={self.rows})")
-        self._gal = _set_row(self._gal, jnp.int32(row),
-                             jnp.asarray(vec, jnp.float32))
+        vec = jnp.asarray(vec, jnp.float32)
+        if vec.shape != (self.dim,):
+            raise ValueError(f"expected [{self.dim}] embedding, got "
+                             f"{vec.shape}")
+        self._gal = self._set_row(self._gal, jnp.int32(row), vec)
 
     def clear_row(self, row: int) -> None:
         """Zero an enrolled row (deletion tombstone: a zero row inside
         ``rows`` cosines to 0 and loses to any real match above a
-        positive threshold; compact with ``from_rows`` when tombstones
+        positive threshold; compact with :meth:`from_rows` when tombstones
         accumulate)."""
         if not 0 <= row < self.rows:
             raise IndexError(f"row {row} not enrolled (rows={self.rows})")
-        self._gal = _clear_row(self._gal, jnp.int32(row))
+        self._gal = self._clear_row(self._gal, jnp.int32(row))
 
     def to_host(self) -> np.ndarray:
         """The enrolled (normalized) rows as a host array."""

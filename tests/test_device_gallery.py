@@ -79,6 +79,81 @@ def test_enrollment_does_not_reupload_gallery():
     assert changed[1] and not changed[0] and not changed[2:].any()
 
 
+def test_set_row_validates_shape():
+    """set_row rejects wrong-shaped vectors loudly (a scalar would
+    otherwise silently broadcast into a constant row after normalize)."""
+    dg = DeviceGallery(dim=8, capacity=4)
+    dg.add(np.ones(8, np.float32))
+    with pytest.raises(ValueError):
+        dg.set_row(0, np.float32(0.5))
+    with pytest.raises(ValueError):
+        dg.set_row(0, np.zeros((4,), np.float32))
+
+
+def test_from_rows_compacts_tombstones():
+    """The documented clear_row -> from_rows compaction workflow: deleted
+    rows drop out, survivors keep their (normalized) values, and the
+    cumsum remap gives the new row ids."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    dg = DeviceGallery(dim=8, capacity=8, initial=vecs)
+    dg.clear_row(1)
+    dg.clear_row(3)
+    keep = np.ones(dg.rows, bool)
+    keep[[1, 3]] = False
+    dg2 = DeviceGallery.from_rows(dg.to_host(), capacity=4, keep=keep)
+    assert dg2.rows == 3 and dg2.capacity == 4
+    np.testing.assert_allclose(
+        dg2.to_host(), np.asarray(normalize_gallery(vecs[[0, 2, 4]])),
+        atol=1e-6)
+    remap = np.cumsum(keep) - 1
+    assert remap[4] == 2  # old row 4 -> new row 2
+    with pytest.raises(ValueError):
+        DeviceGallery.from_rows(vecs[0])  # 1-D rejected
+
+
+def test_sharded_gallery_matches_shard_gallery():
+    """DeviceGallery(mesh=...) produces bit-identical (matrix, sharding)
+    to serve.pipeline.shard_gallery's re-upload path — so the
+    gallery-sharded pipeline sees the same inputs — while enrollment stays
+    an O(row) donated scatter that lands on one shard."""
+    from jax.sharding import Mesh
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        shard_gallery,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(7, 16)).astype(np.float32)
+
+    dg = DeviceGallery(dim=16, capacity=2, mesh=mesh)
+    for v in vecs:
+        dg.add(v)
+    assert dg.rows == 7 and dg.capacity == 8  # 2 -> 4 -> 8, axis multiple
+
+    gal_ref, rows_ref = shard_gallery(vecs, mesh)  # pads 7 -> 8
+    assert rows_ref == 7 and gal_ref.shape == (8, 16)
+    np.testing.assert_allclose(np.asarray(dg.gallery_n),
+                               np.asarray(gal_ref), atol=1e-6)
+    assert dg.gallery_n.sharding == gal_ref.sharding
+
+    # mutations preserve the sharding (out_shardings pins the scatter)
+    dg.set_row(3, rng.normal(size=16).astype(np.float32))
+    assert dg.gallery_n.sharding == gal_ref.sharding
+    dg.clear_row(3)
+    assert dg.gallery_n.sharding == gal_ref.sharding
+    np.testing.assert_array_equal(np.asarray(dg.gallery_n[3]), 0.0)
+
+    # capacity rounds up to an axis multiple; from_rows carries the mesh
+    dg2 = DeviceGallery.from_rows(vecs, capacity=3, mesh=mesh)
+    assert dg2.capacity % 2 == 0 and dg2.rows == 7
+    assert dg2.gallery_n.sharding == gal_ref.sharding
+    np.testing.assert_allclose(dg2.to_host(),
+                               np.asarray(normalize_gallery(vecs)),
+                               atol=1e-6)
+
+
 def test_feeds_dynamic_pipeline_match():
     """(gallery_n, rows_arg) plug into the dynamic match contract: the
     enrolled rows win, capacity padding is masked."""
