@@ -116,6 +116,13 @@ def build_parser():
                          "(PersonStore.match_batch via serve/gallery.py) "
                          "instead of the per-probe host scan — the right "
                          "side of the ~100k-face crossover (BASELINE.md)")
+    mp.add_argument("--device-gallery", action="store_true",
+                    help="serve from the HBM-resident gallery "
+                         "(serve/gallery_service.py): cold-start the "
+                         "device matrix from the store once, match with "
+                         "one device matmul against (gallery_n, rows), "
+                         "resolve rows back to persons — the dynamic "
+                         "pipelines' production serving path")
     _add_native_mtcnn_args(mp)
 
     rc = sub.add_parser("register-card",
@@ -208,11 +215,33 @@ def _person_main(args):
     # match-person
     if person_probe_idx is None:
         person_probe_idx = np.arange(feats.shape[0])
+    if getattr(args, "device_gallery", False) and getattr(args, "tpu",
+                                                          False):
+        raise SystemExit("--device-gallery and --tpu are different match "
+                         "paths; pick one")
     results = []
     with PersonStore(args.store, dim) as store:
-        matches = (store.match_batch(feats, args.sim_th)
-                   if getattr(args, "tpu", False)
-                   else [store.match(fv, args.sim_th) for fv in feats])
+        if getattr(args, "device_gallery", False):
+            import jax.numpy as jnp
+
+            from ..ops.distances import l2_normalize_np
+            from ..serve.gallery_service import PersonGalleryService
+            from ..serve.person_store import MatchResult
+            from ..serve.pipeline import _match_gallery
+
+            svc = PersonGalleryService(store)
+            probes_n = jnp.asarray(l2_normalize_np(feats))
+            idx, sim, real = _match_gallery(probes_n @ svc.gallery_n.T,
+                                            svc.rows_arg)
+            matches = [
+                svc.resolve(int(i), float(s), args.sim_th) if bool(r)
+                else MatchResult(None, 0.0)  # empty store: host parity
+                for i, s, r in zip(np.asarray(idx), np.asarray(sim),
+                                   np.asarray(real))]
+        elif getattr(args, "tpu", False):
+            matches = store.match_batch(feats, args.sim_th)
+        else:
+            matches = [store.match(fv, args.sim_th) for fv in feats]
         for i, res in enumerate(matches):
             # probe = ORIGINAL frame index; 'face' = box index with
             # --mtcnn-all-faces (same contract as plain `match`)

@@ -296,6 +296,26 @@ class PersonStore:
             self._cache = (feats, norms, fids, pids)
         return self._cache
 
+    def valid_faces(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Every valid face as ``(features [N, D], fids [N], pids [N])`` —
+        the rows :meth:`match` scans (valid_face view: person_flag != 0,
+        pid != 0). The device-gallery cold-start source
+        (serve/gallery_service.py)."""
+        feats, _, fids, pids = self._matrix()
+        return feats.copy(), fids.copy(), pids.copy()
+
+    def set_person_flag(self, pid: int, flag: int) -> None:
+        """Flip a person's person_flag (0 retires them from the valid_*
+        views — the reference's soft delete; nonzero restores)."""
+        if pid == 0:
+            raise ValueError("pid 0 is the reserved TMP person")
+        cur = self.db.execute(
+            "UPDATE person SET person_flag = ? WHERE pid = ?", (flag, pid))
+        if cur.rowcount == 0:
+            raise KeyError(f"no person pid={pid}")
+        self.db.commit()
+        self._invalidate()
+
     def match(self, feature: np.ndarray, sim_th: float = 0.5) -> MatchResult:
         """Compare_Face_DB (Feature.hpp:766-804): max cosine over every
         valid face; the owning person wins if it clears the threshold."""

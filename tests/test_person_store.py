@@ -231,3 +231,12 @@ def test_identify_cli_match_person_tpu(tmp_path):
     assert [r["pid"] for r in tpu] == [r["pid"] for r in host]
     for a, b in zip(tpu, host):
         assert a["similarity"] == pytest.approx(b["similarity"], abs=1e-5)
+    # the HBM-resident gallery path (PersonGalleryService) agrees too
+    dg = identify.main(["match-person", "--store", db, "--features",
+                        probes, "--sim-th", "0.6", "--device-gallery"])
+    assert [r["pid"] for r in dg] == [r["pid"] for r in host]
+    for a, b in zip(dg, host):
+        assert a["similarity"] == pytest.approx(b["similarity"], abs=1e-5)
+    with pytest.raises(SystemExit):
+        identify.main(["match-person", "--store", db, "--features", probes,
+                       "--tpu", "--device-gallery"])
