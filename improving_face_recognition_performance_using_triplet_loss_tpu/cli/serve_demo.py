@@ -76,13 +76,13 @@ def build_parser():
     p.add_argument("--int8", action="store_true",
                    help="with --native: int8 quantized convs")
     p.add_argument("--dynamic-gallery", action="store_true",
-                   help="with --video --detect: the gallery is a RUNTIME "
-                        "argument of the fused pipeline (enrollments grow "
-                        "the row count, never retrace) and the pipeline "
-                        "compiles at STARTUP instead of mid-stream — "
-                        "identification runs from frame 1 against the "
-                        "rows enrolled so far (the production serving "
-                        "shape; see BASELINE.md 'Production-scale "
+                   help="with --video --detect (or --streams): the gallery "
+                        "is a RUNTIME argument of the fused pipeline "
+                        "(enrollments grow the row count, never retrace) "
+                        "and the pipeline compiles at STARTUP instead of "
+                        "mid-stream — identification runs from frame 1 "
+                        "against the rows enrolled so far (the production "
+                        "serving shape; see BASELINE.md 'Production-scale "
                         "galleries')")
     return p
 
@@ -416,11 +416,26 @@ def _streams_main(args, model, variables):
     rng = np.random.default_rng(args.seed + 1)
     gallery = rng.normal(size=(max(args.identities, 1),
                                model.feature_dim)).astype(np.float32)
-    pipe = make_multistream_pipeline(
-        det, model, variables, gallery, frame_h=fh, frame_w=fw,
-        embed_size=args.image_size,
-        thresholds=tuple(args.det_thresholds),
-        sim_threshold=args.sim_threshold)
+    if args.dynamic_gallery:
+        # production combination: throughput mode with the gallery as a
+        # runtime argument — enrollments are O(row) DeviceGallery scatters,
+        # the N-stream program never retraces
+        from ..serve.device_gallery import DeviceGallery
+
+        base = make_multistream_pipeline(
+            det, model, variables, None, dynamic_gallery=True,
+            frame_h=fh, frame_w=fw, embed_size=args.image_size,
+            thresholds=tuple(args.det_thresholds),
+            sim_threshold=args.sim_threshold)
+        dg = DeviceGallery(model.feature_dim, initial=gallery,
+                           capacity=max(args.identities, 1))
+        pipe = lambda f: base(f, dg.gallery_n, dg.rows_arg)  # noqa: E731
+    else:
+        pipe = make_multistream_pipeline(
+            det, model, variables, gallery, frame_h=fh, frame_w=fw,
+            embed_size=args.image_size,
+            thresholds=tuple(args.det_thresholds),
+            sim_threshold=args.sim_threshold)
     frames = jnp.asarray(
         rng.uniform(0, 255, (args.streams, fh, fw, 3)), jnp.float32)
     t0 = time.perf_counter()
@@ -475,12 +490,11 @@ def main(argv=None):
             np.zeros((1, args.image_size, args.image_size, 1), np.float32))
         print("note: random-init model (pipeline demo; pass --export-dir "
               "for a trained one)")
-    if args.dynamic_gallery and not (args.video and args.detect
-                                     and not args.native
-                                     and not args.streams):
+    if args.dynamic_gallery and not (args.streams or (
+            args.video and args.detect and not args.native)):
         raise SystemExit("--dynamic-gallery applies to the fused TPU "
-                         "pipeline only (use with --video --detect, "
-                         "without --native/--streams)")
+                         "pipelines only (use with --video --detect, or "
+                         "with --streams; not --native)")
     if args.streams:
         return _streams_main(args, model, variables)
     if args.video and args.detect and args.native:

@@ -171,12 +171,13 @@ def test_serve_demo_video_detect_dynamic_gallery(tmp_path):
     matched = [n for _, n, _ in results]
     assert matched.count("alice") >= len(matched) * 0.6
 
-    # the flag is pipeline-only: loud error outside --video --detect,
-    # and under --streams (which would otherwise silently ignore it)
+    # the flag is pipeline-only: loud error outside --video --detect /
+    # --streams (the state-machine and native paths have no runtime-arg
+    # gallery)
     with pytest.raises(SystemExit):
         serve_demo.main(["--dynamic-gallery", "--image-size", "32"])
     with pytest.raises(SystemExit):
-        serve_demo.main(["--video", path, "--detect", "--streams", "2",
+        serve_demo.main(["--video", path, "--detect", "--native",
                          "--dynamic-gallery", "--image-size", "32"])
 
 
