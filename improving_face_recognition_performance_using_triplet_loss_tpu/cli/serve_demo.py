@@ -37,7 +37,17 @@ def build_parser():
     p.add_argument("--register-name", default="live_person",
                    help="with --video: enroll this name from the first "
                         "--register-frames frames")
-    p.add_argument("--register-frames", type=int, default=4)
+    p.add_argument("--register-frames", type=int, default=4,
+                   help="0 (with --person-db) skips stream enrollment and "
+                        "identifies against the DB only")
+    p.add_argument("--person-db",
+                   help="with --dynamic-gallery: a PersonStore sqlite DB "
+                        "(cli.identify enroll-person) served through "
+                        "PersonGalleryService — the stream is identified "
+                        "against EVERY person in the DB (names resolved "
+                        "per match), and --register-name enrollments are "
+                        "written through to it (the reference runtime's "
+                        "load-DB-then-identify flow, Feature.hpp:189-205)")
     p.add_argument("--fps-cap", type=float, default=30.0,
                    help="with --video file sources: max producer fps")
     p.add_argument("--detect", action="store_true",
@@ -240,6 +250,7 @@ def _video_detect_main(args, model, variables):
                  else make_multiface_pipeline)
         extra = ({} if args.max_faces <= 1
                  else {"max_faces": args.max_faces})
+        gsvc = reg_pid = None
         if args.dynamic_gallery:
             # production shape: gallery as a runtime argument — compile +
             # warm ONCE at startup, enrollments are O(row) device scatters
@@ -253,8 +264,24 @@ def _video_detect_main(args, model, variables):
                 frame_h=fh, frame_w=fw, embed_size=args.image_size,
                 thresholds=tuple(args.det_thresholds),
                 sim_threshold=args.sim_threshold, **extra)
-            dg = DeviceGallery(model.feature_dim,
-                               capacity=max(args.register_frames, 1))
+            if args.person_db:
+                # identify against EVERY person in the durable DB; sized
+                # so stream enrollments never grow the gallery shape
+                # (growth would retrace mid-stream)
+                from ..serve.gallery_service import PersonGalleryService
+                from ..serve.person_store import PersonStore
+
+                pstore = PersonStore(args.person_db, model.feature_dim)
+                n_valid = pstore.valid_faces()[1].shape[0]
+                gsvc = PersonGalleryService(
+                    pstore,
+                    capacity=max(n_valid + args.register_frames, 1))
+                dg = gsvc  # same (gallery_n, rows_arg) contract
+                print(f"person-db: {n_valid} faces across "
+                      f"{len(pstore.persons())} persons in HBM")
+            else:
+                dg = DeviceGallery(model.feature_dim,
+                                   capacity=max(args.register_frames, 1))
             _jax.block_until_ready(pipeline(
                 jnp.zeros(shape, jnp.float32), dg.gallery_n, dg.rows_arg))
         with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
@@ -282,7 +309,17 @@ def _video_detect_main(args, model, variables):
                         fv = embed_crop(gray)
                         reg_feats.append(fv)
                         svc.store.register(args.register_name, fv)
-                        if args.dynamic_gallery:
+                        if gsvc is not None:
+                            # write-through: durable DB row + device
+                            # scatter (serve/gallery_service.py)
+                            from ..serve.person_store import Person
+
+                            if reg_pid is None:
+                                reg_pid = gsvc.enroll(
+                                    Person(name=args.register_name), [fv])
+                            else:
+                                gsvc.add_face(reg_pid, fv)
+                        elif args.dynamic_gallery:
                             # enroll into the device-resident gallery: one
                             # row scatter, zero retrace (pipeline already
                             # compiled)
@@ -313,9 +350,20 @@ def _video_detect_main(args, model, variables):
                 raw = (pipeline(frame_dev, dg.gallery_n, dg.rows_arg)
                        if args.dynamic_gallery else pipeline(frame_dev))
                 out = {k: np.asarray(v) for k, v in raw.items()}
+
+                def _name(ix):
+                    # the pipeline already applied sim_threshold (ix = -1
+                    # below it); with a person DB resolve the row to the
+                    # owning person, else it is the single enrolled name
+                    if int(ix) < 0:
+                        return None
+                    if gsvc is not None:
+                        res = gsvc.resolve(int(ix), 1.0, sim_th=-2.0)
+                        return res.person.name if res.person else None
+                    return args.register_name
+
                 if args.max_faces <= 1:
-                    name = (args.register_name if int(out["index"]) >= 0
-                            else None)
+                    name = _name(out["index"])
                     results.append((seq, name, float(out["similarity"])))
                     print(f"frame {seq:4d}: {name or '<unknown>'} "
                           f"(sim {float(out['similarity']):+.3f}, "
@@ -324,8 +372,7 @@ def _video_detect_main(args, model, variables):
                 else:
                     # per-face results (the reference identifies every
                     # detected face per frame)
-                    faces = [(args.register_name if int(ix) >= 0 else None,
-                              float(sm))
+                    faces = [(_name(ix), float(sm))
                              for fnd, ix, sm in zip(out["found"],
                                                     out["indices"],
                                                     out["similarities"])
@@ -339,6 +386,8 @@ def _video_detect_main(args, model, variables):
         matched = sum(1 for _, n, _ in results if n == args.register_name)
         print(f"identified {matched}/{len(results)} streamed frames as "
               f"'{args.register_name}' (fused pipeline)")
+        if gsvc is not None:
+            gsvc.store.close()
         return results
 
 
@@ -495,6 +544,14 @@ def main(argv=None):
         raise SystemExit("--dynamic-gallery applies to the fused TPU "
                          "pipelines only (use with --video --detect, or "
                          "with --streams; not --native)")
+    if args.person_db and not (args.dynamic_gallery and args.video
+                               and args.detect):
+        raise SystemExit("--person-db needs the dynamic-gallery streaming "
+                         "pipeline (--video --detect --dynamic-gallery)")
+    if args.register_frames == 0 and not args.dynamic_gallery:
+        raise SystemExit("--register-frames 0 (identify-only) needs "
+                         "--dynamic-gallery (the baked-gallery pipeline "
+                         "compiles FROM the registration features)")
     if args.streams:
         return _streams_main(args, model, variables)
     if args.video and args.detect and args.native:

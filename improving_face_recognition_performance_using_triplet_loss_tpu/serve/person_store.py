@@ -142,6 +142,9 @@ class PersonStore:
             "INSERT INTO face (pid, simd_dot, img_path, feature) "
             "VALUES (?, ?, ?, ?)",
             (pid, norm, img_path, self._feature_blob(feature)))
+        # durable on its own: callers outside the register_* flows (e.g.
+        # PersonGalleryService.add_face) must not lose rows on close()
+        self.db.commit()
         self._invalidate()
         return int(cur.lastrowid)
 

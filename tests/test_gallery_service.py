@@ -85,6 +85,14 @@ def test_write_through_enroll_and_add_face(tmp_path):
         with pytest.raises(KeyError):
             svc.add_face(9999, feats[0])
 
+    # durability across CONNECTIONS, not just service instances: reopen
+    # the DB file cold (uncommitted add_face rows would be rolled back)
+    with PersonStore(str(tmp_path / "p.sqlite"), DIM) as store2:
+        svc3 = PersonGalleryService(store2)
+        assert svc3.rows == 4
+        idx3, sim3, _ = _device_match(svc3, feats[labels == 0][:1])
+        assert svc3.resolve(int(idx3[0]), float(sim3[0])).person.pid == pid
+
 
 def test_retire_tombstones_then_refresh_compacts(tmp_path):
     feats, labels = _clustered()

@@ -181,6 +181,62 @@ def test_serve_demo_video_detect_dynamic_gallery(tmp_path):
                          "--dynamic-gallery", "--image-size", "32"])
 
 
+def test_serve_demo_person_db_multi_person(tmp_path):
+    """--person-db: stream enrollments write through to the durable
+    PersonStore, and a later identify-only run (--register-frames 0) cold
+    starts the HBM gallery from the DB and resolves the RIGHT person's
+    name among several enrolled people."""
+    import numpy as np
+    import pytest
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        serve_demo,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.video import (
+        write_test_video,
+    )
+
+    rng = np.random.default_rng(77)
+    scenes = {}
+    for name, seed in (("alice", 1), ("bob", 2)):
+        r = np.random.default_rng(seed)
+        base = r.uniform(40, 210, (9, 12, 3))
+        scene = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+        path = str(tmp_path / f"{name}.avi")
+        write_test_video(path, np.stack([scene] * 25))
+        scenes[name] = path
+    db = str(tmp_path / "people.sqlite")
+    common = ["--detect", "--dynamic-gallery", "--person-db", db,
+              "--frame-size", "72", "96", "--model", "efmnet342",
+              "--image-size", "32", "--det-thresholds", "0.45", "0.35",
+              "0.3", "--sim-threshold", "0.3", "--fps-cap", "25"]
+
+    # enroll both people from their own streams (write-through)
+    for name in ("alice", "bob"):
+        res = serve_demo.main(
+            ["--video", scenes[name], "--register-name", name,
+             "--register-frames", "2",
+             "--store", str(tmp_path / f"{name}.fjdb")] + common)
+        assert res, f"{name}: no frames went through the pipeline"
+
+    # identify-only cold start: alice's stream must resolve to 'alice'
+    # (her enrolled rows cosine ~1 to her own frames; argmax beats bob)
+    res = serve_demo.main(
+        ["--video", scenes["alice"], "--register-frames", "0",
+         "--register-name", "alice",
+         "--store", str(tmp_path / "probe.fjdb")] + common)
+    assert res
+    names = [n for _, n, _ in res if n is not None]
+    assert names and all(n == "alice" for n in names)
+
+    # flag validation
+    with pytest.raises(SystemExit):
+        serve_demo.main(["--person-db", db, "--image-size", "32"])
+    with pytest.raises(SystemExit):
+        serve_demo.main(["--video", scenes["alice"], "--detect",
+                         "--register-frames", "0", "--image-size", "32"])
+
+
 def test_serve_demo_video_detect_multiface(tmp_path):
     """`--detect --max-faces K`: per-frame multi-face identification through
     make_multiface_pipeline from the CLI."""
