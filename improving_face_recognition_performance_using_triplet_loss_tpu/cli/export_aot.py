@@ -37,6 +37,14 @@ def build_parser():
                         "serve.pipeline.normalize_gallery's output and the "
                         "enrolled-row count — rows beyond it are masked "
                         "out of the match, so padding contents are inert")
+    p.add_argument("--gallery-dtype", choices=("f32", "bf16"),
+                   default="f32",
+                   help="with --dynamic-gallery-rows: storage dtype of the "
+                        "gallery operand. bf16 halves its HBM bytes — the "
+                        "match stage at production scale is bandwidth-"
+                        "bound, so this buys up to 2x on the G-dominated "
+                        "term (pass normalize_gallery(g, jnp.bfloat16) at "
+                        "call time)")
     p.add_argument("--frame-size", type=int, nargs=2, required=True,
                    metavar=("H", "W"))
     p.add_argument("--out", required=True, help="artifact path (.shlo)")
@@ -116,6 +124,10 @@ def main(argv=None):
     if args.dynamic_gallery_rows < 0:
         raise SystemExit("--dynamic-gallery-rows must be a positive row "
                          "count")
+    if args.gallery_dtype != "f32" and not args.dynamic_gallery_rows:
+        raise SystemExit("--gallery-dtype applies to the dynamic gallery "
+                         "operand (use with --dynamic-gallery-rows); a "
+                         "baked gallery is an f32 program constant")
     params, batch_stats, manifest = load_exported_params(args.export_dir)
     head = params.get("fc2") or params.get("f8")
     num_classes = int(head["kernel"].shape[1]) if head else 1000
@@ -157,8 +169,13 @@ def main(argv=None):
                  sim_threshold=args.sim_threshold,
                  int8_embed=args.int8_embed, dynamic_gallery=dynamic,
                  **extra)
+    import jax.numpy as jnp
+
     path = export_pipeline(args.out, pipe, fh, fw,
                            gallery_shape=gallery_shape,
+                           gallery_dtype=(jnp.bfloat16
+                                          if args.gallery_dtype == "bf16"
+                                          else jnp.float32),
                            platforms=args.platforms)
     import os
 

@@ -32,7 +32,7 @@ import numpy as np
 
 def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
                     *, streams: int = 0, gallery_shape=None,
-                    platforms=None) -> str:
+                    gallery_dtype=np.float32, platforms=None) -> str:
     """Serialize a pipeline fn (from make_recognition_pipeline /
     make_multiface_pipeline) for frames of [frame_h, frame_w, 3] f32.
 
@@ -47,14 +47,18 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     (serve/pipeline.py::normalize_gallery) plus the scalar int32 count of
     ENROLLED rows. Rows >= ``rows`` are masked out of the argmax, so
     padding contents never win a match regardless of sim_threshold;
-    re-export only when the gallery outgrows G, never on enrollment."""
+    re-export only when the gallery outgrows G, never on enrollment.
+    ``gallery_dtype=jnp.bfloat16`` bakes a half-bandwidth gallery operand
+    into the artifact (pass matching-dtype rows at call time — see
+    normalize_gallery)."""
     from jax.export import export as jexport
 
     shape = ((streams, frame_h, frame_w, 3) if streams
              else (frame_h, frame_w, 3))
     specs = [jax.ShapeDtypeStruct(shape, np.float32)]
     if gallery_shape is not None:
-        specs.append(jax.ShapeDtypeStruct(tuple(gallery_shape), np.float32))
+        specs.append(jax.ShapeDtypeStruct(tuple(gallery_shape),
+                                          gallery_dtype))
         specs.append(jax.ShapeDtypeStruct((), np.int32))
     exported = jexport(jax.jit(pipeline), platforms=platforms)(*specs)
     blob = exported.serialize()
@@ -69,6 +73,7 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     if gallery_shape is not None:
         meta["gallery_rows"] = int(gallery_shape[0])
         meta["gallery_dim"] = int(gallery_shape[1])
+        meta["gallery_dtype"] = np.dtype(gallery_dtype).name
         meta["dynamic_gallery"] = True
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)

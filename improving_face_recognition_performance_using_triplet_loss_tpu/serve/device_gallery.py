@@ -36,17 +36,19 @@ from ..ops.distances import l2_normalize, l2_normalize_np
 
 
 def _set_row_impl(gal: jnp.ndarray, row: jnp.ndarray, vec: jnp.ndarray):
-    """Normalize ``vec`` and write it at ``row`` in place (donated)."""
-    return gal.at[row].set(l2_normalize(vec.astype(jnp.float32)))
+    """Normalize ``vec`` (always in f32) and write it at ``row`` in place
+    (donated), narrowing to the gallery's storage dtype."""
+    return gal.at[row].set(
+        l2_normalize(vec.astype(jnp.float32)).astype(gal.dtype))
 
 
 def _clear_row_impl(gal: jnp.ndarray, row: jnp.ndarray):
-    return gal.at[row].set(jnp.zeros((gal.shape[1],), jnp.float32))
+    return gal.at[row].set(jnp.zeros((gal.shape[1],), gal.dtype))
 
 
 def _grow_impl(gal: jnp.ndarray, new_capacity: int):
     # not donated: XLA can't reuse a smaller buffer for a larger one
-    pad = jnp.zeros((new_capacity - gal.shape[0], gal.shape[1]), jnp.float32)
+    pad = jnp.zeros((new_capacity - gal.shape[0], gal.shape[1]), gal.dtype)
     return jnp.concatenate([gal, pad])
 
 
@@ -82,6 +84,11 @@ class DeviceGallery:
     ``make_gallery_sharded_multistream_pipeline(fn)(frames, dg.gallery_n,
     dg.rows_arg)``; capacity rounds up to an axis-size multiple.
 
+    ``dtype=jnp.bfloat16`` halves the matrix's HBM bytes and the
+    bandwidth-bound match stage's traffic at production gallery scale
+    (see :func:`~.pipeline.normalize_gallery`); rows are still normalized
+    in f32 before narrowing.
+
     **Buffer-donation contract:** mutations (``add`` / ``set_row`` /
     ``clear_row``) update the device matrix IN PLACE by donating the old
     buffer to XLA — that in-place reuse is what makes enrollment O(row).
@@ -93,11 +100,13 @@ class DeviceGallery:
 
     def __init__(self, dim: int, capacity: int = 1024,
                  initial: np.ndarray | None = None,
-                 mesh=None, gallery_axis: str = "model"):
+                 mesh=None, gallery_axis: str = "model",
+                 dtype=jnp.float32):
         if capacity <= 0:
             raise ValueError(f"capacity must be positive, got {capacity}")
         self.dim = int(dim)
         self.rows = 0
+        self.dtype = jnp.dtype(dtype)
         self._sharding = None
         if mesh is not None:
             # gallery ROWS sharded over the mesh axis, matching
@@ -126,9 +135,11 @@ class DeviceGallery:
             self._gal = self._put(np.zeros((capacity, dim), np.float32))
 
     def _put(self, buf: np.ndarray) -> jnp.ndarray:
-        if self._sharding is None:
-            return jnp.asarray(buf)
-        return jax.device_put(buf, self._sharding)
+        arr = (jnp.asarray(buf) if self._sharding is None
+               else jax.device_put(buf, self._sharding))
+        if arr.dtype != self.dtype:
+            arr = arr.astype(self.dtype)  # sharding propagates
+        return arr
 
     @property
     def capacity(self) -> int:
@@ -137,7 +148,8 @@ class DeviceGallery:
     @classmethod
     def from_rows(cls, rows: np.ndarray, capacity: int = 1024,
                   keep: np.ndarray | None = None,
-                  mesh=None, gallery_axis: str = "model") -> "DeviceGallery":
+                  mesh=None, gallery_axis: str = "model",
+                  dtype=jnp.float32) -> "DeviceGallery":
         """Build a gallery from a [G, D] host matrix — the compaction path
         when :meth:`clear_row` tombstones accumulate::
 
@@ -152,7 +164,7 @@ class DeviceGallery:
         if keep is not None:
             rows = rows[np.asarray(keep, bool)]
         return cls(dim=rows.shape[1], capacity=capacity, initial=rows,
-                   mesh=mesh, gallery_axis=gallery_axis)
+                   mesh=mesh, gallery_axis=gallery_axis, dtype=dtype)
 
     @property
     def gallery_n(self) -> jnp.ndarray:
@@ -204,5 +216,6 @@ class DeviceGallery:
         self._gal = self._clear_row(self._gal, jnp.int32(row))
 
     def to_host(self) -> np.ndarray:
-        """The enrolled (normalized) rows as a host array."""
-        return np.asarray(self._gal[:self.rows])
+        """The enrolled (normalized) rows as a host f32 array (widened
+        from the storage dtype when the gallery is bf16)."""
+        return np.asarray(self._gal[:self.rows], np.float32)

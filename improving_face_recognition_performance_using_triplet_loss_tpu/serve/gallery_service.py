@@ -50,11 +50,15 @@ class PersonGalleryService:
     """
 
     def __init__(self, store: PersonStore, capacity: int = 1024,
-                 mesh=None, gallery_axis: str = "model"):
+                 mesh=None, gallery_axis: str = "model",
+                 dtype=None):
+        import jax.numpy as jnp
+
         self.store = store
         self._mesh = mesh
         self._gallery_axis = gallery_axis
         self._capacity_hint = capacity
+        self._dtype = jnp.float32 if dtype is None else dtype
         self._load()
 
     def _load(self) -> None:
@@ -62,7 +66,8 @@ class PersonGalleryService:
         self._dg = DeviceGallery(
             dim=self.store.feature_dim, capacity=self._capacity_hint,
             initial=feats if feats.shape[0] else None,
-            mesh=self._mesh, gallery_axis=self._gallery_axis)
+            mesh=self._mesh, gallery_axis=self._gallery_axis,
+            dtype=self._dtype)
         self._fids = list(map(int, fids))
         self._pids = list(map(int, pids))
 

@@ -163,10 +163,19 @@ def make_recognition_pipeline(
     return jax.jit(pipeline) if _jit else pipeline
 
 
-def normalize_gallery(gallery: np.ndarray) -> jnp.ndarray:
-    """Gallery rows -> the L2-normalized [G, D] f32 device array the
-    ``dynamic_gallery`` pipelines take at call time."""
-    return l2_normalize(jnp.asarray(gallery, jnp.float32))
+def normalize_gallery(gallery: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Gallery rows -> the L2-normalized [G, D] device array the
+    ``dynamic_gallery`` pipelines take at call time.
+
+    ``dtype=jnp.bfloat16`` halves the gallery's HBM bytes — and the match
+    stage at production scale is bandwidth-bound at ~100% of the f32
+    roofline (BASELINE.md 'Production-scale galleries'), so bf16 buys up
+    to 2x on the G-dominated term. Normalization stays f32; only the
+    stored rows narrow (~3e-3 cosine error — far under any identification
+    threshold gap; argmax parity is pinned in tests/test_fused_pipeline
+    .py). The matmul's bf16->f32 widening fuses into the operand read, so
+    traffic stays bf16."""
+    return l2_normalize(jnp.asarray(gallery, jnp.float32)).astype(dtype)
 
 
 def make_multistream_pipeline(
@@ -258,7 +267,8 @@ def make_sharded_multistream_pipeline(
     return run
 
 
-def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model"):
+def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model",
+                  dtype=jnp.float32):
     """L2-normalize the gallery on host, zero-pad rows to a
     ``gallery_axis`` multiple, and device_put it sharded [Gpad, D] over the
     mesh. Returns ``(gal_n, rows)`` for
@@ -266,7 +276,9 @@ def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model"):
     masked by ``rows`` inside the pipeline, so (unlike the single-chip
     dynamic-gallery zero-pad contract) they can never win the argmax even
     when every real similarity is negative. Enrollments at a fixed Gpad are
-    one re-upload; growth past Gpad re-shards at the next multiple."""
+    one re-upload; growth past Gpad re-shards at the next multiple.
+    ``dtype=jnp.bfloat16`` halves per-shard HBM bytes and match-stage
+    bandwidth (see :func:`normalize_gallery`)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.distances import l2_normalize_np
@@ -278,6 +290,8 @@ def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model"):
     if pad:
         gal = np.concatenate([gal, np.zeros((pad, d), np.float32)])
     arr = jax.device_put(gal, NamedSharding(mesh, P(gallery_axis, None)))
+    if arr.dtype != dtype:
+        arr = arr.astype(dtype)  # elementwise: sharding propagates
     return arr, g
 
 

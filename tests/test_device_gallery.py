@@ -112,6 +112,36 @@ def test_from_rows_compacts_tombstones():
         DeviceGallery.from_rows(vecs[0])  # 1-D rejected
 
 
+def test_bf16_storage_dtype():
+    """dtype=bf16 halves the matrix's HBM bytes; rows still normalize in
+    f32 and read back within bf16 narrowing error, across add/grow/
+    set_row/clear_row and the sharded mode."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(5, 16)).astype(np.float32)
+    dg = DeviceGallery(dim=16, capacity=2, dtype=jnp.bfloat16)
+    for v in vecs:
+        dg.add(v)
+    assert dg.gallery_n.dtype == jnp.bfloat16  # survives _grow
+    ref = np.asarray(normalize_gallery(vecs))
+    np.testing.assert_allclose(dg.to_host(), ref, atol=1e-2)
+    assert dg.to_host().dtype == np.float32
+    dg.set_row(2, vecs[0])
+    assert dg.gallery_n.dtype == jnp.bfloat16
+    dg.clear_row(1)
+    np.testing.assert_array_equal(np.asarray(dg.gallery_n[1]), 0.0)
+
+    # initial-rows path + sharded mode keep the dtype too
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    dg2 = DeviceGallery(dim=16, capacity=4, initial=vecs, mesh=mesh,
+                        dtype=jnp.bfloat16)
+    assert dg2.gallery_n.dtype == jnp.bfloat16
+    np.testing.assert_allclose(dg2.to_host(), ref, atol=1e-2)
+    dg2.add(vecs[0])
+    assert dg2.gallery_n.dtype == jnp.bfloat16
+
+
 def test_sharded_gallery_matches_shard_gallery():
     """DeviceGallery(mesh=...) produces bit-identical (matrix, sharding)
     to serve.pipeline.shard_gallery's re-upload path — so the

@@ -547,6 +547,55 @@ def test_dynamic_gallery_matches_baked():
     np.testing.assert_array_equal(np.asarray(d2["index"]),
                                   [int(a["index"])] * 2)
 
+    # bf16 gallery storage (half the match stage's HBM bytes at
+    # production scale): decisions unchanged, sims within narrowing error
+    g16 = normalize_gallery(adversarial, jnp.bfloat16)
+    assert g16.dtype == jnp.bfloat16
+    b16 = dyn(jnp.asarray(frame), g16)
+    assert np.asarray(b16["similarity"]).dtype == np.float32
+    assert int(b16["index"]) == 6  # the plant still wins unmasked
+    assert abs(float(b16["similarity"])
+               - float(full["similarity"])) < 5e-3
+    m16 = dyn(jnp.asarray(frame), g16, jnp.int32(6))
+    assert int(m16["index"]) == int(a["index"])  # masked argmax agrees
+    assert abs(float(m16["similarity"])
+               - float(a["similarity"])) < 5e-3
+
+
+def test_export_pipeline_bf16_gallery_operand(tmp_path):
+    """AOT export with a bf16 dynamic-gallery operand: the dtype lands in
+    the artifact's call signature + sidecar metadata, and the loaded
+    artifact executes with matching-dtype rows."""
+    import json as _json
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+        export_pipeline,
+        load_pipeline,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        normalize_gallery,
+    )
+
+    def pipe(frame, gal, rows):  # minimal fn with the dynamic signature
+        sims = gal.astype(jnp.float32).sum(-1)
+        return {"s": sims.sum() + frame.sum() + rows.astype(jnp.float32)}
+
+    path = export_pipeline(str(tmp_path / "p16.shlo"), pipe, 8, 8,
+                           gallery_shape=(4, 3),
+                           gallery_dtype=jnp.bfloat16)
+    with open(path + ".json") as f:
+        meta = _json.load(f)
+    assert meta["gallery_dtype"] == "bfloat16" and meta["dynamic_gallery"]
+    fn = load_pipeline(path)
+    gal16 = normalize_gallery(np.ones((4, 3), np.float32), jnp.bfloat16)
+    out = fn(np.zeros((8, 8, 3), np.float32), gal16, np.int32(4))
+    assert np.isfinite(float(out["s"]))
+    # wrong-dtype rows are rejected by the artifact's signature
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        fn(np.zeros((8, 8, 3), np.float32),
+           np.ones((4, 3), np.float32), np.int32(4))
+
 
 def test_dynamic_gallery_multiface_matches_baked():
     """Multiface pipeline with dynamic_gallery=True matches baked gallery."""
@@ -644,6 +693,11 @@ def test_export_aot_cli_dynamic_gallery(tmp_path):
     with _pytest.raises(SystemExit):
         export_aot.main([
             "--export-dir", export_dir, "--dynamic-gallery-rows", "-8",
+            "--frame-size", "72", "72", "--out", out])
+    with _pytest.raises(SystemExit):  # bf16 needs the dynamic operand
+        export_aot.main([
+            "--export-dir", export_dir, "--gallery", "g.npz",
+            "--gallery-dtype", "bf16",
             "--frame-size", "72", "72", "--out", out])
 
 

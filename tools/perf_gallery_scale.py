@@ -41,6 +41,10 @@ def main():
                          "N streams/dispatch: the [N, D] x [D, G] match "
                          "streams the gallery ONCE per dispatch, so the "
                          "per-frame gallery HBM cost divides by N")
+    ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32",
+                    help="gallery storage dtype: bf16 halves the "
+                         "bandwidth-bound match stage's HBM traffic (the "
+                         "+ms-vs-smallest-G term should roughly halve)")
     args = ap.parse_args()
 
     import jax
@@ -91,8 +95,9 @@ def main():
         # build the gallery on HOST, normalize on device in chunks via
         # normalize_gallery (one [G, 342] transfer)
         gal = rng.normal(size=(g, 342)).astype(np.float32)
+        gdtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         t0 = time.perf_counter()
-        gal_n = jax.block_until_ready(normalize_gallery(gal))
+        gal_n = jax.block_until_ready(normalize_gallery(gal, gdtype))
         up = time.perf_counter() - t0
         t0 = time.perf_counter()
         _ = float(scanned(frames, gal_n))
@@ -115,7 +120,7 @@ def main():
         # must not recompile (compile would show up as seconds, not ms)
         gal2 = np.array(gal)
         gal2[0] = rng.normal(size=342)
-        gal2_n = jax.block_until_ready(normalize_gallery(gal2))
+        gal2_n = jax.block_until_ready(normalize_gallery(gal2, gdtype))
         t0 = time.perf_counter()
         _ = float(scanned(frames, gal2_n))
         dt = time.perf_counter() - t0
@@ -131,7 +136,7 @@ def main():
             DeviceGallery,
         )
 
-        dg = DeviceGallery(dim=342, capacity=g)
+        dg = DeviceGallery(dim=342, capacity=g, dtype=gdtype)
         dg.add(rng.normal(size=342).astype(np.float32))  # warm the jits
         _ = float(jnp.sum(dg.gallery_n[0]))
         n_adds = 100
