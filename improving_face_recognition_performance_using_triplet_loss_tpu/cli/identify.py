@@ -222,22 +222,10 @@ def _person_main(args):
     results = []
     with PersonStore(args.store, dim) as store:
         if getattr(args, "device_gallery", False):
-            import jax.numpy as jnp
-
-            from ..ops.distances import l2_normalize_np
             from ..serve.gallery_service import PersonGalleryService
-            from ..serve.person_store import MatchResult
-            from ..serve.pipeline import _match_gallery
 
-            svc = PersonGalleryService(store)
-            probes_n = jnp.asarray(l2_normalize_np(feats))
-            idx, sim, real = _match_gallery(probes_n @ svc.gallery_n.T,
-                                            svc.rows_arg)
-            matches = [
-                svc.resolve(int(i), float(s), args.sim_th) if bool(r)
-                else MatchResult(None, 0.0)  # empty store: host parity
-                for i, s, r in zip(np.asarray(idx), np.asarray(sim),
-                                   np.asarray(real))]
+            matches = PersonGalleryService(store).match_batch(
+                feats, sim_th=args.sim_th)
         elif getattr(args, "tpu", False):
             matches = store.match_batch(feats, args.sim_th)
         else:

@@ -238,11 +238,14 @@ def _video_detect_main(args, model, variables):
     if os.path.exists(args.store):
         os.remove(args.store)
     source = (int(args.video) if args.video.isdigit() else args.video)
+    import contextlib
+
     with RecognitionService(lambda f: np.zeros((len(f), model.feature_dim),
                                                np.float32),
                             args.store, model.feature_dim,
                             sim_threshold=args.sim_threshold,
-                            frame_shape=shape) as svc:
+                            frame_shape=shape) as svc, \
+            contextlib.ExitStack() as stack:
         reg_feats: list[np.ndarray] = []
         results = []
         pipeline = None
@@ -271,11 +274,11 @@ def _video_detect_main(args, model, variables):
                 from ..serve.gallery_service import PersonGalleryService
                 from ..serve.person_store import PersonStore
 
-                pstore = PersonStore(args.person_db, model.feature_dim)
+                pstore = stack.enter_context(
+                    PersonStore(args.person_db, model.feature_dim))
                 n_valid = pstore.valid_faces()[1].shape[0]
                 gsvc = PersonGalleryService(
-                    pstore,
-                    capacity=max(n_valid + args.register_frames, 1))
+                    pstore, capacity=max(n_valid + args.register_frames, 1))
                 dg = gsvc  # same (gallery_n, rows_arg) contract
                 print(f"person-db: {n_valid} faces across "
                       f"{len(pstore.persons())} persons in HBM")
@@ -383,11 +386,16 @@ def _video_detect_main(args, model, variables):
                     print(f"frame {seq:4d}: {len(faces)} face(s) "
                           + ", ".join(f"{n or '<unknown>'}({s:+.2f})"
                                       for n, s in faces))
-        matched = sum(1 for _, n, _ in results if n == args.register_name)
-        print(f"identified {matched}/{len(results)} streamed frames as "
-              f"'{args.register_name}' (fused pipeline)")
         if gsvc is not None:
-            gsvc.store.close()
+            # multi-person mode: any resolved DB identity counts
+            matched = sum(1 for _, n, _ in results if n is not None)
+            print(f"identified {matched}/{len(results)} streamed frames "
+                  f"against the person DB (fused pipeline)")
+        else:
+            matched = sum(1 for _, n, _ in results
+                          if n == args.register_name)
+            print(f"identified {matched}/{len(results)} streamed frames "
+                  f"as '{args.register_name}' (fused pipeline)")
         return results
 
 
@@ -545,9 +553,10 @@ def main(argv=None):
                          "pipelines only (use with --video --detect, or "
                          "with --streams; not --native)")
     if args.person_db and not (args.dynamic_gallery and args.video
-                               and args.detect):
+                               and args.detect and not args.streams):
         raise SystemExit("--person-db needs the dynamic-gallery streaming "
-                         "pipeline (--video --detect --dynamic-gallery)")
+                         "pipeline (--video --detect --dynamic-gallery, "
+                         "without --streams)")
     if args.register_frames == 0 and not args.dynamic_gallery:
         raise SystemExit("--register-frames 0 (identify-only) needs "
                          "--dynamic-gallery (the baked-gallery pipeline "

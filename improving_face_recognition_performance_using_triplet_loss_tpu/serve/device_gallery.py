@@ -135,11 +135,12 @@ class DeviceGallery:
             self._gal = self._put(np.zeros((capacity, dim), np.float32))
 
     def _put(self, buf: np.ndarray) -> jnp.ndarray:
-        arr = (jnp.asarray(buf) if self._sharding is None
-               else jax.device_put(buf, self._sharding))
-        if arr.dtype != self.dtype:
-            arr = arr.astype(self.dtype)  # sharding propagates
-        return arr
+        if buf.dtype != self.dtype:
+            buf = buf.astype(self.dtype)  # narrow on HOST: half the
+            #                               transfer bytes, no f32 copy
+            #                               transiting HBM
+        return (jnp.asarray(buf) if self._sharding is None
+                else jax.device_put(buf, self._sharding))
 
     @property
     def capacity(self) -> int:

@@ -151,3 +151,24 @@ class PersonGalleryService:
                       sim_th: float = 0.5) -> list[MatchResult]:
         return [self.resolve(int(i), float(s), sim_th)
                 for i, s in zip(np.ravel(indices), np.ravel(similarities))]
+
+    def match_batch(self, probes: np.ndarray,
+                    sim_th: float = 0.5) -> list[MatchResult]:
+        """Identify N probe features in ONE device matmul against the
+        HBM-resident gallery — the standalone counterpart of the
+        pipelines' fused match (same `_match_gallery` masking), returning
+        resolved MatchResults with PersonStore.match's empty-store/
+        threshold semantics."""
+        import jax.numpy as jnp
+
+        from ..ops.distances import l2_normalize_np
+        from .pipeline import _match_gallery
+
+        probes = np.atleast_2d(np.asarray(probes, np.float32))
+        probes_n = jnp.asarray(l2_normalize_np(probes))
+        idx, sim, real = _match_gallery(probes_n @ self.gallery_n.T,
+                                        self.rows_arg)
+        return [self.resolve(int(i), float(s), sim_th) if bool(r)
+                else MatchResult(None, 0.0)  # empty gallery: host parity
+                for i, s, r in zip(np.asarray(idx), np.asarray(sim),
+                                   np.asarray(real))]

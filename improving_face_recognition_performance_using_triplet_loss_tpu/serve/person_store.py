@@ -136,15 +136,18 @@ class PersonStore:
     # -------------------------------------------------------- registration
 
     def insert_face(self, pid: int, feature: np.ndarray,
-                    img_path: str = "") -> int:
+                    img_path: str = "", commit: bool = True) -> int:
+        """Insert one face row. Standalone calls (e.g.
+        PersonGalleryService.add_face) are durable on their own;
+        the register_* flows pass ``commit=False`` to keep their
+        all-or-nothing transaction and commit once at the end."""
         norm = float(np.linalg.norm(np.asarray(feature, np.float32)))
         cur = self.db.execute(
             "INSERT INTO face (pid, simd_dot, img_path, feature) "
             "VALUES (?, ?, ?, ?)",
             (pid, norm, img_path, self._feature_blob(feature)))
-        # durable on its own: callers outside the register_* flows (e.g.
-        # PersonGalleryService.add_face) must not lose rows on close()
-        self.db.commit()
+        if commit:
+            self.db.commit()
         self._invalidate()
         return int(cur.lastrowid)
 
@@ -169,7 +172,7 @@ class PersonStore:
              profile_rel if profile_img is not None else person.profile_img))
         pid = int(cur.lastrowid)
         for i, fv in enumerate(features):
-            fid = self.insert_face(pid, fv, person_dir)
+            fid = self.insert_face(pid, fv, person_dir, commit=False)
             img_rel = f"{person_dir}{fid}.png"
             self._save_crop(img_rel,
                             crops[i] if crops is not None else None)
@@ -193,7 +196,7 @@ class PersonStore:
         rid = int(cur.lastrowid)
         reg_dir = f"regist_list/{rid}/"
         for i, fv in enumerate(features):
-            fid = self.insert_face(TMP_PID, fv, "TMP")
+            fid = self.insert_face(TMP_PID, fv, "TMP", commit=False)
             img_rel = f"{reg_dir}{fid}.png"
             self._save_crop(img_rel,
                             crops[i] if crops is not None else None)
@@ -405,7 +408,7 @@ class PersonStore:
             if pid is None:
                 pid = self.register_person(Person(name=name))
                 by_name[name] = pid
-            self.insert_face(pid, fv)
+            self.insert_face(pid, fv, commit=False)  # one commit below
             n += 1
         src.close()
         self.db.commit()

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..detect.device_cascade import crop_resize_boxes, make_device_cascade
-from ..ops.distances import l2_normalize
+from ..ops.distances import l2_normalize, l2_normalize_np
 
 
 def _apply_embed(model, variables, x, int8_embed: bool):
@@ -174,8 +174,12 @@ def normalize_gallery(gallery: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     stored rows narrow (~3e-3 cosine error — far under any identification
     threshold gap; argmax parity is pinned in tests/test_fused_pipeline
     .py). The matmul's bf16->f32 widening fuses into the operand read, so
-    traffic stays bf16."""
-    return l2_normalize(jnp.asarray(gallery, jnp.float32)).astype(dtype)
+    traffic stays bf16 — and the rows narrow on HOST, so the upload moves
+    half the bytes too."""
+    gal = l2_normalize_np(np.asarray(gallery, np.float32))
+    if jnp.dtype(dtype) != jnp.float32:
+        gal = gal.astype(jnp.dtype(dtype))  # narrow BEFORE the transfer
+    return jnp.asarray(gal)
 
 
 def make_multistream_pipeline(
@@ -281,17 +285,15 @@ def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model",
     bandwidth (see :func:`normalize_gallery`)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..ops.distances import l2_normalize_np
-
     ndev = mesh.shape[gallery_axis]
     g, d = gallery.shape
     gal = l2_normalize_np(gallery)  # l2_normalize's eps semantics
     pad = (-g) % ndev
     if pad:
         gal = np.concatenate([gal, np.zeros((pad, d), np.float32)])
+    if jnp.dtype(dtype) != jnp.float32:
+        gal = gal.astype(jnp.dtype(dtype))  # narrow BEFORE the transfer
     arr = jax.device_put(gal, NamedSharding(mesh, P(gallery_axis, None)))
-    if arr.dtype != dtype:
-        arr = arr.astype(dtype)  # elementwise: sharding propagates
     return arr, g
 
 

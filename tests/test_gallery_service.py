@@ -62,6 +62,18 @@ def test_cold_start_matches_store(tmp_path):
             assert r.person.pid == h.person.pid
             assert r.similarity == pytest.approx(h.similarity, abs=1e-5)
 
+        # the one-call form agrees too (and takes a single 1-D probe)
+        for r, h in zip(svc.match_batch(feats, sim_th=0.6), host):
+            assert r.person.pid == h.person.pid
+            assert r.similarity == pytest.approx(h.similarity, abs=1e-5)
+        one = svc.match_batch(feats[0], sim_th=0.6)
+        assert len(one) == 1 and one[0].person.pid == host[0].person.pid
+        # empty gallery: PersonStore.match's (None, 0.0) parity
+        with PersonStore(str(tmp_path / "e.sqlite"), DIM) as empty_store:
+            empty = PersonGalleryService(empty_store).match_batch(feats[:2])
+            assert all(r.person is None and r.similarity == 0.0
+                       for r in empty)
+
 
 def test_write_through_enroll_and_add_face(tmp_path):
     feats, labels = _clustered()
