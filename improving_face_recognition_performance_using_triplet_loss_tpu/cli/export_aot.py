@@ -37,14 +37,13 @@ def build_parser():
                         "serve.pipeline.normalize_gallery's output and the "
                         "enrolled-row count — rows beyond it are masked "
                         "out of the match, so padding contents are inert")
-    p.add_argument("--gallery-dtype", choices=("f32", "bf16"),
+    p.add_argument("--gallery-dtype", choices=("f32", "bf16", "int8"),
                    default="f32",
                    help="with --dynamic-gallery-rows: storage dtype of the "
-                        "gallery operand. bf16 halves its HBM bytes — the "
-                        "match stage at production scale is bandwidth-"
-                        "bound, so this buys up to 2x on the G-dominated "
-                        "term (pass normalize_gallery(g, jnp.bfloat16) at "
-                        "call time)")
+                        "gallery operand. The match stage at production "
+                        "scale is bandwidth-bound, so bf16 halves and int8 "
+                        "quarters its HBM bytes (int8: ~2e-3 cosine error; "
+                        "pass normalize_gallery(g, <dtype>) at call time)")
     p.add_argument("--frame-size", type=int, nargs=2, required=True,
                    metavar=("H", "W"))
     p.add_argument("--out", required=True, help="artifact path (.shlo)")
@@ -171,11 +170,11 @@ def main(argv=None):
                  **extra)
     import jax.numpy as jnp
 
+    gdtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+              "int8": jnp.int8}[args.gallery_dtype]
     path = export_pipeline(args.out, pipe, fh, fw,
                            gallery_shape=gallery_shape,
-                           gallery_dtype=(jnp.bfloat16
-                                          if args.gallery_dtype == "bf16"
-                                          else jnp.float32),
+                           gallery_dtype=gdtype,
                            platforms=args.platforms)
     import os
 

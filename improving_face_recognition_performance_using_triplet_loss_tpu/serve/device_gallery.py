@@ -35,11 +35,19 @@ import numpy as np
 from ..ops.distances import l2_normalize, l2_normalize_np
 
 
+def _narrow(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Device-side narrowing to the storage dtype; int8 uses the
+    127-scale convention of serve.pipeline.gallery_sims."""
+    if dtype == jnp.int8:
+        return jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+    return x.astype(dtype)
+
+
 def _set_row_impl(gal: jnp.ndarray, row: jnp.ndarray, vec: jnp.ndarray):
     """Normalize ``vec`` (always in f32) and write it at ``row`` in place
     (donated), narrowing to the gallery's storage dtype."""
     return gal.at[row].set(
-        l2_normalize(vec.astype(jnp.float32)).astype(gal.dtype))
+        _narrow(l2_normalize(vec.astype(jnp.float32)), gal.dtype))
 
 
 def _clear_row_impl(gal: jnp.ndarray, row: jnp.ndarray):
@@ -136,9 +144,11 @@ class DeviceGallery:
 
     def _put(self, buf: np.ndarray) -> jnp.ndarray:
         if buf.dtype != self.dtype:
-            buf = buf.astype(self.dtype)  # narrow on HOST: half the
-            #                               transfer bytes, no f32 copy
-            #                               transiting HBM
+            # narrow on HOST: half/quarter transfer bytes, no wide copy
+            # transiting HBM (buf rows are already L2-normalized)
+            from .pipeline import narrow_gallery_np
+
+            buf = narrow_gallery_np(buf, self.dtype)
         return (jnp.asarray(buf) if self._sharding is None
                 else jax.device_put(buf, self._sharding))
 
@@ -217,6 +227,10 @@ class DeviceGallery:
         self._gal = self._clear_row(self._gal, jnp.int32(row))
 
     def to_host(self) -> np.ndarray:
-        """The enrolled (normalized) rows as a host f32 array (widened
-        from the storage dtype when the gallery is bf16)."""
-        return np.asarray(self._gal[:self.rows], np.float32)
+        """The enrolled (normalized) rows as a host f32 array, widened
+        from the storage dtype (int8 rows rescale back from the 127-scale
+        convention)."""
+        rows = np.asarray(self._gal[:self.rows], np.float32)
+        if self.dtype == jnp.int8:
+            rows = rows * (1.0 / 127.0)
+        return rows

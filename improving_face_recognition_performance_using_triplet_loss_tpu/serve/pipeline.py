@@ -37,6 +37,24 @@ def _apply_embed(model, variables, x, int8_embed: bool):
     return model.apply(variables, x, train=False)
 
 
+def gallery_sims(emb: jnp.ndarray, gallery_n: jnp.ndarray) -> jnp.ndarray:
+    """[..., D] normalized probe(s) x [G, D] STORED gallery rows ->
+    [..., G] cosine similarities, honoring the storage dtype:
+
+    - f32/bf16 rows multiply directly — XLA fuses the widening convert
+      into the matmul's operand read, so HBM traffic stays narrow;
+    - int8 rows hold ``round(127 * normalized)`` (see
+      :func:`normalize_gallery`) and rescale by 1/127 AFTER the matmul —
+      a quarter of the f32 bytes on the bandwidth-bound match stage.
+
+    Every pipeline/matcher match goes through here so a gallery's dtype
+    is decided once, at storage time."""
+    sims = emb @ gallery_n.T
+    if gallery_n.dtype == jnp.int8:
+        sims = sims * (1.0 / 127.0)
+    return sims
+
+
 def _match_gallery(sims: jnp.ndarray, rows):
     """Masked cosine argmax over the last (gallery) axis. NaNs map to -2.0
     (Compare_Face_From_DB's guard, Feature.hpp:312-317); when ``rows`` is
@@ -143,7 +161,7 @@ def make_recognition_pipeline(
 
     def pipeline(frame: jnp.ndarray, gallery_n=baked_gallery_n, rows=None):
         found, box, score, emb, cap_dropped = detect_embed(frame)
-        idx, sim, real = _match_gallery(gallery_n @ emb, rows)
+        idx, sim, real = _match_gallery(gallery_sims(emb, gallery_n), rows)
         matched = found & real & (sim >= sim_threshold)
         return {
             "found": found,
@@ -175,11 +193,26 @@ def normalize_gallery(gallery: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     threshold gap; argmax parity is pinned in tests/test_fused_pipeline
     .py). The matmul's bf16->f32 widening fuses into the operand read, so
     traffic stays bf16 — and the rows narrow on HOST, so the upload moves
-    half the bytes too."""
-    gal = l2_normalize_np(np.asarray(gallery, np.float32))
-    if jnp.dtype(dtype) != jnp.float32:
-        gal = gal.astype(jnp.dtype(dtype))  # narrow BEFORE the transfer
-    return jnp.asarray(gal)
+    half the bytes too.
+
+    ``dtype=jnp.int8`` stores ``round(127 * normalized)`` for a QUARTER of
+    the f32 bytes (~2e-3 cosine error; :func:`gallery_sims` rescales after
+    the matmul) — the TPU-side analogue of the native matcher's int8 path
+    (cpp/include/facejax/matcher.hpp)."""
+    return jnp.asarray(narrow_gallery_np(
+        l2_normalize_np(np.asarray(gallery, np.float32)), dtype))
+
+
+def narrow_gallery_np(gal_n: np.ndarray, dtype) -> np.ndarray:
+    """Narrow L2-NORMALIZED host rows to the storage dtype BEFORE the
+    device transfer (half/quarter link bytes; no wide copy transiting
+    HBM). int8 uses the 127-scale convention gallery_sims expects."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.int8:
+        return np.clip(np.round(gal_n * 127.0), -127, 127).astype(np.int8)
+    if dtype != jnp.float32:
+        return gal_n.astype(dtype)
+    return gal_n
 
 
 def make_multistream_pipeline(
@@ -291,8 +324,7 @@ def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model",
     pad = (-g) % ndev
     if pad:
         gal = np.concatenate([gal, np.zeros((pad, d), np.float32)])
-    if jnp.dtype(dtype) != jnp.float32:
-        gal = gal.astype(jnp.dtype(dtype))  # narrow BEFORE the transfer
+    gal = narrow_gallery_np(gal, dtype)  # narrow BEFORE the transfer
     arr = jax.device_put(gal, NamedSharding(mesh, P(gallery_axis, None)))
     return arr, g
 
@@ -349,7 +381,7 @@ def make_gallery_sharded_multistream_pipeline(
         emb = jax.lax.with_sharding_constraint(
             emb, NamedSharding(mesh, P(None, None)))
         # [N, Gpad] sims, G-dim sharded; argmax = cross-shard reduction
-        idx, sim, real = _match_gallery(emb @ gal_n.T, rows)
+        idx, sim, real = _match_gallery(gallery_sims(emb, gal_n), rows)
         matched = found & real & (sim >= sim_threshold)
         return {
             "found": found,
@@ -442,7 +474,7 @@ def make_multiface_pipeline(
         _, feats = _apply_embed(embed_model, embed_variables, gray,
                                 int8_embed)
         embs = l2_normalize(feats)                          # [K, D]
-        idx, sim, real = _match_gallery(embs @ gallery_n.T, rows)  # [K]
+        idx, sim, real = _match_gallery(gallery_sims(embs, gallery_n), rows)  # [K]
         matched = found & real & (sim >= sim_threshold)
         return {
             "found": found,

@@ -561,6 +561,18 @@ def test_dynamic_gallery_matches_baked():
     assert abs(float(m16["similarity"])
                - float(a["similarity"])) < 5e-3
 
+    # int8 gallery storage (a QUARTER of the f32 bytes; gallery_sims
+    # rescales the 127-scale rows after the matmul)
+    g8 = normalize_gallery(adversarial, jnp.int8)
+    assert g8.dtype == jnp.int8
+    b8 = dyn(jnp.asarray(frame), g8)
+    assert int(b8["index"]) == 6  # the plant still wins unmasked
+    assert abs(float(b8["similarity"])
+               - float(full["similarity"])) < 2e-2
+    m8 = dyn(jnp.asarray(frame), g8, jnp.int32(6))
+    assert int(m8["index"]) == int(a["index"])
+    assert abs(float(m8["similarity"]) - float(a["similarity"])) < 2e-2
+
 
 def test_export_pipeline_bf16_gallery_operand(tmp_path):
     """AOT export with a bf16 dynamic-gallery operand: the dtype lands in
