@@ -48,6 +48,11 @@ def build_parser():
                         "per match), and --register-name enrollments are "
                         "written through to it (the reference runtime's "
                         "load-DB-then-identify flow, Feature.hpp:189-205)")
+    p.add_argument("--gallery-dtype", choices=("f32", "bf16", "int8"),
+                   default="f32",
+                   help="with --dynamic-gallery: HBM storage dtype of the "
+                        "gallery rows (bf16 halves / int8 quarters the "
+                        "bandwidth-bound match bytes at production scale)")
     p.add_argument("--fps-cap", type=float, default=30.0,
                    help="with --video file sources: max producer fps")
     p.add_argument("--detect", action="store_true",
@@ -95,6 +100,13 @@ def build_parser():
                         "serving shape; see BASELINE.md 'Production-scale "
                         "galleries')")
     return p
+
+
+def _gallery_dtype(args):
+    import jax.numpy as jnp
+
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16,
+            "int8": jnp.int8}[args.gallery_dtype]
 
 
 def _make_embed_fn(args, model, variables):
@@ -278,13 +290,15 @@ def _video_detect_main(args, model, variables):
                     PersonStore(args.person_db, model.feature_dim))
                 n_valid = pstore.valid_faces()[1].shape[0]
                 gsvc = PersonGalleryService(
-                    pstore, capacity=max(n_valid + args.register_frames, 1))
+                    pstore, capacity=max(n_valid + args.register_frames, 1),
+                    dtype=_gallery_dtype(args))
                 dg = gsvc  # same (gallery_n, rows_arg) contract
                 print(f"person-db: {n_valid} faces across "
                       f"{len(pstore.persons())} persons in HBM")
             else:
                 dg = DeviceGallery(model.feature_dim,
-                                   capacity=max(args.register_frames, 1))
+                                   capacity=max(args.register_frames, 1),
+                                   dtype=_gallery_dtype(args))
             _jax.block_until_ready(pipeline(
                 jnp.zeros(shape, jnp.float32), dg.gallery_n, dg.rows_arg))
         with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
@@ -485,7 +499,8 @@ def _streams_main(args, model, variables):
             thresholds=tuple(args.det_thresholds),
             sim_threshold=args.sim_threshold)
         dg = DeviceGallery(model.feature_dim, initial=gallery,
-                           capacity=max(args.identities, 1))
+                           capacity=max(args.identities, 1),
+                           dtype=_gallery_dtype(args))
         pipe = lambda f: base(f, dg.gallery_n, dg.rows_arg)  # noqa: E731
     else:
         pipe = make_multistream_pipeline(
