@@ -777,6 +777,18 @@ def test_gallery_sharded_multistream_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(empty["similarity"]),
                                   [-2.0] * 8)
 
+    # narrow storage dtypes ride the same sharded match: bf16/int8 rows
+    # reproduce the f32 sims within their narrowing error (indices can
+    # legitimately flip at random-gallery margins, so pin sims + found)
+    for ndtype, tol in ((jnp.bfloat16, 5e-3), (jnp.int8, 2e-2)):
+        gal_nn, rows_nn = shard_gallery(gallery, mesh, dtype=ndtype)
+        assert gal_nn.dtype == ndtype and rows_nn == 7
+        got_n = sharded(frames, gal_nn, rows_nn)
+        np.testing.assert_array_equal(np.asarray(got_n["found"]),
+                                      np.asarray(got["found"]))
+        np.testing.assert_allclose(np.asarray(got_n["similarity"]),
+                                   np.asarray(got["similarity"]), atol=tol)
+
     # stream count must divide the mesh size
     import pytest as _pytest
     with _pytest.raises(ValueError):
