@@ -123,6 +123,11 @@ def build_parser():
                          "one device matmul against (gallery_n, rows), "
                          "resolve rows back to persons — the dynamic "
                          "pipelines' production serving path")
+    mp.add_argument("--gallery-dtype", choices=("f32", "bf16", "int8"),
+                    default="f32",
+                    help="with --device-gallery: HBM storage dtype of the "
+                         "gallery rows (bf16 halves / int8 quarters the "
+                         "bandwidth-bound match bytes)")
     _add_native_mtcnn_args(mp)
 
     rc = sub.add_parser("register-card",
@@ -222,9 +227,14 @@ def _person_main(args):
     results = []
     with PersonStore(args.store, dim) as store:
         if getattr(args, "device_gallery", False):
+            import jax.numpy as jnp
+
             from ..serve.gallery_service import PersonGalleryService
 
-            matches = PersonGalleryService(store).match_batch(
+            gdtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                      "int8": jnp.int8}[getattr(args, "gallery_dtype",
+                                                "f32")]
+            matches = PersonGalleryService(store, dtype=gdtype).match_batch(
                 feats, sim_th=args.sim_th)
         elif getattr(args, "tpu", False):
             matches = store.match_batch(feats, args.sim_th)

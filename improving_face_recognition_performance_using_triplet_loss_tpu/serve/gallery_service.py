@@ -162,12 +162,12 @@ class PersonGalleryService:
         import jax.numpy as jnp
 
         from ..ops.distances import l2_normalize_np
-        from .pipeline import _match_gallery
+        from .pipeline import _match_gallery, gallery_sims
 
         probes = np.atleast_2d(np.asarray(probes, np.float32))
         probes_n = jnp.asarray(l2_normalize_np(probes))
-        idx, sim, real = _match_gallery(probes_n @ self.gallery_n.T,
-                                        self.rows_arg)
+        idx, sim, real = _match_gallery(
+            gallery_sims(probes_n, self.gallery_n), self.rows_arg)
         return [self.resolve(int(i), float(s), sim_th) if bool(r)
                 else MatchResult(None, 0.0)  # empty gallery: host parity
                 for i, s, r in zip(np.asarray(idx), np.asarray(sim),

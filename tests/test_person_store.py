@@ -237,6 +237,14 @@ def test_identify_cli_match_person_tpu(tmp_path):
     assert [r["pid"] for r in dg] == [r["pid"] for r in host]
     for a, b in zip(dg, host):
         assert a["similarity"] == pytest.approx(b["similarity"], abs=1e-5)
+    # int8 storage: same persons on this clustered gallery, sims within
+    # the quantization bound
+    dg8 = identify.main(["match-person", "--store", db, "--features",
+                         probes, "--sim-th", "0.6", "--device-gallery",
+                         "--gallery-dtype", "int8"])
+    assert [r["pid"] for r in dg8] == [r["pid"] for r in host]
+    for a, b in zip(dg8, host):
+        assert a["similarity"] == pytest.approx(b["similarity"], abs=2e-2)
     with pytest.raises(SystemExit):
         identify.main(["match-person", "--store", db, "--features", probes,
                        "--tpu", "--device-gallery"])
