@@ -70,11 +70,13 @@ def test_serve_demo_streams_mode(tmp_path):
 
 def test_serve_demo_streams_dynamic_gallery(tmp_path):
     """--streams --dynamic-gallery: throughput mode with the gallery as a
-    runtime argument served from a DeviceGallery."""
+    runtime argument served from a DeviceGallery (bf16 storage to cover
+    the --gallery-dtype plumbing too)."""
     found, streams = serve_demo.main([
         "--streams", "2", "--frames", "4", "--frame-size", "48", "48",
         "--image-size", "32", "--det-thresholds", "0.05", "0.05", "0.05",
-        "--dynamic-gallery", "--store", str(tmp_path / "demo_dg.fjdb"),
+        "--dynamic-gallery", "--gallery-dtype", "bf16",
+        "--store", str(tmp_path / "demo_dg.fjdb"),
     ])
     assert streams == 2
     assert 0 <= found <= 2
