@@ -63,3 +63,18 @@ def _revision_info() -> str:
         return rev
     except Exception:
         return ""
+
+
+# gallery storage dtypes accepted by the serving CLIs (export_aot,
+# identify --device-gallery, serve_demo --dynamic-gallery); the single
+# source for argparse choices= so a new dtype lands everywhere at once
+GALLERY_DTYPE_NAMES = ("f32", "bf16", "int8")
+
+
+def gallery_dtype(name: str):
+    """CLI dtype name -> jnp dtype (jax imported lazily so --help stays
+    cheap)."""
+    import jax.numpy as jnp
+
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16,
+            "int8": jnp.int8}[name]

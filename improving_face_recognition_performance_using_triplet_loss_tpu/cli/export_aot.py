@@ -37,7 +37,9 @@ def build_parser():
                         "serve.pipeline.normalize_gallery's output and the "
                         "enrolled-row count — rows beyond it are masked "
                         "out of the match, so padding contents are inert")
-    p.add_argument("--gallery-dtype", choices=("f32", "bf16", "int8"),
+    from ._common import GALLERY_DTYPE_NAMES
+
+    p.add_argument("--gallery-dtype", choices=GALLERY_DTYPE_NAMES,
                    default="f32",
                    help="with --dynamic-gallery-rows: storage dtype of the "
                         "gallery operand. The match stage at production "
@@ -168,10 +170,9 @@ def main(argv=None):
                  sim_threshold=args.sim_threshold,
                  int8_embed=args.int8_embed, dynamic_gallery=dynamic,
                  **extra)
-    import jax.numpy as jnp
+    from ._common import gallery_dtype
 
-    gdtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-              "int8": jnp.int8}[args.gallery_dtype]
+    gdtype = gallery_dtype(args.gallery_dtype)
     path = export_pipeline(args.out, pipe, fh, fw,
                            gallery_shape=gallery_shape,
                            gallery_dtype=gdtype,

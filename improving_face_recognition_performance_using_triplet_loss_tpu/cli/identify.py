@@ -123,7 +123,9 @@ def build_parser():
                          "one device matmul against (gallery_n, rows), "
                          "resolve rows back to persons — the dynamic "
                          "pipelines' production serving path")
-    mp.add_argument("--gallery-dtype", choices=("f32", "bf16", "int8"),
+    from ._common import GALLERY_DTYPE_NAMES
+
+    mp.add_argument("--gallery-dtype", choices=GALLERY_DTYPE_NAMES,
                     default="f32",
                     help="with --device-gallery: HBM storage dtype of the "
                          "gallery rows (bf16 halves / int8 quarters the "
@@ -224,18 +226,19 @@ def _person_main(args):
                                                           False):
         raise SystemExit("--device-gallery and --tpu are different match "
                          "paths; pick one")
+    if (getattr(args, "gallery_dtype", "f32") != "f32"
+            and not getattr(args, "device_gallery", False)):
+        raise SystemExit("--gallery-dtype applies to the HBM gallery "
+                         "(use with --device-gallery)")
     results = []
     with PersonStore(args.store, dim) as store:
         if getattr(args, "device_gallery", False):
-            import jax.numpy as jnp
-
             from ..serve.gallery_service import PersonGalleryService
+            from ._common import gallery_dtype
 
-            gdtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-                      "int8": jnp.int8}[getattr(args, "gallery_dtype",
-                                                "f32")]
-            matches = PersonGalleryService(store, dtype=gdtype).match_batch(
-                feats, sim_th=args.sim_th)
+            matches = PersonGalleryService(
+                store, dtype=gallery_dtype(args.gallery_dtype)).match_batch(
+                    feats, sim_th=args.sim_th)
         elif getattr(args, "tpu", False):
             matches = store.match_batch(feats, args.sim_th)
         else:

@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+from . import _common
+
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
@@ -48,7 +50,7 @@ def build_parser():
                         "per match), and --register-name enrollments are "
                         "written through to it (the reference runtime's "
                         "load-DB-then-identify flow, Feature.hpp:189-205)")
-    p.add_argument("--gallery-dtype", choices=("f32", "bf16", "int8"),
+    p.add_argument("--gallery-dtype", choices=_common.GALLERY_DTYPE_NAMES,
                    default="f32",
                    help="with --dynamic-gallery: HBM storage dtype of the "
                         "gallery rows (bf16 halves / int8 quarters the "
@@ -100,13 +102,6 @@ def build_parser():
                         "serving shape; see BASELINE.md 'Production-scale "
                         "galleries')")
     return p
-
-
-def _gallery_dtype(args):
-    import jax.numpy as jnp
-
-    return {"f32": jnp.float32, "bf16": jnp.bfloat16,
-            "int8": jnp.int8}[args.gallery_dtype]
 
 
 def _make_embed_fn(args, model, variables):
@@ -291,14 +286,14 @@ def _video_detect_main(args, model, variables):
                 n_valid = pstore.valid_faces()[1].shape[0]
                 gsvc = PersonGalleryService(
                     pstore, capacity=max(n_valid + args.register_frames, 1),
-                    dtype=_gallery_dtype(args))
+                    dtype=_common.gallery_dtype(args.gallery_dtype))
                 dg = gsvc  # same (gallery_n, rows_arg) contract
                 print(f"person-db: {n_valid} faces across "
                       f"{len(pstore.persons())} persons in HBM")
             else:
                 dg = DeviceGallery(model.feature_dim,
                                    capacity=max(args.register_frames, 1),
-                                   dtype=_gallery_dtype(args))
+                                   dtype=_common.gallery_dtype(args.gallery_dtype))
             _jax.block_until_ready(pipeline(
                 jnp.zeros(shape, jnp.float32), dg.gallery_n, dg.rows_arg))
         with VideoProducer(source, svc, fps_cap=args.fps_cap) as producer:
@@ -500,7 +495,7 @@ def _streams_main(args, model, variables):
             sim_threshold=args.sim_threshold)
         dg = DeviceGallery(model.feature_dim, initial=gallery,
                            capacity=max(args.identities, 1),
-                           dtype=_gallery_dtype(args))
+                           dtype=_common.gallery_dtype(args.gallery_dtype))
         pipe = lambda f: base(f, dg.gallery_n, dg.rows_arg)  # noqa: E731
     else:
         pipe = make_multistream_pipeline(
@@ -572,6 +567,9 @@ def main(argv=None):
         raise SystemExit("--person-db needs the dynamic-gallery streaming "
                          "pipeline (--video --detect --dynamic-gallery, "
                          "without --streams)")
+    if args.gallery_dtype != "f32" and not args.dynamic_gallery:
+        raise SystemExit("--gallery-dtype applies to the dynamic-gallery "
+                         "pipelines (use with --dynamic-gallery)")
     if args.register_frames == 0 and not args.dynamic_gallery:
         raise SystemExit("--register-frames 0 (identify-only) needs "
                          "--dynamic-gallery (the baked-gallery pipeline "

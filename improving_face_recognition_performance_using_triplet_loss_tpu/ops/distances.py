@@ -30,6 +30,31 @@ def l2_normalize_np(x, axis: int = -1, eps: float = 1e-12):
     return x / np.maximum(norm, eps)
 
 
+def narrow_gallery(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Device-side narrowing of L2-NORMALIZED gallery rows to the storage
+    dtype. int8 stores ``round(127 * normalized)`` clipped to [-127, 127]
+    — THE 127-scale convention; serve.pipeline.gallery_sims rescales after
+    the matmul, and :func:`narrow_gallery_np` is the host twin (keep the
+    two in lockstep)."""
+    if dtype == jnp.int8:
+        return jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+    return x.astype(dtype)
+
+
+def narrow_gallery_np(gal_n, dtype):
+    """Host-side twin of :func:`narrow_gallery`: narrow L2-NORMALIZED rows
+    BEFORE the device transfer (half/quarter link bytes; no wide copy
+    transiting HBM)."""
+    import numpy as np
+
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.int8:
+        return np.clip(np.round(gal_n * 127.0), -127, 127).astype(np.int8)
+    if dtype != jnp.float32:
+        return gal_n.astype(dtype)
+    return gal_n
+
+
 def pairwise_sq_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """[N, D] x [M, D] -> [N, M] squared euclidean distances.
 

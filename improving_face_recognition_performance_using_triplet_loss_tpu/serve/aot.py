@@ -48,9 +48,10 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     ENROLLED rows. Rows >= ``rows`` are masked out of the argmax, so
     padding contents never win a match regardless of sim_threshold;
     re-export only when the gallery outgrows G, never on enrollment.
-    ``gallery_dtype=jnp.bfloat16`` bakes a half-bandwidth gallery operand
-    into the artifact (pass matching-dtype rows at call time — see
-    normalize_gallery)."""
+    ``gallery_dtype=jnp.bfloat16`` (or ``jnp.int8``, 127-scale) bakes a
+    half- (quarter-) bandwidth gallery operand into the artifact — pass
+    matching-dtype rows at call time, see normalize_gallery incl. its
+    int8 caveats."""
     from jax.export import export as jexport
 
     shape = ((streams, frame_h, frame_w, 3) if streams

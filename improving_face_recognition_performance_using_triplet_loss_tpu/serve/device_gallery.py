@@ -32,22 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distances import l2_normalize, l2_normalize_np
-
-
-def _narrow(x: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Device-side narrowing to the storage dtype; int8 uses the
-    127-scale convention of serve.pipeline.gallery_sims."""
-    if dtype == jnp.int8:
-        return jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
-    return x.astype(dtype)
+from ..ops.distances import (l2_normalize, l2_normalize_np, narrow_gallery,
+                             narrow_gallery_np)
 
 
 def _set_row_impl(gal: jnp.ndarray, row: jnp.ndarray, vec: jnp.ndarray):
     """Normalize ``vec`` (always in f32) and write it at ``row`` in place
     (donated), narrowing to the gallery's storage dtype."""
     return gal.at[row].set(
-        _narrow(l2_normalize(vec.astype(jnp.float32)), gal.dtype))
+        narrow_gallery(l2_normalize(vec.astype(jnp.float32)), gal.dtype))
 
 
 def _clear_row_impl(gal: jnp.ndarray, row: jnp.ndarray):
@@ -92,10 +85,11 @@ class DeviceGallery:
     ``make_gallery_sharded_multistream_pipeline(fn)(frames, dg.gallery_n,
     dg.rows_arg)``; capacity rounds up to an axis-size multiple.
 
-    ``dtype=jnp.bfloat16`` halves the matrix's HBM bytes and the
-    bandwidth-bound match stage's traffic at production gallery scale
-    (see :func:`~.pipeline.normalize_gallery`); rows are still normalized
-    in f32 before narrowing.
+    ``dtype=jnp.bfloat16`` halves (``jnp.int8`` quarters, 127-scale —
+    see :func:`~.pipeline.normalize_gallery` incl. its int8 caveats) the
+    matrix's HBM bytes and the bandwidth-bound match stage's traffic at
+    production gallery scale; rows are still normalized in f32 before
+    narrowing.
 
     **Buffer-donation contract:** mutations (``add`` / ``set_row`` /
     ``clear_row``) update the device matrix IN PLACE by donating the old
@@ -146,8 +140,6 @@ class DeviceGallery:
         if buf.dtype != self.dtype:
             # narrow on HOST: half/quarter transfer bytes, no wide copy
             # transiting HBM (buf rows are already L2-normalized)
-            from .pipeline import narrow_gallery_np
-
             buf = narrow_gallery_np(buf, self.dtype)
         return (jnp.asarray(buf) if self._sharding is None
                 else jax.device_put(buf, self._sharding))

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..detect.device_cascade import crop_resize_boxes, make_device_cascade
-from ..ops.distances import l2_normalize, l2_normalize_np
+from ..ops.distances import (l2_normalize, l2_normalize_np,
+                             narrow_gallery_np)
 
 
 def _apply_embed(model, variables, x, int8_embed: bool):
@@ -42,10 +43,15 @@ def gallery_sims(emb: jnp.ndarray, gallery_n: jnp.ndarray) -> jnp.ndarray:
     [..., G] cosine similarities, honoring the storage dtype:
 
     - f32/bf16 rows multiply directly — XLA fuses the widening convert
-      into the matmul's operand read, so HBM traffic stays narrow;
+      into the matmul's operand read, so HBM traffic stays narrow
+      (f32 x bf16 is an MXU-native pairing);
     - int8 rows hold ``round(127 * normalized)`` (see
       :func:`normalize_gallery`) and rescale by 1/127 AFTER the matmul —
-      a quarter of the f32 bytes on the bandwidth-bound match stage.
+      a quarter of the f32 bytes IF the compiler keeps the widening
+      fused: f32-probe x int8-gallery is not an MXU-native pairing (the
+      native matcher quantizes BOTH operands), so this is pending
+      real-chip measurement (docs/DESIGN.md "Gallery storage dtype");
+      prefer bf16 until the int8 row is measured.
 
     Every pipeline/matcher match goes through here so a gallery's dtype
     is decided once, at storage time."""
@@ -198,21 +204,12 @@ def normalize_gallery(gallery: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     ``dtype=jnp.int8`` stores ``round(127 * normalized)`` for a QUARTER of
     the f32 bytes (~2e-3 cosine error; :func:`gallery_sims` rescales after
     the matmul) — the TPU-side analogue of the native matcher's int8 path
-    (cpp/include/facejax/matcher.hpp)."""
+    (cpp/include/facejax/matcher.hpp). Caveat: only the GALLERY operand
+    is quantized here, so the byte win assumes the compiler keeps the
+    int8->f32 widening fused into the matmul read — pending real-chip
+    measurement; prefer bf16 until then."""
     return jnp.asarray(narrow_gallery_np(
         l2_normalize_np(np.asarray(gallery, np.float32)), dtype))
-
-
-def narrow_gallery_np(gal_n: np.ndarray, dtype) -> np.ndarray:
-    """Narrow L2-NORMALIZED host rows to the storage dtype BEFORE the
-    device transfer (half/quarter link bytes; no wide copy transiting
-    HBM). int8 uses the 127-scale convention gallery_sims expects."""
-    dtype = jnp.dtype(dtype)
-    if dtype == jnp.int8:
-        return np.clip(np.round(gal_n * 127.0), -127, 127).astype(np.int8)
-    if dtype != jnp.float32:
-        return gal_n.astype(dtype)
-    return gal_n
 
 
 def make_multistream_pipeline(
@@ -314,8 +311,9 @@ def shard_gallery(gallery: np.ndarray, mesh, *, gallery_axis: str = "model",
     dynamic-gallery zero-pad contract) they can never win the argmax even
     when every real similarity is negative. Enrollments at a fixed Gpad are
     one re-upload; growth past Gpad re-shards at the next multiple.
-    ``dtype=jnp.bfloat16`` halves per-shard HBM bytes and match-stage
-    bandwidth (see :func:`normalize_gallery`)."""
+    ``dtype=jnp.bfloat16`` halves (``jnp.int8`` quarters, with the
+    caveats in :func:`normalize_gallery`) per-shard HBM bytes and
+    match-stage bandwidth."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     ndev = mesh.shape[gallery_axis]

@@ -142,15 +142,19 @@ def test_bf16_storage_dtype():
     assert dg2.gallery_n.dtype == jnp.bfloat16
 
     # int8 storage: 127-scale rows on device, rescaled by to_host; quant
-    # error bounded by half a grid step per element
+    # error bounded by half a grid step per element (plus slack for the
+    # device-vs-host normalize last-bit gap)
     dg8 = DeviceGallery(dim=16, capacity=2, dtype=jnp.int8)
     for v in vecs:
         dg8.add(v)
     assert dg8.gallery_n.dtype == jnp.int8
-    np.testing.assert_allclose(dg8.to_host(), ref, atol=0.5 / 127 + 1e-7)
+    np.testing.assert_allclose(dg8.to_host(), ref, atol=0.5 / 127 + 1e-5)
+    # host-narrowed (initial) and device-narrowed (add) rows agree to one
+    # quantization grid step (exact equality would pin backend rounding)
     dg8i = DeviceGallery(dim=16, capacity=8, initial=vecs, dtype=jnp.int8)
-    np.testing.assert_array_equal(np.asarray(dg8i.gallery_n[:5]),
-                                  np.asarray(dg8.gallery_n[:5]))
+    diff = (np.asarray(dg8i.gallery_n[:5], np.int32)
+            - np.asarray(dg8.gallery_n[:5], np.int32))
+    assert np.abs(diff).max() <= 1
 
 
 def test_sharded_gallery_matches_shard_gallery():

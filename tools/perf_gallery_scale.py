@@ -41,7 +41,12 @@ def main():
                          "N streams/dispatch: the [N, D] x [D, G] match "
                          "streams the gallery ONCE per dispatch, so the "
                          "per-frame gallery HBM cost divides by N")
-    ap.add_argument("--dtype", choices=("f32", "bf16", "int8"),
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli._common import (
+        GALLERY_DTYPE_NAMES,
+        gallery_dtype,
+    )
+
+    ap.add_argument("--dtype", choices=GALLERY_DTYPE_NAMES,
                     default="f32",
                     help="gallery storage dtype: bf16 halves / int8 "
                          "quarters the bandwidth-bound match stage's HBM "
@@ -97,8 +102,7 @@ def main():
         # build the gallery on HOST, normalize on device in chunks via
         # normalize_gallery (one [G, 342] transfer)
         gal = rng.normal(size=(g, 342)).astype(np.float32)
-        gdtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-                  "int8": jnp.int8}[args.dtype]
+        gdtype = gallery_dtype(args.dtype)
         t0 = time.perf_counter()
         gal_n = jax.block_until_ready(normalize_gallery(gal, gdtype))
         up = time.perf_counter() - t0
