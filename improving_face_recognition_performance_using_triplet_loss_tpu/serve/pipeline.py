@@ -46,19 +46,25 @@ def gallery_sims(emb: jnp.ndarray, gallery_n: jnp.ndarray) -> jnp.ndarray:
       into the matmul's operand read, so HBM traffic stays narrow
       (f32 x bf16 is an MXU-native pairing);
     - int8 rows hold ``round(127 * normalized)`` (see
-      :func:`normalize_gallery`) and rescale by 1/127 AFTER the matmul —
-      a quarter of the f32 bytes IF the compiler keeps the widening
-      fused: f32-probe x int8-gallery is not an MXU-native pairing (the
-      native matcher quantizes BOTH operands), so this is pending
-      real-chip measurement (docs/DESIGN.md "Gallery storage dtype");
-      prefer bf16 until the int8 row is measured.
+      :func:`normalize_gallery`); the PROBE is quantized to the same
+      grid on the fly (tiny — [N, D]) so the product is an int8 x int8
+      int32-accumulated matmul, the MXU's native int8 pairing and the
+      same both-operands scheme as the native AVX2 matcher — a quarter
+      of the f32 bytes on the G-dominated read, rescaled by 1/127^2
+      after the matmul. Combined quantization error ~4e-3 cosine; the
+      int32 accumulator never overflows (D * 127^2 < 2^31 up to
+      D ~ 133k).
 
     Every pipeline/matcher match goes through here so a gallery's dtype
     is decided once, at storage time."""
-    sims = emb @ gallery_n.T
     if gallery_n.dtype == jnp.int8:
-        sims = sims * (1.0 / 127.0)
-    return sims
+        from ..ops.distances import narrow_gallery
+
+        q = narrow_gallery(emb.astype(jnp.float32), jnp.int8)
+        sims = jnp.matmul(q, gallery_n.T,
+                          preferred_element_type=jnp.int32)
+        return sims.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    return emb @ gallery_n.T
 
 
 def _match_gallery(sims: jnp.ndarray, rows):
@@ -202,12 +208,11 @@ def normalize_gallery(gallery: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     half the bytes too.
 
     ``dtype=jnp.int8`` stores ``round(127 * normalized)`` for a QUARTER of
-    the f32 bytes (~2e-3 cosine error; :func:`gallery_sims` rescales after
-    the matmul) — the TPU-side analogue of the native matcher's int8 path
-    (cpp/include/facejax/matcher.hpp). Caveat: only the GALLERY operand
-    is quantized here, so the byte win assumes the compiler keeps the
-    int8->f32 widening fused into the matmul read — pending real-chip
-    measurement; prefer bf16 until then."""
+    the f32 bytes — the TPU-side analogue of the native matcher's
+    both-operands int8 path (cpp/include/facejax/matcher.hpp):
+    :func:`gallery_sims` quantizes the probe to the same grid and runs an
+    int8 x int8 int32-accumulated matmul (~4e-3 combined cosine error,
+    rescaled by 1/127^2)."""
     return jnp.asarray(narrow_gallery_np(
         l2_normalize_np(np.asarray(gallery, np.float32)), dtype))
 
