@@ -13,21 +13,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distances import l2_normalize
+from ..ops.distances import (gallery_sims, l2_normalize, l2_normalize_np,
+                             narrow_gallery_np)
 
 
-def make_gallery_matcher(gallery: np.ndarray):
-    """Returns a jitted (queries [N, D]) -> (idx [N], sim [N]) matcher with
-    the gallery baked in as a device constant (norms precomputed)."""
-    gallery_n = l2_normalize(jnp.asarray(gallery, jnp.float32))
+def make_gallery_matcher(gallery: np.ndarray, dtype=jnp.float32):
+    """Returns a jitted (queries [N, D]) -> (idx [N], sim [N]) matcher.
+    ``dtype=jnp.bfloat16`` / ``jnp.int8`` narrows the stored rows (and the
+    upload) — half / quarter of the f32 bytes on the G-dominated read,
+    see ops.distances.gallery_sims for the exact schemes."""
+    gallery_n = jnp.asarray(narrow_gallery_np(
+        l2_normalize_np(np.asarray(gallery, np.float32)), dtype))
 
     # gallery as a runtime argument, not a jit closure constant (see
     # make_sharded_gallery_matcher's note on constant-serialization stalls)
     @jax.jit
     def _match(gal: jnp.ndarray, queries: jnp.ndarray):
         qn = l2_normalize(queries.astype(jnp.float32))
-        sims = jnp.dot(qn, gal.T,
-                       preferred_element_type=jnp.float32)  # [N, M]
+        sims = gallery_sims(qn, gal)                      # [N, M]
         sims = jnp.where(jnp.isnan(sims), -2.0, sims)
         idx = jnp.argmax(sims, axis=-1)
         best = jnp.take_along_axis(sims, idx[:, None], axis=-1)[:, 0]
@@ -40,9 +43,10 @@ def make_gallery_matcher(gallery: np.ndarray):
 
 
 def match_gallery_tpu(gallery: np.ndarray, queries: np.ndarray,
-                      sim_th: float = 0.0):
+                      sim_th: float = 0.0, dtype=jnp.float32):
     """One-shot helper: returns (idx [N] with -1 below threshold, sim [N])."""
-    idx, sim = make_gallery_matcher(gallery)(jnp.asarray(queries))
+    idx, sim = make_gallery_matcher(gallery, dtype=dtype)(
+        jnp.asarray(queries))
     idx = np.asarray(idx).astype(np.int64)
     sim = np.asarray(sim)
     idx[sim < sim_th] = -1

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..detect.device_cascade import crop_resize_boxes, make_device_cascade
-from ..ops.distances import (l2_normalize, l2_normalize_np,
+from ..ops.distances import (gallery_sims,  # noqa: F401 (public re-export)
+                             l2_normalize, l2_normalize_np,
                              narrow_gallery_np)
 
 
@@ -36,35 +37,6 @@ def _apply_embed(model, variables, x, int8_embed: bool):
         with nn.intercept_methods(int8_conv_interceptor()):
             return model.apply(variables, x, train=False)
     return model.apply(variables, x, train=False)
-
-
-def gallery_sims(emb: jnp.ndarray, gallery_n: jnp.ndarray) -> jnp.ndarray:
-    """[..., D] normalized probe(s) x [G, D] STORED gallery rows ->
-    [..., G] cosine similarities, honoring the storage dtype:
-
-    - f32/bf16 rows multiply directly — XLA fuses the widening convert
-      into the matmul's operand read, so HBM traffic stays narrow
-      (f32 x bf16 is an MXU-native pairing);
-    - int8 rows hold ``round(127 * normalized)`` (see
-      :func:`normalize_gallery`); the PROBE is quantized to the same
-      grid on the fly (tiny — [N, D]) so the product is an int8 x int8
-      int32-accumulated matmul, the MXU's native int8 pairing and the
-      same both-operands scheme as the native AVX2 matcher — a quarter
-      of the f32 bytes on the G-dominated read, rescaled by 1/127^2
-      after the matmul. Combined quantization error ~4e-3 cosine; the
-      int32 accumulator never overflows (D * 127^2 < 2^31 up to
-      D ~ 133k).
-
-    Every pipeline/matcher match goes through here so a gallery's dtype
-    is decided once, at storage time."""
-    if gallery_n.dtype == jnp.int8:
-        from ..ops.distances import narrow_gallery
-
-        q = narrow_gallery(emb.astype(jnp.float32), jnp.int8)
-        sims = jnp.matmul(q, gallery_n.T,
-                          preferred_element_type=jnp.int32)
-        return sims.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
-    return emb @ gallery_n.T
 
 
 def _match_gallery(sims: jnp.ndarray, rows):

@@ -199,6 +199,16 @@ def test_tpu_gallery_matcher_matches_native():
         assert abs(s_tpu - s_ref) < 1e-4
     assert idx[0] == 5 and idx[1] == 250
 
+    # narrow storage dtypes: the exact-direction winners hold, sims stay
+    # within the narrowing error (bf16 half / int8 quarter bytes)
+    import jax.numpy as jnp
+
+    for ndtype, tol in ((jnp.bfloat16, 5e-3), (jnp.int8, 2e-2)):
+        idx_n, sim_n = match_gallery_tpu(gallery, queries, sim_th=-1.0,
+                                         dtype=ndtype)
+        assert idx_n[0] == 5 and idx_n[1] == 250
+        np.testing.assert_allclose(sim_n, sim, atol=tol)
+
 
 def test_tpu_gallery_matcher_threshold():
     from improving_face_recognition_performance_using_triplet_loss_tpu.serve.gallery import (
