@@ -6,30 +6,66 @@ LightCNN-9, embeddings/sec/chip, target >= 10,000/s on a TPU v5e chip.
 
 Run on the real chip: ``python bench.py`` (honors JAX_PLATFORMS from env).
 Extra diagnostics go to stderr; the single stdout line is the contract.
+
+Resilience (VERDICT r3 item 1): a transient backend-init failure
+("Unable to initialize backend 'axon'" — a tunnel hiccup) wiped the
+entire round-3 artifact because the old harness made ONE attempt. Now
+``python bench.py`` is a thin driver that runs the measurement in a
+fresh subprocess (``--worker``) with bounded retry + backoff — a failed
+or hung backend init costs one attempt, not the round. The attempt log
+is embedded in the emitted JSON.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
-    enable_compilation_cache,
-)
-
-enable_compilation_cache()
+# Retry schedule: 5 attempts over ~3 minutes. A hung attempt (the axon
+# plugin can hang at backend init while the tunnel is down, not just
+# fail) is bounded by the per-attempt timeout.
+BACKOFF_S = (0.0, 20.0, 40.0, 60.0, 60.0)
+ATTEMPT_TIMEOUT_S = float(os.environ.get("FACEJAX_BENCH_ATTEMPT_TIMEOUT", 1800))
 
 BASELINE_EMB_PER_SEC = 10_000.0
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _import_jax():
+    """Deferred + idempotent: the driver process must never touch jax —
+    the axon TPU plugin can hang at *import*/plugin discovery while the
+    tunnel is down, and the driver has to outlive exactly that failure
+    mode. (Test processes that already configured jax pass through.)"""
+    global jax, jnp, np
+    if "jax" in globals():
+        return
+    # jax is PRE-IMPORTED at interpreter startup in this environment, so
+    # the env var was already consumed — honor JAX_PLATFORMS by forcing
+    # it through config.update before the first backend touch. This also
+    # dodges the env-var path's intermittent hang at axon plugin
+    # discovery while the TPU tunnel is down (even for =cpu).
+    platforms = os.environ.get("JAX_PLATFORMS")
+    import jax
+
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass  # backend already initialized (module imported by tests)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
 
 # analytic conv+fc FLOPs per image at 128px (tools/perf_layers.py table);
@@ -43,6 +79,7 @@ def measured_flops_per_image(batch_size: int = 128) -> float:
     """FLOPs/image from XLA cost analysis of the single-batch forward —
     the mechanical MFU denominator (falls back to the analytic constant
     when the backend exposes no cost analysis)."""
+    _import_jax()
     from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
         LightCNN9,
     )
@@ -90,6 +127,7 @@ def measure_mbu_pct(batch_size: int = 256, iters: int = 256):
     above VMEM so HBM traffic is actually observed (VERDICT r2 item 1).
     Returns (mbu_pct, peak_gb_s).
     """
+    _import_jax()
     from tools.perf_layers import _null_baseline, measure_hbm_peak_gbs
 
     # fixed dispatch+fetch cost is MEASURED, not assumed (the old 26 ms
@@ -161,6 +199,7 @@ def bench_lightcnn9_extraction(batch_size: int = 128, n_batches: int = 256) -> f
     B=128 measured fastest on v5e (round-2 sweep: 22.9k @64, 30.6k @96,
     39.0k @128, 21.5k @160, 28.6k @192, 37.3k @256, 36.4k @512, 34.8k
     @1024 emb/s) — the batch axis tiles the 128-wide MXU exactly once."""
+    _import_jax()
     import functools
 
     from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
@@ -202,30 +241,33 @@ def bench_lightcnn9_extraction(batch_size: int = 128, n_batches: int = 256) -> f
     return batch_size * n_batches / dt
 
 
-def main():
+def worker_main():
+    """One measurement attempt. Emits the JSON line on success; exits
+    non-zero on ANY failure (incl. backend init) so the driver retries."""
+    fake_fail = int(os.environ.get("FACEJAX_BENCH_FAKE_FAIL", "0"))
+    attempt = int(os.environ.get("FACEJAX_BENCH_ATTEMPT", "1"))
+    if attempt <= fake_fail:  # retry-path test hook (tests/test_bench_mfu.py)
+        log(f"FAKE_FAIL: simulated backend-init failure on attempt {attempt}")
+        raise RuntimeError("Unable to initialize backend 'axon' (simulated)")
+    _import_jax()
+    quick = os.environ.get("FACEJAX_BENCH_QUICK") == "1"
+    emb_per_sec = bench_lightcnn9_extraction(
+        **({"batch_size": 8, "n_batches": 4} if quick else {}))
     try:
-        emb_per_sec = bench_lightcnn9_extraction()
-    except Exception as e:  # report failure as a parseable zero
-        log(f"bench failed: {type(e).__name__}: {e}")
-        print(json.dumps({
-            "metric": "lightcnn9_embeddings_per_sec_per_chip",
-            "value": 0.0, "unit": "embeddings/s",
-            "vs_baseline": 0.0, "error": str(e)[:200],
-        }))
-        return
-    try:
-        flops_per_image = measured_flops_per_image()
+        flops_per_image = measured_flops_per_image(
+            batch_size=8 if quick else 128)
     except Exception as e:
         log(f"flops measurement failed ({e}); using analytic constant")
         flops_per_image = FLOPS_PER_IMAGE
     extra = {}
-    try:
-        mbu, peak_bw = measure_mbu_pct()
-        extra = {"mbu_pct": round(mbu, 1),
-                 "hbm_peak_gb_s": round(peak_bw, 1)}
-        log(f"bound-layer MBU {mbu:.1f}% of measured {peak_bw:.0f} GB/s")
-    except Exception as e:
-        log(f"mbu measurement failed: {e}")
+    if not quick:
+        try:
+            mbu, peak_bw = measure_mbu_pct()
+            extra = {"mbu_pct": round(mbu, 1),
+                     "hbm_peak_gb_s": round(peak_bw, 1)}
+            log(f"bound-layer MBU {mbu:.1f}% of measured {peak_bw:.0f} GB/s")
+        except Exception as e:
+            log(f"mbu measurement failed: {e}")
     print(json.dumps({
         "metric": "lightcnn9_embeddings_per_sec_per_chip",
         "value": round(emb_per_sec, 1),
@@ -234,8 +276,81 @@ def main():
         "mfu_pct": round(emb_per_sec * flops_per_image
                          / (PEAK_BF16_TFLOPS * 1e12) * 100, 1),
         "flops_per_image": round(flops_per_image / 1e9, 3),
+        "platform": jax.devices()[0].platform,
         **extra,
     }))
+
+
+def _parse_worker_json(stdout_text):
+    """Last parseable JSON object line wins (compile logs may precede it)."""
+    for line in reversed(stdout_text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def driver_main():
+    """Run worker attempts in fresh subprocesses until one produces a
+    non-zero measurement; emit its JSON + the attempt log. A fresh
+    process per attempt guarantees a fresh backend init (jax caches a
+    failed backend for the life of the process)."""
+    backoff = BACKOFF_S
+    if os.environ.get("FACEJAX_BENCH_BACKOFF") is not None:
+        backoff = tuple(float(os.environ["FACEJAX_BENCH_BACKOFF"])
+                        for _ in BACKOFF_S)
+    attempt_log = []
+    result = None
+    for i, delay in enumerate(backoff, start=1):
+        if delay:
+            log(f"bench attempt {i}/{len(backoff)}: sleeping {delay:.0f}s "
+                "before retry")
+            time.sleep(delay)
+        env = dict(os.environ,
+                   FACEJAX_BENCH_WORKER="1",
+                   FACEJAX_BENCH_ATTEMPT=str(i))
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+                timeout=ATTEMPT_TIMEOUT_S, text=True)
+            rc, out = proc.returncode, proc.stdout
+        except subprocess.TimeoutExpired:
+            rc, out = -1, ""
+            attempt_log.append({"attempt": i, "rc": "timeout",
+                                "secs": round(time.time() - t0, 1)})
+            log(f"bench attempt {i}: timed out after {ATTEMPT_TIMEOUT_S:.0f}s "
+                "(hung backend init?)")
+            continue
+        entry = {"attempt": i, "rc": rc, "secs": round(time.time() - t0, 1)}
+        parsed = _parse_worker_json(out) if rc == 0 else None
+        if parsed is not None and parsed.get("value", 0.0) > 0.0:
+            attempt_log.append(entry)
+            result = parsed
+            break
+        entry["rc"] = rc if rc != 0 else "zero-value"
+        attempt_log.append(entry)
+        log(f"bench attempt {i} failed (rc={rc}); "
+            f"{'no JSON' if parsed is None else 'value 0.0'}")
+    if result is None:
+        result = {
+            "metric": "lightcnn9_embeddings_per_sec_per_chip",
+            "value": 0.0, "unit": "embeddings/s", "vs_baseline": 0.0,
+            "error": f"all {len(backoff)} attempts failed (see attempt_log)",
+        }
+    result["attempts"] = attempt_log
+    print(json.dumps(result))
+
+
+def main():
+    if "--worker" in sys.argv or os.environ.get("FACEJAX_BENCH_WORKER") == "1":
+        worker_main()
+    else:
+        driver_main()
 
 
 if __name__ == "__main__":

@@ -39,3 +39,36 @@ def test_compiled_flops_counts_a_matmul():
         return
     expect = 2 * 256 * 512 * 128
     assert 0.5 * expect <= flops <= 2 * expect
+
+
+def test_bench_driver_survives_transient_backend_failures():
+    """VERDICT r3 item 1: a transient backend-init failure must cost an
+    attempt, not the round. Simulate two failed inits (worker exits
+    non-zero) and assert the driver's third attempt lands a real number
+    with the attempt log embedded in the emitted JSON."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    bench_path = Path(__file__).resolve().parents[1] / "bench.py"
+    env = dict(
+        os.environ,
+        FACEJAX_BENCH_FAKE_FAIL="2",
+        FACEJAX_BENCH_QUICK="1",
+        FACEJAX_BENCH_BACKOFF="0",
+        FACEJAX_BENCH_ATTEMPT_TIMEOUT="240",
+        JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(bench_path)], env=env, timeout=420,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] > 0, result
+    attempts = result["attempts"]
+    assert [a["attempt"] for a in attempts] == [1, 2, 3]
+    assert attempts[0]["rc"] == 1 and attempts[1]["rc"] == 1
+    assert attempts[2]["rc"] == 0
+    assert result["platform"] == "cpu"
