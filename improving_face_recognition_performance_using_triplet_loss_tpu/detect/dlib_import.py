@@ -94,7 +94,17 @@ def _write_int(f: BinaryIO, v: int) -> None:
 def _read_float(f: BinaryIO) -> float:
     mantissa = _read_int(f)
     exponent = _read_int(f)
-    return math.ldexp(mantissa, exponent)
+    # untrusted input: an 8-byte exponent would make ldexp raise
+    # OverflowError (or silently produce inf) — any float32 value fits
+    # comfortably in |exponent| <= 1100, beyond that the .dat is corrupt
+    if abs(exponent) > 1100:
+        raise ValueError(
+            f"corrupt dlib .dat: float exponent {exponent} out of range")
+    try:
+        return math.ldexp(mantissa, exponent)
+    except OverflowError:  # huge mantissa can still overflow within range
+        raise ValueError(
+            f"corrupt dlib .dat: float {mantissa}*2^{exponent} overflows")
 
 
 def _write_float(f: BinaryIO, v: float) -> None:

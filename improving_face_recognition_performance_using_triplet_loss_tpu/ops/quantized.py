@@ -175,7 +175,11 @@ def int8_conv_interceptor(min_k: int = 64, compute_dtype: Any = None):
         y = acc.astype(jnp.float32) * (s_a * s_w)
         if mod.use_bias:
             y = y + mod.variables["params"]["bias"].astype(jnp.float32)
-        return y.astype(compute_dtype or x.dtype)
+        # epilogue cast follows the conv's OWN configured dtype, not the
+        # input's: an f32-fed bf16 conv must still emit bf16 activations
+        # (matching the non-int8 path's dtype flow) or every downstream
+        # intermediate doubles its HBM footprint
+        return y.astype(compute_dtype or mod.dtype or x.dtype)
 
     return interceptor
 

@@ -53,13 +53,18 @@ def _grow_impl(gal: jnp.ndarray, new_capacity: int):
     return jnp.concatenate([gal, pad])
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _ops_for(sharding):
     """Jitted (set_row, clear_row, grow) pinned to ``sharding`` (or the
     default single-device placement when ``None``). Cached per sharding so
     long-lived galleries never recompile; the scatter/clear donate the old
     buffer — with a row-sharded gallery the one-row dynamic-update-slice
-    touches a single shard, the rest of the matrix never moves."""
+    touches a single shard, the rest of the matrix never moves.
+
+    The cache is BOUNDED (a NamedSharding key pins its Mesh and device
+    objects — an unbounded cache would leak meshes in long-lived
+    processes that re-shard); 32 distinct shardings far exceeds any real
+    serving process, and eviction only costs a recompile."""
     kw = {} if sharding is None else {"out_shardings": sharding}
     return (
         jax.jit(_set_row_impl, donate_argnums=0, **kw),

@@ -106,7 +106,15 @@ class PersonGalleryService:
             raise KeyError(f"no person pid={pid}")
         feature = np.asarray(feature, np.float32)
         fid = self.store.insert_face(pid, feature)
-        self._dg.add(feature)
+        try:
+            self._dg.add(feature)
+        except Exception:
+            # the DB row is already durable; a failed device scatter
+            # (e.g. HBM OOM during capacity doubling) must not leave the
+            # HBM matrix misaligned with _fids/_pids — rebuild from the
+            # store so match indices stay resolvable, then re-raise
+            self.refresh()
+            raise
         self._fids.append(fid)
         self._pids.append(pid)
         return fid

@@ -111,11 +111,13 @@ class PersonStore:
             "VALUES (0, 'TMP', 0)")
         self.db.commit()
         self._cache = None  # (features [N,D], norms [N], fids, pids)
+        self._tpu_matcher = None  # jitted matcher + device rows, per generation
 
     # ------------------------------------------------------------ helpers
 
     def _invalidate(self):
         self._cache = None
+        self._tpu_matcher = None
 
     def _feature_blob(self, fv: np.ndarray) -> bytes:
         fv = np.ascontiguousarray(fv, np.float32).ravel()
@@ -351,11 +353,20 @@ class PersonStore:
             return [MatchResult(None, 0.0) for _ in range(len(features))]
         if not use_tpu:
             return [self.match(fv, sim_th) for fv in features]
-        from .gallery import match_gallery_tpu
+        # the jitted matcher (and its normalized device-resident gallery
+        # rows) is cached per store generation — rebuilding it per call
+        # would re-upload O(G) rows and retrace on every bulk identify;
+        # _invalidate() drops it whenever the face set changes
+        if self._tpu_matcher is None:
+            from .gallery import make_gallery_matcher
 
-        # sim_th=-2 keeps every argmax; thresholding happens here so the
+            self._tpu_matcher = make_gallery_matcher(feats)
+        import jax.numpy as jnp
+
+        idx, sim = self._tpu_matcher(jnp.asarray(features))
+        idx, sim = np.asarray(idx).astype(np.int64), np.asarray(sim)
+        # every argmax kept; thresholding happens here so the
         # below-threshold similarity is still reported (host parity)
-        idx, sim = match_gallery_tpu(feats, features, sim_th=-2.0)
         out = []
         for i, s in zip(idx, sim):
             if s < sim_th:
@@ -414,6 +425,121 @@ class PersonStore:
         self.db.commit()
         self._invalidate()
         return n
+
+    # --------------------------------------------- native FJPD interchange
+
+    def export_fjpd(self, path: str) -> tuple[int, int]:
+        """Write the native person store binary ("FJPD" v1,
+        cpp/include/facejax/person_store.hpp) — the interchange format
+        between this SQLite store and the zero-Python serving binary:
+        every person (incl. the reserved TMP row), every face with its
+        cached norm, and the card-only pre-registration queue, with ids
+        preserved. Returns (n_persons, n_faces)."""
+        import struct
+
+        persons = self.db.execute(
+            "SELECT pid, name, role_title, email, student_id, card_id, "
+            "person_flag, profile_img FROM person ORDER BY pid").fetchall()
+        faces = self.db.execute(
+            "SELECT fid, pid, simd_dot, img_path, feature FROM face "
+            "ORDER BY fid").fetchall()
+        regs = self.pending_registrations()
+
+        def wstr(f, s):
+            b = str(s).encode("utf-8")
+            f.write(struct.pack("<I", len(b)))
+            f.write(b)
+
+        next_pid = max((int(p[0]) for p in persons), default=0) + 1
+        next_fid = max((int(r[0]) for r in faces), default=0) + 1
+        next_rid = max((r[0] for r in regs), default=0) + 1
+        with open(path, "wb") as f:
+            f.write(struct.pack(
+                "<9I", 0x44504A46, 1, self.feature_dim, next_pid,
+                next_fid, next_rid, len(persons), len(faces), len(regs)))
+            for pid, name, rt, em, sid, cid, flag, img in persons:
+                f.write(struct.pack("<ii", int(pid), int(flag)))
+                for s in (name, rt, em, sid, cid, img):
+                    wstr(f, s)
+            for fid, pid, norm, img, blob in faces:
+                if len(blob) != 4 * self.feature_dim:
+                    raise ValueError(f"face fid={fid} has a "
+                                     f"{len(blob)}-byte feature blob")
+                f.write(struct.pack("<ii", int(fid), int(pid)))
+                wstr(f, img)
+                f.write(struct.pack("<f", float(norm)))
+                f.write(blob)
+            for rid, card, fids in regs:
+                f.write(struct.pack("<i", int(rid)))
+                wstr(f, card)
+                f.write(struct.pack("<I", len(fids)))
+                for fid in fids:
+                    f.write(struct.pack("<i", int(fid)))
+        return len(persons), len(faces)
+
+    def import_fjpd(self, path: str) -> tuple[int, int]:
+        """Load a native FJPD store (e.g. one the serving binary enrolled
+        into) with ids preserved. The store must be EMPTY (only the
+        reserved TMP person) — id-preserving import into a populated
+        store would collide. Returns (n_persons, n_faces)."""
+        import struct
+
+        n_existing = self.db.execute(
+            "SELECT COUNT(*) FROM person WHERE pid != 0").fetchone()[0]
+        n_faces_existing = self.db.execute(
+            "SELECT COUNT(*) FROM face").fetchone()[0]
+        if n_existing or n_faces_existing:
+            raise ValueError("import_fjpd requires an empty store "
+                             f"(has {n_existing} persons / "
+                             f"{n_faces_existing} faces)")
+        with open(path, "rb") as f:
+            def rstr():
+                (ln,) = struct.unpack("<I", f.read(4))
+                if ln > (1 << 20):
+                    raise ValueError("corrupt FJPD: oversized string")
+                return f.read(ln).decode("utf-8")
+
+            magic, version, dim, _np_, _nf_, _nr_, n_p, n_f, n_r = \
+                struct.unpack("<9I", f.read(36))
+            if magic != 0x44504A46 or version != 1:
+                raise ValueError("not a FJPD v1 file")
+            if dim != self.feature_dim:
+                raise ValueError(f"FJPD dim {dim} != store "
+                                 f"{self.feature_dim}")
+            for _ in range(n_p):
+                pid, flag = struct.unpack("<ii", f.read(8))
+                name, rt, em, sid, cid, img = (rstr() for _ in range(6))
+                if pid == TMP_PID:
+                    continue  # reserved row already exists
+                self.db.execute(
+                    "INSERT INTO person (pid, name, role_title, email, "
+                    "student_id, card_id, person_flag, profile_img) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                    (pid, name, rt, em, sid, cid, flag, img))
+            for _ in range(n_f):
+                fid, pid = struct.unpack("<ii", f.read(8))
+                img = rstr()
+                (norm,) = struct.unpack("<f", f.read(4))
+                blob = f.read(4 * dim)
+                self.db.execute(
+                    "INSERT INTO face (fid, pid, simd_dot, img_path, "
+                    "feature) VALUES (?, ?, ?, ?, ?)",
+                    (fid, pid, norm, img, blob))
+            for _ in range(n_r):
+                (rid,) = struct.unpack("<i", f.read(4))
+                card = rstr()
+                (k,) = struct.unpack("<I", f.read(4))
+                self.db.execute(
+                    "INSERT INTO wanna_regist (rid, card_id) VALUES (?, ?)",
+                    (rid, card))
+                for _ in range(k):
+                    (fid,) = struct.unpack("<i", f.read(4))
+                    self.db.execute(
+                        "INSERT INTO regist_face (rid, fid) VALUES (?, ?)",
+                        (rid, fid))
+        self.db.commit()
+        self._invalidate()
+        return n_p, n_f
 
     # ----------------------------------------------------------- lifecycle
 
