@@ -24,6 +24,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <string>
 #include <thread>
 #include <vector>
@@ -36,6 +37,7 @@
 #include "facejax/ert.hpp"
 #include "facejax/identity_store.hpp"
 #include "facejax/mtcnn.hpp"
+#include "facejax/person_store.hpp"
 #include "facejax/spsc_queue.hpp"
 #include "facejax/state_machine.hpp"
 
@@ -49,7 +51,9 @@ struct Frame {
 
 struct Args {
   std::string video, mtcnn, weights, model = "efmnet342", store;
-  std::string ert;  // optional 68-pt refiner
+  std::string person_db;  // person-level FJPD store (C20) instead of the
+                          // flat reg_face-style --store (C19)
+  std::string ert;        // optional 68-pt refiner
   std::string register_name;
   int register_frames = 3;
   int image_size = 32;
@@ -69,7 +73,8 @@ void Usage(const char* argv0) {
   std::fprintf(
       stderr,
       "usage: %s --video FILE --mtcnn MTCNN.npz --weights WEIGHTS.npz\n"
-      "  --store DB.fjdb --register-name NAME [--model efmnet342]\n"
+      "  (--store DB.fjdb | --person-db DB.fjpd) --register-name NAME\n"
+      "  [--model efmnet342]\n"
       "  [--ert ERT.npz] [--register-frames N] [--image-size S]\n"
       "  [--margin M] [--minsize N] [--th T1 T2 T3] [--factor F]\n"
       "  [--sim-th S] [--scth S] [--dedup-th S] [--int8]\n"
@@ -90,6 +95,7 @@ bool Parse(int argc, char** argv, Args& a) {
     else if (k == "--weights") v = need(i), a.weights = v ? v : "";
     else if (k == "--model") v = need(i), a.model = v ? v : "";
     else if (k == "--store") v = need(i), a.store = v ? v : "";
+    else if (k == "--person-db") v = need(i), a.person_db = v ? v : "";
     else if (k == "--ert") v = need(i), a.ert = v ? v : "";
     else if (k == "--register-name") v = need(i), a.register_name = v ? v : "";
     else if (k == "--register-frames") v = need(i), a.register_frames = v ? std::atoi(v) : 0;
@@ -117,7 +123,8 @@ bool Parse(int argc, char** argv, Args& a) {
     if (!v) return false;
   }
   return !a.video.empty() && !a.mtcnn.empty() && !a.weights.empty() &&
-         !a.store.empty() && !a.register_name.empty();
+         (a.store.empty() != a.person_db.empty()) &&
+         !a.register_name.empty();
 }
 
 // Largest-centered face pick (detect/align.py::select_main_face,
@@ -186,8 +193,53 @@ int main(int argc, char** argv) {
   facejax::NativeNet net(a.weights, a.model, a.int8);
   std::unique_ptr<facejax::NativeErt> ert;
   if (!a.ert.empty()) ert.reset(new facejax::NativeErt(a.ert));
-  if (a.reset_store) std::remove(a.store.c_str());
-  facejax::IdentityStore store(a.store, net.feature_dim());
+  if (a.reset_store)
+    std::remove((a.person_db.empty() ? a.store : a.person_db).c_str());
+  // C19 flat store (reg_face semantics) or C20 person-level store
+  // (person -> N faces, Valid_Face matching) — one of the two is open
+  std::unique_ptr<facejax::IdentityStore> flat;
+  std::unique_ptr<facejax::PersonStore> pstore;
+  int enroll_pid = -1;
+  if (a.person_db.empty()) {
+    flat.reset(new facejax::IdentityStore(a.store, net.feature_dim()));
+  } else {
+    pstore.reset(new facejax::PersonStore(a.person_db, net.feature_dim()));
+  }
+  // store ops used by both paths: register one feature, match one probe.
+  // Person mode creates the person row on the FIRST stored face (so an
+  // enrollment that acquires nothing leaves no empty person behind) and
+  // attaches every selected view to that one pid — N faces per person.
+  auto store_register = [&](const float* fv) -> bool {
+    if (flat) return flat->Register(a.register_name, fv, a.dedup_th) >= 0;
+    if (enroll_pid < 0) {
+      facejax::PersonRec person;
+      person.name = a.register_name;
+      enroll_pid = pstore->RegisterPerson(person);
+    }
+    return pstore->AddFace(enroll_pid, fv, a.dedup_th) >= 0;
+  };
+  struct Matched {
+    bool found = false;
+    std::string name;
+    float sim = 0.0f;
+  };
+  auto store_match = [&](const float* fv) -> Matched {
+    Matched r;
+    if (flat) {
+      facejax::MatchResult m = flat->Match(fv, a.sim_th);
+      r.sim = m.similarity;
+      if (m.index >= 0) r.found = true, r.name = flat->name(m.index);
+      return r;
+    }
+    facejax::PersonMatch m = pstore->Match(fv, a.sim_th);
+    r.sim = m.similarity;
+    if (m.pid >= 0) {
+      const facejax::PersonRec* p = pstore->FindPerson(m.pid);
+      r.found = true;
+      r.name = p ? p->name : "?";
+    }
+    return r;
+  };
   facejax::RegistrationStateMachine sm;
   facejax::SpscQueue<Frame> queue;
   std::atomic<bool> producer_done{false};
@@ -319,11 +371,9 @@ int main(int argc, char** argv) {
   sm.Handle(facejax::Event::kDetailsEntered);  // -> Registration
   int stored = 0;
   for (int idx : sel) {
-    const int rc = store.Register(
-        a.register_name,
-        acquired.data() + static_cast<size_t>(idx) * net.feature_dim(),
-        a.dedup_th);
-    if (rc >= 0) ++stored;
+    if (store_register(acquired.data() +
+                       static_cast<size_t>(idx) * net.feature_dim()))
+      ++stored;
   }
   sm.Handle(facejax::Event::kFeatureStored);  // -> RegistFeature
   sm.Handle(facejax::Event::kTick);           // -> Identification
@@ -351,16 +401,16 @@ int main(int argc, char** argv) {
         continue;
       }
       ++faces;
-      facejax::MatchResult m = store.Match(r.fv.data(), a.sim_th);
-      if (m.index >= 0) {
+      Matched m = store_match(r.fv.data());
+      if (m.found) {
         ++identified;
-        ++name_counts[store.name(m.index)];
+        ++name_counts[m.name];
         std::printf("frame %ld: %s sim=%.4f box=[%.0f,%.0f,%.0f,%.0f]%s\n",
-                    f.seq, store.name(m.index).c_str(), m.similarity,
+                    f.seq, m.name.c_str(), m.sim,
                     r.box[0], r.box[1], r.box[2], r.box[3],
                     r.landmarks ? " landmarks=68" : "");
       } else {
-        std::printf("frame %ld: unknown sim=%.4f\n", f.seq, m.similarity);
+        std::printf("frame %ld: unknown sim=%.4f\n", f.seq, m.sim);
       }
     }
   }
@@ -370,10 +420,19 @@ int main(int argc, char** argv) {
   long top_n = 0;
   for (const auto& kv : name_counts)
     if (kv.second > top_n) top = kv.first, top_n = kv.second;
-  std::printf(
-      "summary frames_read=%ld processed=%ld faces=%ld identified=%ld "
-      "top=%s top_n=%ld store_size=%d\n",
-      frames_read.load(), processed, faces, identified,
-      top.empty() ? "-" : top.c_str(), top_n, store.size());
+  if (flat) {
+    std::printf(
+        "summary frames_read=%ld processed=%ld faces=%ld identified=%ld "
+        "top=%s top_n=%ld store_size=%d\n",
+        frames_read.load(), processed, faces, identified,
+        top.empty() ? "-" : top.c_str(), top_n, flat->size());
+  } else {
+    std::printf(
+        "summary frames_read=%ld processed=%ld faces=%ld identified=%ld "
+        "top=%s top_n=%ld persons=%d person_faces=%d pid=%d\n",
+        frames_read.load(), processed, faces, identified,
+        top.empty() ? "-" : top.c_str(), top_n, pstore->num_persons(),
+        pstore->valid_faces(), enroll_pid);
+  }
   return identified > 0 ? 0 : 2;
 }

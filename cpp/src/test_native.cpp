@@ -17,6 +17,7 @@
 #include "facejax/matcher.hpp"
 #include "facejax/mtcnn.hpp"
 #include "facejax/nms.hpp"
+#include "facejax/person_store.hpp"
 #include "facejax/spsc_queue.hpp"
 #include "facejax/state_machine.hpp"
 
@@ -92,6 +93,76 @@ static void TestIdentityStore() {
   }
   std::remove(path);
   std::printf("TestIdentityStore OK\n");
+}
+
+static void TestPersonStore() {
+  const char* path = "/tmp/fx_person_store_test.fjpd";
+  std::remove(path);
+  const int d = 8;
+  std::vector<float> a(d, 0.f), b(d, 0.f), c(d, 0.f);
+  a[0] = 1.f;
+  b[1] = 1.f;
+  c[2] = 1.f;
+  int alice_pid = -1, bob_pid = -1, rid = -1;
+  {
+    PersonStore store(path, d);
+    assert(store.num_persons() == 0);  // only the reserved TMP person
+    assert(store.FindPerson(PersonStore::kTmpPid) != nullptr);
+    // person with two faces (the C20 grouping identity_store can't do)
+    PersonRec alice;
+    alice.name = "alice";
+    alice.student_id = "A123";
+    alice_pid = store.RegisterPerson(alice);
+    std::vector<float> a2 = a;
+    a2[3] = 0.2f;  // second distinct view of alice
+    assert(store.AddFace(alice_pid, a.data(), 0.99999f) >= 0);
+    const int fid_a2 = store.AddFace(alice_pid, a2.data(), 0.99999f);
+    assert(fid_a2 >= 0);
+    // near-duplicate view deduped: -(1 + existing fid)
+    std::vector<float> a3 = a2;
+    for (auto& v : a3) v *= 2.f;
+    assert(store.AddFace(alice_pid, a3.data(), 0.99999f) == -(1 + fid_a2));
+    PersonRec bob;
+    bob.name = "bob";
+    bob_pid = store.RegisterPerson(bob);
+    assert(store.AddFace(bob_pid, b.data(), 0.99999f) >= 0);
+    assert(store.num_persons() == 2 && store.valid_faces() == 3);
+    // identify returns the OWNING PERSON whichever face wins
+    PersonMatch m = store.Match(a2.data(), 0.5f);
+    assert(m.pid == alice_pid && m.fid == fid_a2);
+    assert(store.ExistsIdNumber("A123")->pid == alice_pid);
+    // pflag soft delete: alice's faces all leave the match set...
+    assert(store.SetPersonFlag(alice_pid, 0));
+    assert(store.valid_faces() == 1);
+    assert(store.Match(a.data(), 0.5f).pid == -1);
+    // ...and restore brings them back
+    assert(store.SetPersonFlag(alice_pid, 1));
+    assert(store.Match(a.data(), 0.5f).pid == alice_pid);
+    assert(!store.SetPersonFlag(PersonStore::kTmpPid, 1));  // reserved
+    // card-only pre-registration parks faces invisibly
+    rid = store.RegisterCardOnly("card-42", c.data(), 1);
+    assert(rid >= 1);
+    assert(store.Match(c.data(), 0.5f).pid == -1);  // TMP faces invalid
+    assert(store.PendingRegistrations().size() == 1);
+  }
+  {
+    PersonStore store(path, d);  // persistence across process restart
+    assert(store.num_persons() == 2 && store.valid_faces() == 3);
+    assert(store.PendingRegistrations().size() == 1 &&
+           store.PendingRegistrations()[0].card_id == "card-42");
+    // promote: the parked face becomes carol's, queue drains, card
+    // inherited, and the face now matches as carol
+    PersonRec carol;
+    carol.name = "carol";
+    const int carol_pid = store.PromoteRegistration(rid, carol);
+    assert(carol_pid > 0 && store.PendingRegistrations().empty());
+    assert(store.FindByCard("card-42")->pid == carol_pid);
+    PersonMatch m = store.Match(c.data(), 0.5f);
+    assert(m.pid == carol_pid && m.similarity > 0.99f);
+    assert(store.PromoteRegistration(rid, carol) == -1);  // gone
+  }
+  std::remove(path);
+  std::printf("TestPersonStore OK\n");
 }
 
 static void TestNms() {
@@ -444,6 +515,7 @@ int main() {
   TestDotVsScalar();
   TestMatcher();
   TestIdentityStore();
+  TestPersonStore();
   TestNms();
   TestBBRegRerec();
   TestSpscQueue();

@@ -190,3 +190,104 @@ def test_demo_store_persists_across_runs(fixtures, tmp_path):
     assert r3.returncode == 0, f"{r3.stdout[-2000:]}\n{r3.stderr[-2000:]}"
     n3 = int(re.search(r"store_size=(\d+)", r3.stdout).group(1))
     assert n3 <= n1
+
+
+def test_demo_person_db_mode(fixtures, tmp_path):
+    """--person-db drives the PERSON-LEVEL native store (C20,
+    Feature.hpp:679-932) instead of the flat reg_face one: enrollment
+    creates one person owning N face rows, identification resolves to
+    the person, and the written FJPD file is readable by the Python
+    PersonStore (the interchange contract) with alice's own stored
+    features matching back to alice."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.person_store import (
+        PersonStore,
+    )
+
+    binary = _build_demo(str(tmp_path))
+    pdb = os.path.join(fixtures["dir"], "demo.fjpd")
+    if os.path.exists(pdb):
+        os.remove(pdb)
+    base = [binary, "--video", fixtures["video"], "--mtcnn",
+            fixtures["mtcnn"], "--weights", fixtures["export"],
+            "--model", "efmnet342", "--person-db", pdb,
+            "--register-frames", "2", "--image-size", "32",
+            "--th", "0.45", "0.35", "0.3", "--sim-th", "0.3"]
+    r = subprocess.run(base + ["--register-name", "alice"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    s = re.search(r"summary .*identified=(\d+) top=(\S+) top_n=\d+ "
+                  r"persons=(\d+) person_faces=(\d+) pid=(\d+)", r.stdout)
+    assert s, r.stdout[-2000:]
+    assert int(s.group(1)) >= 1 and s.group(2) == "alice"
+    assert int(s.group(3)) == 1 and int(s.group(4)) >= 1
+    alice_pid = int(s.group(5))
+
+    # second enrollment into the SAME person db: bob becomes person 2
+    r2 = subprocess.run(base + ["--register-name", "bob"],
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, f"{r2.stdout[-2000:]}\n{r2.stderr[-2000:]}"
+    s2 = re.search(r"persons=(\d+) person_faces=(\d+)", r2.stdout)
+    assert s2 and int(s2.group(1)) == 2
+
+    # interchange: the Python store loads the native file 1:1
+    store = PersonStore(os.path.join(fixtures["dir"], "roundtrip.sqlite"),
+                        feature_dim=342)
+    try:
+        n_p, n_f = store.import_fjpd(pdb)
+        assert n_f == int(s2.group(2))
+        alice = store.get_person(alice_pid)
+        assert alice is not None and alice.name == "alice"
+        feats = store.faces_of(alice_pid)
+        assert feats.shape[0] >= 1 and feats.shape[1] == 342
+        m = store.match(feats[0], sim_th=0.5)
+        assert m.person is not None and m.person.pid == alice_pid
+    finally:
+        store.close()
+
+
+def test_demo_person_db_reads_python_export(fixtures, tmp_path):
+    """The reverse interchange direction: a Python-side PersonStore
+    export (with an existing person AND a pending card-only
+    registration) is a valid native store — the binary keeps carol's
+    identity and her pending queue entry while enrolling dave."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.person_store import (
+        Person,
+        PersonStore,
+    )
+
+    binary = _build_demo(str(tmp_path))
+    rng = np.random.default_rng(5)
+    pdb = os.path.join(str(tmp_path), "seeded.fjpd")
+    store = PersonStore(os.path.join(str(tmp_path), "seed.sqlite"),
+                        feature_dim=342)
+    try:
+        carol = store.register_person(
+            Person(name="carol", student_id="C1"),
+            features=[rng.normal(size=342).astype(np.float32)])
+        store.register_card_only(
+            "card-7", [rng.normal(size=342).astype(np.float32)])
+        store.export_fjpd(pdb)
+    finally:
+        store.close()
+    cmd = [binary, "--video", fixtures["video"], "--mtcnn",
+           fixtures["mtcnn"], "--weights", fixtures["export"],
+           "--model", "efmnet342", "--person-db", pdb,
+           "--register-name", "dave", "--register-frames", "2",
+           "--image-size", "32", "--th", "0.45", "0.35", "0.3",
+           "--sim-th", "0.3"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    s = re.search(r"persons=(\d+) person_faces=(\d+)", r.stdout)
+    assert s and int(s.group(1)) == 2, r.stdout[-1500:]  # carol + dave
+    # reload in Python: carol intact, dave added, queue preserved
+    back = PersonStore(os.path.join(str(tmp_path), "back.sqlite"),
+                       feature_dim=342)
+    try:
+        back.import_fjpd(pdb)
+        names = {p.name for p in back.persons()}
+        assert {"carol", "dave"} <= names
+        assert back.get_person(carol).name == "carol"
+        pend = back.pending_registrations()
+        assert len(pend) == 1 and pend[0][1] == "card-7"
+    finally:
+        back.close()

@@ -248,3 +248,46 @@ def test_identify_cli_match_person_tpu(tmp_path):
     with pytest.raises(SystemExit):
         identify.main(["match-person", "--store", db, "--features", probes,
                        "--tpu", "--device-gallery"])
+
+
+def test_fjpd_export_import_roundtrip(tmp_path):
+    """FJPD (the native person_store.hpp binary) round-trips the FULL
+    relational state through Python alone: persons (incl. a soft-deleted
+    one), N faces per person with preserved fids/pids, and the card-only
+    pre-registration queue."""
+    rng = np.random.default_rng(3)
+    src = PersonStore(str(tmp_path / "src.sqlite"), feature_dim=16)
+    f_alice = [rng.normal(size=16).astype(np.float32) for _ in range(3)]
+    alice = src.register_person(
+        Person(name="alice", role_title="phd", email="a@x", student_id="S1",
+               card_id="CA"), features=f_alice)
+    bob = src.register_person(Person(name="bob"),
+                              features=[rng.normal(size=16)
+                                        .astype(np.float32)])
+    src.set_person_flag(bob, 0)  # soft-deleted: must survive the trip
+    rid = src.register_card_only(
+        "card-9", [rng.normal(size=16).astype(np.float32)])
+    src.export_fjpd(str(tmp_path / "x.fjpd"))
+
+    dst = PersonStore(str(tmp_path / "dst.sqlite"), feature_dim=16)
+    n_p, n_f = dst.import_fjpd(str(tmp_path / "x.fjpd"))
+    assert n_p == 3 and n_f == 5  # TMP + alice + bob; 3 + 1 + 1 faces
+    a2 = dst.get_person(alice)
+    assert (a2.name, a2.role_title, a2.email, a2.student_id, a2.card_id) \
+        == ("alice", "phd", "a@x", "S1", "CA")
+    np.testing.assert_allclose(dst.faces_of(alice),
+                               np.stack(f_alice), rtol=1e-6)
+    assert dst.get_person(bob).person_flag == 0
+    assert dst.match(f_alice[1], 0.5).person.pid == alice
+    assert dst.match(dst.faces_of(bob)[0] if len(dst.faces_of(bob))
+                     else np.zeros(16, np.float32), 0.99).person is None
+    pend = dst.pending_registrations()
+    assert pend == src.pending_registrations() and pend[0][0] == rid
+    # promote works on the imported copy exactly like the original
+    carol = dst.promote_registration(rid, Person(name="carol"))
+    assert dst.get_person(carol).card_id == "card-9"
+    # import into a non-empty store is refused (id collisions)
+    with pytest.raises(ValueError):
+        dst.import_fjpd(str(tmp_path / "x.fjpd"))
+    src.close()
+    dst.close()
