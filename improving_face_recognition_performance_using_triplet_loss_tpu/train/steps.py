@@ -160,8 +160,14 @@ def make_backbone_train_step(
     mirror_augment: bool = False,
     crop_size: int | None = None,
     class_axis_name: str | None = None,
+    bwd_im2col: bool = False,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
+
+    ``bwd_im2col`` routes every stride-1 SAME conv through
+    ``ops.conv_backward.conv2d_fg_im2col`` — the filter gradient becomes
+    an explicit im2col matmul (the round-4 backward-MFU counter-
+    experiment; numerically identical, tests/test_train_steps.py).
 
     ``mine_anchor_half_only`` reproduces the reference's train-time candidate
     restriction to the anchor half (train_efm.py:235); default mines over the
@@ -207,9 +213,22 @@ def make_backbone_train_step(
         labels2 = jnp.concatenate([labels, labels], axis=0)
 
         def loss_fn(params):
-            (logits, feat), new_bs = _apply_model(
-                model, params, state.batch_stats, images, train=True,
-                drop_key=k_drop)
+            if bwd_im2col:
+                import contextlib
+
+                import flax.linen as fnn
+
+                from ..ops.conv_backward import conv_interceptor_im2col_bwd
+
+                ctx = fnn.intercept_methods(conv_interceptor_im2col_bwd())
+            else:
+                import contextlib
+
+                ctx = contextlib.nullcontext()
+            with ctx:
+                (logits, feat), new_bs = _apply_model(
+                    model, params, state.batch_stats, images, train=True,
+                    drop_key=k_drop)
             anc, pos = feat[:b], feat[b:]
             pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
             num_cand = b if (mine_anchor_half_only and axis_name is None) else None

@@ -420,3 +420,142 @@ def test_backbone_optimizer_family(name):
 
     with pytest.raises(ValueError):
         backbone_optimizer("adamw2")
+
+
+def test_filter_grad_im2col_equals_vjp():
+    """The im2col dW reformulation (backward-MFU campaign, ops/
+    conv_backward.py) is numerically the standard vjp filter gradient —
+    across the ladder's kernel shapes incl. the k=5 Cin=1 stem and 1x1s."""
+    import jax
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.conv_backward import (
+        conv2d_fg_im2col,
+        filter_grad_im2col,
+        input_grad,
+    )
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    for (h, cin, cout, k) in [(12, 1, 8, 5), (10, 6, 16, 3), (8, 4, 8, 1)]:
+        x = jnp.asarray(rng.normal(size=(3, h, h, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)), jnp.float32)
+        dy = jnp.asarray(rng.normal(size=(3, h, h, cout)), jnp.float32)
+        _, vjp = jax.vjp(conv, x, w)
+        dx_ref, dw_ref = vjp(dy)
+        dw = filter_grad_im2col(x, dy, k, "SAME")
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        dx = input_grad(dy, w)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-4)
+        # the custom_vjp conv: same forward, same full gradient
+        def loss_a(x_, w_):
+            return (conv(x_, w_) ** 2).sum()
+
+        def loss_b(x_, w_):
+            return (conv2d_fg_im2col(x_, w_) ** 2).sum()
+
+        ga = jax.grad(loss_a, argnums=(0, 1))(x, w)
+        gb = jax.grad(loss_b, argnums=(0, 1))(x, w)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-3)
+
+
+def test_im2col_bwd_interceptor_preserves_training_math():
+    """Routing a whole model's convs through conv2d_fg_im2col (the
+    intercept_methods flip) changes the backward FORMULATION only: one
+    LightCNN9 train step yields the same loss and the same gradients as
+    the stock path (f32 tolerances)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.conv_backward import (
+        conv_interceptor_im2col_bwd,
+    )
+
+    model = LightCNN9(num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 1)),
+                    jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params, intercept):
+        def fwd():
+            logits, feat = model.apply(
+                {**variables, "params": params}, x, train=False)
+            return logits, feat
+        if intercept:
+            with nn.intercept_methods(conv_interceptor_im2col_bwd()):
+                logits, feat = fwd()
+        else:
+            logits, feat = fwd()
+        one_hot = jax.nn.one_hot(labels, 5)
+        return (-(one_hot * jax.nn.log_softmax(logits)).sum()
+                + 1e-3 * (feat ** 2).sum())
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, False))(
+        variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, True))(
+        variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_backbone_step_bwd_im2col_matches_stock():
+    """The bwd_im2col train-step flag changes the filter-grad FORMULATION
+    only: one EFMNet342 step from the same state yields the same loss and
+    the same updated params as the stock step (f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        adam_factor,
+        create_train_state,
+        make_backbone_train_step,
+    )
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        sgd_wd,
+    )
+
+    model = EFMNet342(num_classes=6, dtype=jnp.float32)
+    # SGD, not Adam: the updated params are LINEAR in the gradient, so a
+    # formulation-level comparison has sane tolerances (Adam's first-step
+    # sign normalization would turn ~1e-7 reassociation noise on
+    # near-zero grads into full +-lr flips)
+    tx = sgd_wd(lr=1e-2)
+    rng = np.random.default_rng(0)
+    anc = jnp.asarray(rng.uniform(size=(4, 32, 32, 1)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(size=(4, 32, 32, 1)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+
+    s0, m0 = make_backbone_train_step(model, tx, mining_mode="semi_hard")(
+        state, anc, pos, labels)
+    s1, m1 = make_backbone_train_step(model, tx, mining_mode="semi_hard",
+                                      bwd_im2col=True)(
+        state, anc, pos, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)

@@ -1,0 +1,190 @@
+"""Per-layer BACKWARD roofline of the training path (VERDICT r3 item 3).
+
+Round 3 measured train-step MFU flat at 22-24.5% and attributed it to the
+backward filter-gradient convs "hitting the same small-channel ceiling" —
+from a profiler trace, not a per-layer measurement. This tool gives the
+backward pass the same treatment the forward got (tools/perf_layers.py):
+for every conv of the LightCNN9 ladder it times, as separate programs,
+
+  fwd   y  = conv(x, w)                      (the forward baseline)
+  dx    dx = vjp wrt x                       (XLA: conv of dy with w^T)
+  dw    dw = vjp wrt w                       (XLA: batch-contraction conv)
+  dw-im2col  explicit patches^T @ dy matmul  (counter-experiment A)
+
+each with FLOPs = 2*B*H*W*k^2*Cin*Cout and a three-term roofline
+(raw MXU / structure-derated MXU / measured HBM streaming). The
+structural derate differs per direction:
+
+  fwd:  K = k^2*Cin   (contraction depth vs the 128-deep systolic axis)
+  dx:   K = k^2*Cout, but OUTPUT lanes = Cin (the stem's Cin=1 makes dx
+        structurally terrible — and irrelevant: conv1's dx is the data
+        gradient, which training never needs; the tool reports it anyway)
+  dw:   K = B*H*W (huge, fine); OUTPUT tile is [k^2*Cin, Cout] — M =
+        k^2*Cin < 128 wastes output rows exactly like the forward's K
+        problem, shifted one edge over.
+
+Counter-experiment A reformulates dw as an explicit im2col matmul
+(patches [BHW, k^2 Cin]^T @ dy [BHW, Cout]): same FLOPs, same structural
+M, but the clean matmul lowering sidesteps whatever XLA's
+grad-conv lowering adds on top. ops/conv_backward.py wires the winner
+into the train step behind a flag; parity is pinned in
+tests/test_train_steps.py.
+
+    PL_BATCH=64 python tools/perf_backward.py           # train batch
+    python tools/perf_backward.py --layers conv1,conv2  # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from improving_face_recognition_performance_using_triplet_loss_tpu.utils import (
+    enable_compilation_cache,
+)
+
+B = int(os.environ.get("PL_BATCH", "64"))
+ITERS = int(os.environ.get("PL_ITERS", "16"))
+
+from tools.perf_layers import (  # noqa: E402
+    LAYERS,
+    PEAK_BF16_TFLOPS,
+    _null_baseline,
+    measure_hbm_peak_gbs,
+)
+from improving_face_recognition_performance_using_triplet_loss_tpu.ops.conv_backward import (  # noqa: E402
+    filter_grad_im2col,
+)
+
+
+def _conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _timed(fn, args, fixed_s):
+    """bench.py methodology: ITERS reps chained in one scan, carry-
+    dependent inputs (no hoisting), scalar fetch, min of 3."""
+
+    @jax.jit
+    def run(args):
+        def body(acc, _):
+            nudged = tuple((a + (acc * 1e-24).astype(a.dtype)) for a in args)
+            out = fn(*nudged)
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + sum(x.sum(dtype=jnp.float32) * 1e-20
+                             for x in leaves), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=ITERS)
+        return acc
+
+    float(run(args))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(args))
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - fixed_s, 1e-9) / ITERS
+
+
+def measure_layer(name, h, cin, cout, k, _pool, fixed_s, peak_bw):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, h, h, cin), jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 1),
+                          (k, k, cin, cout), jnp.bfloat16) * 0.05
+    dy = jax.random.normal(jax.random.fold_in(key, 2),
+                           (B, h, h, cout), jnp.bfloat16)
+
+    def dx_fn(dy_, w_):
+        _, vjp = jax.vjp(lambda xx: _conv(xx, w_), x)
+        return vjp(dy_)[0]
+
+    def dw_fn(dy_, x_):
+        _, vjp = jax.vjp(lambda ww: _conv(x_, ww), w)
+        return vjp(dy_)[0]
+
+    flops = 2 * B * h * h * k * k * cin * cout
+    rows = []
+
+    def util(kdim, lanes):
+        # MXU structural ceiling: contraction depth vs the 128-deep
+        # systolic axis x output minor dim vs the 128 lanes
+        return min(1.0, kdim / 128.0) * min(1.0, lanes / 128.0)
+
+    cases = {
+        # (timer, structural utilization ceiling, min HBM bytes)
+        "fwd": (lambda: _timed(lambda xx, ww: _conv(xx, ww), (x, w),
+                               fixed_s),
+                util(k * k * cin, cout),
+                2 * B * h * h * (cin + cout)),
+        "dx": (lambda: _timed(dx_fn, (dy, w), fixed_s),
+               util(k * k * cout, cin),
+               2 * B * h * h * (cout + cin)),
+        # dw contracts over B*H*W (>=128 always); M rows = k^2*Cin
+        "dw": (lambda: _timed(dw_fn, (dy, x), fixed_s),
+               util(128, cout) * min(1.0, k * k * cin / 128.0),
+               2 * B * h * h * (cin + cout)),
+        "dw-im2col": (lambda: _timed(
+            lambda dy_, x_: filter_grad_im2col(x_, dy_, k, "SAME"),
+            (dy, x), fixed_s),
+            util(128, cout) * min(1.0, k * k * cin / 128.0),
+            2 * B * h * h * (cin + cout)),
+    }
+    for case, (timer, k_util, bytes_min) in cases.items():
+        dt = timer()
+        t_mxu = flops / PEAK_BF16_TFLOPS / 1e9  # ms
+        t_struct = t_mxu / max(k_util, 1e-6)
+        t_hbm = bytes_min / peak_bw / 1e6       # ms
+        terms = {"mxu": t_mxu, "mxu-struct": t_struct, "hbm": t_hbm}
+        bound = max(terms, key=terms.get)
+        if bytes_min / 1e6 < 128:
+            bound += "(fits-vmem)"
+        rows.append({
+            "layer": name, "case": case, "ms": round(dt * 1e3, 3),
+            "tflops": round(flops / dt / 1e12, 1),
+            "pct_roofline": round(max(terms.values()) / (dt * 1e3) * 100, 1),
+            "bound": bound,
+        })
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", default="",
+                    help="comma-separated subset of layer names")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    print(f"batch {B}, iters {ITERS}, device {jax.devices()}",
+          file=sys.stderr, flush=True)
+    fixed_s = _null_baseline(ITERS)
+    print(f"null-scan fixed dispatch cost: {fixed_s * 1e3:.1f} ms",
+          file=sys.stderr, flush=True)
+    peak_bw = measure_hbm_peak_gbs(fixed_s=_null_baseline(256))
+    print(json.dumps({"hbm_peak_gb_s_measured": round(peak_bw, 1)}),
+          flush=True)
+    subset = set(args.layers.split(",")) if args.layers else None
+    totals: dict[str, float] = {}
+    for cfg in LAYERS:
+        if subset and cfg[0] not in subset:
+            continue
+        for r in measure_layer(*cfg, fixed_s=fixed_s, peak_bw=peak_bw):
+            print(json.dumps(r), flush=True)
+            totals[r["case"]] = totals.get(r["case"], 0.0) + r["ms"]
+    print(json.dumps({"totals_ms": {k: round(v, 3)
+                                    for k, v in totals.items()}}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,8 @@ PEAK_BF16_TFLOPS = 197.0  # v5e nominal
 
 
 def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
-                   bf16: bool = True, mining: str = "semi_hard"):
+                   bf16: bool = True, mining: str = "semi_hard",
+                   bwd_im2col: bool = False):
     """Returns (ms_per_step, imgs_per_sec, mfu_pct)."""
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = {"efmnet342": EFMNet342, "lightcnn29": LightCNN29}[model_name](
@@ -52,7 +53,8 @@ def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
         k, (batch, size, size, 1), jnp.float32))(jax.random.fold_in(key, 1))
     labels = jnp.arange(batch) % 100
     state = create_train_state(model, tx, key, anc)
-    step = make_backbone_train_step(model, tx, mining_mode=mining)
+    step = make_backbone_train_step(model, tx, mining_mode=mining,
+                                    bwd_im2col=bwd_im2col)
 
     def run(state):
         def body(s, _):
@@ -106,13 +108,19 @@ def main():
                     help="restrict the sweep to one backbone")
     ap.add_argument("--batches", type=int, nargs="+",
                     help="restrict the sweep to these batch sizes")
+    ap.add_argument("--bwd-im2col", action="store_true",
+                    help="route conv filter gradients through the im2col "
+                         "matmul formulation (ops/conv_backward.py) — the "
+                         "round-4 backward-MFU counter-experiment")
     args = ap.parse_args()
 
     print("devices:", jax.devices(), file=sys.stderr)
     if not args.sweep:
         # the reference's joint-train config: LightCNN-29, 128px, batch 64
-        bench_backbone("lightcnn29", 128, 64, n_steps=args.steps)
-        bench_backbone("efmnet342", 64, 64, n_steps=args.steps)
+        bench_backbone("lightcnn29", 128, 64, n_steps=args.steps,
+                       bwd_im2col=args.bwd_im2col)
+        bench_backbone("efmnet342", 64, 64, n_steps=args.steps,
+                       bwd_im2col=args.bwd_im2col)
         return
 
     results = {}
@@ -123,7 +131,8 @@ def main():
         for batch in (args.batches or (64, 128, 256, 512, 1024, 2048)):
             try:
                 rows.append((batch, *bench_backbone(
-                    name, size, batch, n_steps=args.steps)))
+                    name, size, batch, n_steps=args.steps,
+                    bwd_im2col=args.bwd_im2col)))
             except Exception as e:  # OOM at the top end is a finding
                 print(f"{name} b={batch}: FAILED {type(e).__name__}: "
                       f"{str(e)[:120]}")
