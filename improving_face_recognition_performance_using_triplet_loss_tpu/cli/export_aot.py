@@ -52,6 +52,15 @@ def build_parser():
     p.add_argument("--embed-size", type=int, default=0,
                    help="face-crop size fed to the embedder (default: the "
                         "export manifest's input height)")
+    p.add_argument("--streams", type=int, default=0,
+                   help="export the MULTISTREAM pipeline at a fixed "
+                        "stream count: the artifact's frame argument "
+                        "becomes [N, H, W, 3] (one vmapped dispatch "
+                        "identifies every camera; one artifact per "
+                        "deployed N). Composes with "
+                        "--dynamic-gallery-rows for the production "
+                        "serving config: N streams against a runtime "
+                        "DeviceGallery with zero model code in-process")
     p.add_argument("--max-faces", type=int, default=1,
                    help=">1 exports the multi-face pipeline")
     p.add_argument("--minsize", type=int, default=20)
@@ -160,20 +169,29 @@ def main(argv=None):
     embed_size = args.embed_size or int(manifest["input"]["height"])
 
     fh, fw = args.frame_size
-    maker = (make_recognition_pipeline if args.max_faces <= 1
-             else make_multiface_pipeline)
-    extra = {} if args.max_faces <= 1 else {"max_faces": args.max_faces}
-    pipe = maker(detector, model, variables,
-                 None if dynamic else np.asarray(gallery, np.float32),
-                 frame_h=fh, frame_w=fw, embed_size=embed_size,
-                 minsize=args.minsize, thresholds=tuple(args.thresholds),
-                 sim_threshold=args.sim_threshold,
-                 int8_embed=args.int8_embed, dynamic_gallery=dynamic,
-                 **extra)
+    kw = dict(frame_h=fh, frame_w=fw, embed_size=embed_size,
+              minsize=args.minsize, thresholds=tuple(args.thresholds),
+              sim_threshold=args.sim_threshold,
+              int8_embed=args.int8_embed, dynamic_gallery=dynamic)
+    gal_arg = None if dynamic else np.asarray(gallery, np.float32)
+    if args.streams > 0:
+        from ..serve.pipeline import make_multistream_pipeline
+
+        if args.max_faces > 1:
+            kw["max_faces"] = args.max_faces
+        pipe = make_multistream_pipeline(detector, model, variables,
+                                         gal_arg, **kw)
+    else:
+        maker = (make_recognition_pipeline if args.max_faces <= 1
+                 else make_multiface_pipeline)
+        if args.max_faces > 1:
+            kw["max_faces"] = args.max_faces
+        pipe = maker(detector, model, variables, gal_arg, **kw)
     from ._common import gallery_dtype
 
     gdtype = gallery_dtype(args.gallery_dtype)
     path = export_pipeline(args.out, pipe, fh, fw,
+                           streams=args.streams,
                            gallery_shape=gallery_shape,
                            gallery_dtype=gdtype,
                            platforms=args.platforms)
@@ -189,6 +207,7 @@ def main(argv=None):
     print(f"AOT artifact: {path} "
           f"({os.path.getsize(path) / 1e6:.1f} MB, "
           f"{gal_desc}, "
+          f"{'%d-stream' % args.streams if args.streams else '1-stream'}, "
           f"{'multi-face K=%d' % args.max_faces if args.max_faces > 1 else 'single-face'}, "
           f"platforms={platforms})")
     return path

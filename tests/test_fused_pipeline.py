@@ -793,3 +793,112 @@ def test_gallery_sharded_multistream_matches_unsharded():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sharded(frames[:3], gal_n, rows)
+
+
+def test_aot_multistream_dynamic_gallery_cold_start(tmp_path):
+    """The production serving artifact (VERDICT r3 item 8): ONE deployment
+    file serving N streams against a RUNTIME DeviceGallery — exported via
+    the export_aot CLI (--streams + --dynamic-gallery-rows), then loaded
+    in a FRESH process with model imports poisoned, fed the live
+    DeviceGallery state, and verified to identify all N frames with the
+    same results as the in-process pipeline. The fresh process prints
+    load + first-dispatch wall-clock (the cold-start figure BASELINE.md
+    tracks on the chip)."""
+    import json
+    import subprocess
+    import sys
+
+    import jax
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
+        export_aot,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        LightCNN9,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.device_gallery import (
+        DeviceGallery,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
+        make_multistream_pipeline,
+    )
+
+    streams, g_cap, dim = 3, 8, 256
+    model = LightCNN9(num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32))
+    export_dir = str(tmp_path / "export")
+    export_params(export_dir, variables["params"], model_name="lightcnn9",
+                  feature_dim=dim, input_hw=(64, 64), input_channels=1)
+
+    out = str(tmp_path / "pipe_ms.shlo")
+    path = export_aot.main([
+        "--export-dir", export_dir, "--dynamic-gallery-rows", str(g_cap),
+        "--streams", str(streams), "--frame-size", "72", "72",
+        "--embed-size", "64", "--thresholds", "0.3", "0.3", "0.3",
+        "--sim-threshold", "-1", "--out", out])
+    meta = json.load(open(path + ".json"))
+    assert meta["streams"] == streams and meta["dynamic_gallery"]
+
+    # live gallery state: enroll 5 rows through the DeviceGallery
+    rng = np.random.default_rng(0)
+    dg = DeviceGallery(dim=dim, capacity=g_cap)
+    for v in rng.normal(size=(5, dim)):
+        dg.add(v.astype(np.float32))
+    gal_np = str(tmp_path / "gal_state.npz")
+    np.savez(gal_np, gallery_n=np.asarray(dg.gallery_n),
+             rows=int(dg.rows))
+    frames = (rng.random((streams, 72, 72, 3)) * 255).astype(np.float32)
+    np.save(str(tmp_path / "frames.npy"), frames)
+
+    # in-process reference over the same gallery state
+    det_seed_pipeline = make_multistream_pipeline(
+        __import__(
+            "improving_face_recognition_performance_using_triplet_loss_tpu"
+            ".detect.pipeline", fromlist=["MTCNNDetector"]
+        ).MTCNNDetector(),
+        model, variables, None, frame_h=72, frame_w=72, embed_size=64,
+        thresholds=(0.3, 0.3, 0.3), sim_threshold=-1.0,
+        dynamic_gallery=True)
+    want = det_seed_pipeline(frames, dg.gallery_n, dg.rows_arg)
+
+    script = f"""
+import sys, time
+sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.models'] = None
+sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.detect'] = None
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+t0 = time.perf_counter()
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import load_pipeline
+fn = load_pipeline({path!r})
+t_load = time.perf_counter() - t0
+z = np.load({gal_np!r})
+frames = np.load({str(tmp_path / 'frames.npy')!r})
+t1 = time.perf_counter()
+out = fn(frames, z['gallery_n'], np.int32(z['rows']))
+sims = np.asarray(out['similarity'])
+t_first = time.perf_counter() - t1
+print('COLDSTART load_s=%.3f first_dispatch_s=%.3f' % (t_load, t_first))
+print('IDX', np.asarray(out['index']).tolist())
+print('SIM', ' '.join('%.6f' % s for s in sims))
+"""
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600,
+                       env={**__import__("os").environ,
+                            "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "COLDSTART" in r.stdout
+    got_idx = json.loads(r.stdout.split("IDX", 1)[1].splitlines()[0])
+    got_sim = [float(s) for s in
+               r.stdout.split("SIM", 1)[1].split()]
+    np.testing.assert_array_equal(got_idx,
+                                  np.asarray(want["index"]).tolist())
+    # deserialized StableHLO recompiles with its own fusion choices —
+    # bf16-path drift vs the in-process jit is ~5e-4; identity decisions
+    # (the argmax above) must still be exact
+    np.testing.assert_allclose(got_sim, np.asarray(want["similarity"]),
+                               atol=3e-3)
