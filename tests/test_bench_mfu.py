@@ -72,3 +72,54 @@ def test_bench_driver_survives_transient_backend_failures():
     assert attempts[0]["rc"] == 1 and attempts[1]["rc"] == 1
     assert attempts[2]["rc"] == 0
     assert result["platform"] == "cpu"
+
+
+def test_flagship_ladder_tables_match_models():
+    """tools/perf_layers.py's LC29_128 / EFM342_64 roofline tables must be
+    the REAL conv geometry: every (H, Cin, Cout, k) in the table (with
+    res-block repeat counts expanded) equals the multiset of nn.Conv
+    calls the model actually makes, plus the FusedStem row."""
+    import flax.linen as nn
+    import jax
+    import numpy as np
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+        LightCNN29,
+    )
+    from tools.perf_layers import EFM342_64, LC29_128
+
+    def model_geometry(model_cls, size):
+        model = model_cls(num_classes=10)
+        x = np.zeros((1, size, size, 1), np.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        calls = []
+
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+                k = mod.variables["params"]["kernel"]
+                calls.append((args[0].shape[1], int(k.shape[2]),
+                              int(k.shape[3]), int(k.shape[0])))
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, x, train=True,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        # the 5x5 stem is a FusedStem (raw params, not nn.Conv)
+        grp = variables["params"]["group1" if model_cls is LightCNN29
+                                  else "conv1"]
+        stem = grp["conv"]["kernel"] if "conv" in grp else grp["kernel"]
+        calls.append((size, int(stem.shape[2]), int(stem.shape[3]),
+                      int(stem.shape[0])))
+        return sorted(calls)
+
+    for table, model_cls, size in [(LC29_128, LightCNN29, 128),
+                                   (EFM342_64, EFMNet342, 64)]:
+        expanded = sorted(
+            (h, cin, cout, k)
+            for (_, h, cin, cout, k, _, cnt) in table
+            for _ in range(cnt))
+        assert expanded == model_geometry(model_cls, size), \
+            f"{model_cls.__name__} table drifted from the model"

@@ -43,6 +43,56 @@ LAYERS = [
     ("conv5", 16, 128, 256, 3, True),
 ]
 
+# Flagship ladders (VERDICT r3 item 7): the two nets the reference
+# actually ships. Entries are (name, H, Cin, Cout, k, pool_after, count)
+# where count multiplies repeated res-block convs into the SUM. Channel
+# arithmetic: efm3 narrows C -> 2C/3 after every conv, and
+# EFMResBlock applies efm3 BEFORE conv_a too (Cin = 4f/9);
+# geometry verified against an intercept dump of the real
+# models (conv-by-conv shapes + XLA cost analysis)
+# (models/lightcnn.py::LightCNN29 ladder 99/198/387/261,
+# models/efm_symbol.py::EFMNet342 same ladder at 64px).
+LC29_128 = [
+    ("g1_conv5x5", 128, 1, 99, 5, True, 1),
+    ("g2_res_a", 64, 44, 99, 3, False, 1),
+    ("g2_res_b", 64, 66, 66, 3, False, 1),
+    ("g2_pre1x1", 64, 66, 99, 1, False, 1),
+    ("g2_conv3x3", 64, 66, 198, 3, True, 1),
+    ("g3_res_a", 32, 88, 198, 3, False, 2),
+    ("g3_res_b", 32, 132, 132, 3, False, 2),
+    ("g3_pre1x1", 32, 132, 198, 1, False, 1),
+    ("g3_conv3x3", 32, 132, 387, 3, True, 1),
+    ("g4_res_a", 16, 172, 387, 3, False, 3),
+    ("g4_res_b", 16, 258, 258, 3, False, 3),
+    ("g4_pre1x1", 16, 258, 387, 1, False, 1),
+    ("g4_conv3x3", 16, 258, 261, 3, True, 1),
+    ("g5_res_a", 8, 116, 261, 3, False, 4),
+    ("g5_res_b", 8, 174, 174, 3, False, 4),
+    ("g5_pre1x1", 8, 174, 261, 1, False, 1),
+    ("g5_conv3x3", 8, 174, 261, 3, True, 1),
+]
+EFM342_64 = [
+    ("s1_conv5x5", 64, 1, 99, 5, True, 1),
+    ("s2_res_a", 32, 44, 99, 3, False, 1),
+    ("s2_res_b", 32, 66, 66, 3, False, 1),
+    ("s2_conv1x1", 32, 66, 99, 1, False, 1),
+    ("s2_conv3x3", 32, 66, 198, 3, True, 1),
+    ("s3_res_a", 16, 88, 198, 3, False, 2),
+    ("s3_res_b", 16, 132, 132, 3, False, 2),
+    ("s3_conv1x1", 16, 132, 198, 1, False, 1),
+    ("s3_conv3x3", 16, 132, 387, 3, True, 1),
+    ("s4_res_a", 8, 172, 387, 3, False, 3),
+    ("s4_res_b", 8, 258, 258, 3, False, 3),
+    ("s4_conv1x1", 8, 258, 387, 1, False, 1),
+    ("s4_conv3x3", 8, 258, 261, 3, True, 1),
+    ("s5_res_a", 4, 116, 261, 3, False, 4),
+    ("s5_res_b", 4, 174, 174, 3, False, 4),
+    ("s5_conv1x1", 4, 174, 261, 1, False, 1),
+    ("s5_conv3x3", 4, 174, 261, 3, True, 1),
+]
+LADDERS = {"lightcnn9": LAYERS, "lightcnn29": LC29_128,
+           "efmnet342": EFM342_64}
+
 
 def _null_baseline(iters: int = None) -> float:
     """Fixed cost of one dispatch+scalar-fetch through the (tunneled) link:
@@ -164,9 +214,18 @@ PEAK_BF16_TFLOPS = 197.0  # v5e nominal (matmul-calibrated ~160 measured)
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ladder", default="lightcnn9",
+                    choices=sorted(LADDERS),
+                    help="which net's conv geometry to profile "
+                         "(lightcnn29 at 128px / efmnet342 at 64px are "
+                         "the reference's shipped nets)")
+    args = ap.parse_args()
     enable_compilation_cache()
-    print(f"batch {B}, iters {ITERS}, device {jax.devices()}",
-          file=sys.stderr, flush=True)
+    print(f"ladder {args.ladder}, batch {B}, iters {ITERS}, "
+          f"device {jax.devices()}", file=sys.stderr, flush=True)
     fixed_s = _null_baseline()
     print(f"null-scan fixed dispatch cost: {fixed_s * 1e3:.1f} ms "
           f"(subtracted from every block)", file=sys.stderr, flush=True)
@@ -175,9 +234,13 @@ def main():
           flush=True)
     rows = []
     total_ms = 0.0
-    for cfg in LAYERS:
+    for cfg in LADDERS[args.ladder]:
+        count = cfg[6] if len(cfg) > 6 else 1
+        cfg = cfg[:6]
         r = time_block(*cfg, fixed_s=fixed_s)
         name, h, cin, cout, k, pool = cfg
+        if count > 1:
+            r["count"] = count
         # three-term roofline (ms): raw MXU peak; MXU derated by the
         # contraction-depth structure (K < 128 wastes systolic lanes —
         # the stem's K=25 problem, DESIGN.md); measured HBM streaming
@@ -195,7 +258,7 @@ def main():
         r["pct_bw_roofline"] = round(r["min_hbm_gb_s"] / peak_bw * 100, 1)
         r["pct_roofline"] = round(max(terms.values()) / r["ms"] * 100, 1)
         rows.append(r)
-        total_ms += r["ms"]
+        total_ms += r["ms"] * count
         print(json.dumps(r), flush=True)
     hbm_rows = [r for r in rows if r["bound"] == "hbm"]
     summary = {
