@@ -69,8 +69,10 @@ def nms_jax(boxes: jnp.ndarray, threshold: float, method: str = "Union",
                                          length=max_out)
     return keep
 def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
-                 method: str = "Union") -> jnp.ndarray:
-    """Exact greedy NMS as a PARALLEL fixed-point — returns a keep mask.
+                 method: str = "Union", block: int = 32,
+                 return_passes: bool = False) -> jnp.ndarray:
+    """Exact greedy NMS as a BOUNDED parallel iteration — returns a keep
+    mask.
 
     ``nms_jax`` computes greedy NMS with a ``max_out``-long sequential
     ``lax.scan`` (data-dependent argmax each step). On TPU those serial
@@ -79,18 +81,39 @@ def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
     uses the recursive definition directly: in score order, box j survives
     iff no SURVIVING higher-scored box overlaps it above threshold — the
     unique fixed point of ``k = valid & ~(O^T k)`` over the strictly
-    upper-triangular overlap DAG ``O``. Iterating that update converges in
-    suppression-chain-depth passes (bounded by N, typically < 8), each
-    pass one fully-parallel [N, N] masked reduction. Equivalence with the
-    sequential greedy and the numpy oracle is pinned in
-    tests/test_property_based.py, including score ties (the oracle pops
-    from the END of an ascending argsort, so ties break by HIGHEST index —
-    reproduced here by sorting the reversed array).
+    upper-triangular overlap DAG ``O``.
+
+    The round-3 form iterated that update over the FULL matrix, which
+    converges in suppression-chain-depth passes — "typically < 8" but an
+    adversarial dense-overlap frame (one long alternating chain) degrades
+    to ~N serial [N, N] passes, worse than the sequential scan it
+    replaced (VERDICT r3 item 4). This form is block Gauss-Seidel over
+    the score order: a FIXED-LENGTH scan over ``ceil(N/B)`` blocks; each
+    block applies the already-final prefix decisions in one [N, B]
+    reduction, then resolves its own [B, B] sub-DAG with an inner fixed
+    point that is PROVABLY final after <= B passes (after pass p the
+    first p in-block decisions are final, by induction — pass p+1
+    computes box p+1 from final inputs). Worst case is therefore
+    structural: one [N, N]-total prefix sweep + at most N inner [B, B]
+    passes, independent of box geometry — no convergence cond, no
+    fallback branch (a ``lax.cond`` fallback would de-optimize under the
+    cascade's ``vmap``, where both branches execute). Typical frames
+    leave each inner loop after 1-2 passes (the while early-exits), so
+    the common case stays a handful of small reductions.
+
+    Equivalence with the sequential greedy and the numpy oracle is pinned
+    in tests/test_property_based.py, including score ties (the oracle
+    pops from the END of an ascending argsort, so ties break by HIGHEST
+    index — reproduced here by sorting the reversed array) and the
+    adversarial chain itself.
 
     Args:
       boxes: [N, 5]; invalid rows must carry score -inf.
+      block: Gauss-Seidel block size B (worst-case inner passes/block).
+      return_passes: also return the [ceil(N/B)] inner pass counts
+        (diagnostics for tools/perf_nms_adversarial.py).
     Returns:
-      keep [N] bool, in the ORIGINAL row order.
+      keep [N] bool, in the ORIGINAL row order (and optionally passes).
     """
     n = boxes.shape[0]
     s = boxes[:, 4]
@@ -99,7 +122,14 @@ def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
     # oracle's semantics (oracles.py::nms, detect_face.py:626-660)
     order = n - 1 - jnp.argsort(-s[::-1], stable=True)
     b = boxes[order]
-    x1, y1, x2, y2, sc = (b[:, i] for i in range(5))
+    bsz = max(1, min(block, n))
+    nb = -(-n // bsz)
+    m = nb * bsz
+    pad = m - n
+    x1, y1, x2, y2, sc = (
+        jnp.pad(b[:, i], (0, pad),
+                constant_values=(-jnp.inf if i == 4 else 0.0))
+        for i in range(5))
     area = (x2 - x1 + 1) * (y2 - y1 + 1)
     xx1 = jnp.maximum(x1[:, None], x1[None, :])
     yy1 = jnp.maximum(y1[:, None], y1[None, :])
@@ -112,27 +142,43 @@ def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
     else:
         o = inter / (area[:, None] + area[None, :] - inter)
     # O[i, j]: higher-ranked i suppresses j (strict: i before j)
-    tri = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    tri = jnp.arange(m)[:, None] < jnp.arange(m)[None, :]
     suppr = (o > threshold) & tri & jnp.isfinite(o)
     valid = jnp.isfinite(sc) & (sc > -jnp.inf)
 
-    def step(k):
-        return valid & ~jnp.any(suppr & k[:, None], axis=0)
+    def resolve_block(keep, t):
+        start = t * bsz
+        cols = jax.lax.dynamic_slice(suppr, (0, start), (m, bsz))  # [m, B]
+        # decisions for every earlier block are FINAL in `keep`; rows in
+        # this/later blocks can't suppress (strict upper triangle)
+        pre = jnp.any(cols & keep[:, None], axis=0)                # [B]
+        sub = jax.lax.dynamic_slice(cols, (start, 0), (bsz, bsz))  # [B, B]
+        vblk = jax.lax.dynamic_slice(valid, (start,), (bsz,)) & ~pre
 
-    k0 = valid
-    k1 = step(k0)
+        def istep(kb):
+            return vblk & ~jnp.any(sub & kb[:, None], axis=0)
 
-    def cond(state):
-        k, prev, it = state
-        return jnp.any(k != prev) & (it < n)
+        kb0 = vblk
+        kb1 = istep(kb0)
 
-    def body(state):
-        k, _, it = state
-        return step(k), k, it + 1
+        def icond(st):
+            kb, prev, it = st
+            return jnp.any(kb != prev) & (it < bsz)
 
-    k, _, _ = jax.lax.while_loop(cond, body, (k1, k0, jnp.ones((),
-                                                               jnp.int32)))
-    return jnp.zeros((n,), bool).at[order].set(k)
+        def ibody(st):
+            kb, _, it = st
+            return istep(kb), kb, it + 1
+
+        kb, _, it = jax.lax.while_loop(
+            icond, ibody, (kb1, kb0, jnp.ones((), jnp.int32)))
+        return jax.lax.dynamic_update_slice(keep, kb, (start,)), it
+
+    keep, passes = jax.lax.scan(resolve_block, jnp.zeros((m,), bool),
+                                jnp.arange(nb))
+    mask = jnp.zeros((n,), bool).at[order].set(keep[:n])
+    if return_passes:
+        return mask, passes
+    return mask
 
 
 def decode_pnet_topk_jax(imap: jnp.ndarray, reg: jnp.ndarray, scale: float,

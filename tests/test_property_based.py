@@ -168,3 +168,57 @@ def test_nms_mask_invalid_rows_and_batch():
         single = np.asarray(B.nms_mask_jax(jnp.asarray(b), 0.4, "Union"))
         np.testing.assert_array_equal(batched[i], single)
         assert not single[np.isinf(b[:, 4])].any()
+
+
+def adversarial_nms_chain(n: int, width: float = 40.0):
+    """The dense-overlap WORST CASE for fixed-point NMS (VERDICT r3 item
+    4): one maximal alternating suppression chain. Unit-height boxes
+    slide by width/4 with strictly descending scores, so consecutive IoU
+    = 0.6 > 0.5 (suppresses) while skip-one IoU = 1/3 < 0.5 (doesn't):
+    greedy keeps every EVEN chain position, and each decision depends on
+    the previous one — chain depth == n, the geometry that made the
+    round-3 full-matrix iteration take ~n serial [n, n] passes."""
+    step = width / 4.0
+    x = np.arange(n) * step
+    scores = 1.0 - np.arange(n) / (2.0 * n)
+    return np.stack([x, np.zeros(n), x + width, np.full(n, 1.0),
+                     scores], 1)
+
+
+def test_nms_mask_adversarial_chain_exact_and_bounded():
+    """On the adversarial chain: (1) the blocked kernel still equals the
+    oracle and the sequential scan; (2) its inner pass counts are hard-
+    bounded by the block size — the worst case is structural, not
+    geometric (no convergence-dependent blowup)."""
+    for n in (7, 64, 257):
+        boxes = adversarial_nms_chain(n)
+        ref = np.sort(B.nms(boxes, 0.5, "Union"))
+        np.testing.assert_array_equal(ref, np.arange(0, n, 2))  # sanity
+        for block in (8, 32, 300):
+            mask, passes = B.nms_mask_jax(jnp.asarray(boxes), 0.5, "Union",
+                                          block=block, return_passes=True)
+            np.testing.assert_array_equal(ref, np.where(np.asarray(mask))[0])
+            bsz = max(1, min(block, n))
+            assert np.asarray(passes).max() <= bsz
+        seq = np.asarray(B.nms_jax(jnp.asarray(boxes), 0.5, "Union"))
+        np.testing.assert_array_equal(ref, np.sort(seq[seq >= 0]))
+
+
+def test_nms_mask_block_sizes_agree():
+    """Block size is a pure performance knob: every B yields the same
+    keep set on random soups (incl. B > N and B = 1)."""
+    rng = np.random.default_rng(7)
+    n = 53
+    x1 = rng.uniform(0, 60, n)
+    y1 = rng.uniform(0, 60, n)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(1, 50, n),
+                      y1 + rng.uniform(1, 50, n), rng.uniform(0, 1, n)], 1)
+    expect = None
+    for method in ("Union", "Min"):
+        for block in (1, 8, 32, 64, 200):
+            mask = np.asarray(B.nms_mask_jax(jnp.asarray(boxes), 0.4,
+                                             method, block=block))
+            if expect is None or method_prev != method:
+                expect = mask
+            np.testing.assert_array_equal(expect, mask)
+            method_prev = method
