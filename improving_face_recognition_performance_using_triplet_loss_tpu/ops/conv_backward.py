@@ -43,13 +43,17 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def filter_grad_im2col(x: jnp.ndarray, dy: jnp.ndarray, k: int,
-                       padding: str = "SAME") -> jnp.ndarray:
+                       padding: str = "SAME",
+                       preferred=jnp.float32) -> jnp.ndarray:
     """dW [k, k, Cin, Cout] of a stride-1 ``padding`` conv as an explicit
     im2col matmul. ``x`` [B, H, W, Cin], ``dy`` [B, H', W', Cout].
 
     ``conv_general_dilated_patches`` emits the patch features
     CHANNEL-MAJOR ([Cin, k, k] order), so the matmul result reshapes to
-    (Cin, k, k, Cout) and transposes into HWIO.
+    (Cin, k, k, Cout) and transposes into HWIO. ``preferred`` is the
+    accumulation dtype (f32 is the production setting; bf16 exists for
+    the perf_backward measurement variant only — a K=B*H*W contraction
+    accumulated in bf16 loses real precision).
     """
     cin = x.shape[-1]
     cout = dy.shape[-1]
@@ -58,7 +62,7 @@ def filter_grad_im2col(x: jnp.ndarray, dy: jnp.ndarray, k: int,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H', W', Cin*k*k]
     m = patches.reshape(-1, cin * k * k)
     g = dy.reshape(-1, cout)
-    dw = jnp.dot(m.T, g, preferred_element_type=jnp.float32)
+    dw = jnp.dot(m.T, g, preferred_element_type=preferred)
     return dw.reshape(cin, k, k, cout).transpose(1, 2, 0, 3).astype(x.dtype)
 
 

@@ -62,14 +62,17 @@ from tools.perf_layers import (  # noqa: E402
 )
 from improving_face_recognition_performance_using_triplet_loss_tpu.ops.conv_backward import (  # noqa: E402
     filter_grad_im2col,
+    input_grad,
 )
 
 
 def _conv(x, w):
+    # plain bf16 conv, exactly what flax nn.Conv(dtype=bf16) emits in the
+    # production models (the MXU accumulates f32 internally regardless);
+    # no explicit preferred_element_type so the vjp keeps uniform dtypes
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _timed(fn, args, fixed_s):
@@ -140,6 +143,20 @@ def measure_layer(name, h, cin, cout, k, _pool, fixed_s, peak_bw):
             (dy, x), fixed_s),
             util(128, cout) * min(1.0, k * k * cin / 128.0),
             2 * B * h * h * (cin + cout)),
+        # counter-experiment B1: does the accumulator dtype move the dw
+        # matmul at all (measurement-only — production keeps f32)
+        "dw-im2col-bf16acc": (lambda: _timed(
+            lambda dy_, x_: filter_grad_im2col(x_, dy_, k, "SAME",
+                                               preferred=jnp.bfloat16),
+            (dy, x), fixed_s),
+            util(128, cout) * min(1.0, k * k * cin / 128.0),
+            2 * B * h * h * (cin + cout)),
+        # counter-experiment B2: dx as the textbook explicit conv of dy
+        # with the flipped IO-transposed kernel vs XLA's vjp lowering
+        "dx-explicit": (lambda: _timed(
+            lambda dy_, w_: input_grad(dy_, w_), (dy, w), fixed_s),
+            util(k * k * cout, cin),
+            2 * B * h * h * (cout + cin)),
     }
     for case, (timer, k_util, bytes_min) in cases.items():
         dt = timer()
