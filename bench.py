@@ -300,8 +300,10 @@ def driver_main():
     failed backend for the life of the process)."""
     backoff = BACKOFF_S
     if os.environ.get("FACEJAX_BENCH_BACKOFF") is not None:
-        backoff = tuple(float(os.environ["FACEJAX_BENCH_BACKOFF"])
-                        for _ in BACKOFF_S)
+        # override applies to the RETRY delays only — the first attempt
+        # always starts immediately
+        backoff = (0.0,) + tuple(float(os.environ["FACEJAX_BENCH_BACKOFF"])
+                                 for _ in BACKOFF_S[1:])
     attempt_log = []
     result = None
     for i, delay in enumerate(backoff, start=1):
@@ -327,8 +329,15 @@ def driver_main():
                 "(hung backend init?)")
             continue
         entry = {"attempt": i, "rc": rc, "secs": round(time.time() - t0, 1)}
-        parsed = _parse_worker_json(out) if rc == 0 else None
+        # parse stdout regardless of rc: a worker that printed a valid
+        # measurement and then crashed at interpreter teardown (plugin
+        # atexit segfaults are a real accelerator failure mode) still
+        # produced the number — don't throw it away and burn 4 retries
+        parsed = _parse_worker_json(out)
         if parsed is not None and parsed.get("value", 0.0) > 0.0:
+            if rc != 0:
+                log(f"bench attempt {i}: valid JSON despite rc={rc} "
+                    "(worker crashed after measuring) — keeping it")
             attempt_log.append(entry)
             result = parsed
             break

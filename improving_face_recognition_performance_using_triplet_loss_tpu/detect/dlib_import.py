@@ -95,9 +95,14 @@ def _read_float(f: BinaryIO) -> float:
     mantissa = _read_int(f)
     exponent = _read_int(f)
     # untrusted input: an 8-byte exponent would make ldexp raise
-    # OverflowError (or silently produce inf) — any float32 value fits
-    # comfortably in |exponent| <= 1100, beyond that the .dat is corrupt
-    if abs(exponent) > 1100:
+    # OverflowError (or silently produce inf). The legal range must
+    # admit every finite DOUBLE the float_details encoding can carry
+    # (the format doc above): a subnormal double's trimmed-mantissa
+    # exponent reaches -1074, and a 53-bit-mantissa encoding of the same
+    # value goes to about -1126; 2^1024-adjacent values stay within
+    # +1024. |exponent| <= 1200 covers all of it with margin; beyond
+    # that the .dat is corrupt.
+    if abs(exponent) > 1200:
         raise ValueError(
             f"corrupt dlib .dat: float exponent {exponent} out of range")
     try:

@@ -181,6 +181,23 @@ def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
     return mask
 
 
+def adversarial_nms_chain(n: int, width: float = 40.0) -> np.ndarray:
+    """The dense-overlap WORST CASE for fixed-point NMS: one maximal
+    alternating suppression chain. Unit-height boxes slide by width/4
+    with strictly descending scores, so consecutive IoU = 0.6 > 0.5
+    (suppresses) while skip-one IoU = 1/3 < 0.5 (doesn't): greedy keeps
+    every EVEN chain position and each decision depends on the previous
+    one — chain depth n, the geometry that made the round-3 full-matrix
+    iteration take ~n serial [n, n] passes. The single source for both
+    the bound tests (tests/test_property_based.py) and the measurement
+    tool (tools/perf_nms_adversarial.py)."""
+    step = width / 4.0
+    x = np.arange(n) * step
+    scores = 1.0 - np.arange(n) / (2.0 * n)
+    return np.stack([x, np.zeros(n), x + width, np.full(n, 1.0),
+                     scores], 1).astype(np.float32)
+
+
 def decode_pnet_topk_jax(imap: jnp.ndarray, reg: jnp.ndarray, scale: float,
                          threshold: float, k: int) -> jnp.ndarray:
     """Device-side PNet heatmap decode with a fixed top-k capacity.

@@ -67,9 +67,17 @@ def filter_grad_im2col(x: jnp.ndarray, dy: jnp.ndarray, k: int,
 
 
 def input_grad(dy: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """dX of a stride-1 SAME conv: conv of dy with the spatially-flipped,
-    IO-transposed kernel (the textbook identity; stays on XLA's standard
-    conv path — the campaign targets dW, where the structural waste is)."""
+    """dX of a stride-1 SAME conv with an ODD square kernel: conv of dy
+    with the spatially-flipped, IO-transposed kernel (the textbook
+    identity; stays on XLA's standard conv path — the campaign targets
+    dW, where the structural waste is). Odd k only: SAME padding is
+    asymmetric for even k and the transposed conv would need the (hi,
+    lo)-swapped pads, not another SAME conv — callers (and the
+    interceptor) must not route even-k convs here."""
+    if w.shape[0] % 2 != 1 or w.shape[0] != w.shape[1]:
+        raise ValueError(
+            f"input_grad supports odd square kernels only, got "
+            f"{w.shape[:2]} (even-k SAME padding is asymmetric)")
     w_flip = w[::-1, ::-1].transpose(0, 1, 3, 2)  # [k, k, Cout, Cin]
     return jax.lax.conv_general_dilated(
         dy, w_flip, (1, 1), "SAME",
@@ -116,7 +124,8 @@ def conv_interceptor_im2col_bwd():
             kernel = mod.variables["params"]["kernel"]
         except Exception:
             return next_fun(*args, **kwargs)
-        if kernel.ndim != 4 or kernel.shape[0] != kernel.shape[1]:
+        if (kernel.ndim != 4 or kernel.shape[0] != kernel.shape[1]
+                or kernel.shape[0] % 2 != 1):  # even-k SAME: see input_grad
             return next_fun(*args, **kwargs)
         strides = mod.strides or 1
         if strides not in (1, (1, 1)):

@@ -59,7 +59,14 @@ class PersonGalleryService:
         self._gallery_axis = gallery_axis
         self._capacity_hint = capacity
         self._dtype = jnp.float32 if dtype is None else dtype
+        self._stale = False  # set when a failed scatter couldn't be
+        #                      repaired in place; cleared by _ensure_fresh
         self._load()
+
+    def _ensure_fresh(self) -> None:
+        if self._stale:
+            self._load()
+            self._stale = False
 
     def _load(self) -> None:
         feats, fids, pids = self.store.valid_faces()
@@ -77,14 +84,17 @@ class PersonGalleryService:
     def gallery_n(self):
         """Live device matrix for the pipelines' gallery argument —
         re-read after every mutation (DeviceGallery donation contract)."""
+        self._ensure_fresh()
         return self._dg.gallery_n
 
     @property
     def rows_arg(self):
+        self._ensure_fresh()
         return self._dg.rows_arg
 
     @property
     def rows(self) -> int:
+        self._ensure_fresh()
         return self._dg.rows
 
     # ------------------------------------------------------- mutations
@@ -104,6 +114,7 @@ class PersonGalleryService:
         row scatter). Returns the fid."""
         if self.store.get_person(pid) is None:
             raise KeyError(f"no person pid={pid}")
+        self._ensure_fresh()
         feature = np.asarray(feature, np.float32)
         fid = self.store.insert_face(pid, feature)
         try:
@@ -111,9 +122,17 @@ class PersonGalleryService:
         except Exception:
             # the DB row is already durable; a failed device scatter
             # (e.g. HBM OOM during capacity doubling) must not leave the
-            # HBM matrix misaligned with _fids/_pids — rebuild from the
-            # store so match indices stay resolvable, then re-raise
-            self.refresh()
+            # HBM matrix misaligned with _fids/_pids — try to rebuild
+            # from the store. Under the OOM scenario the rebuild itself
+            # can fail too (it allocates the same capacity), so on a
+            # second failure mark the service stale instead: every
+            # subsequent access goes through _ensure_fresh() and retries
+            # the rebuild before serving anything misaligned. Either
+            # way the ORIGINAL scatter error propagates.
+            try:
+                self.refresh()
+            except Exception:
+                self._stale = True
             raise
         self._fids.append(fid)
         self._pids.append(pid)
@@ -123,6 +142,7 @@ class PersonGalleryService:
         """Soft-delete: person_flag=0 in the DB, tombstone the person's
         device rows (zero rows lose every thresholded match). Returns the
         number of rows tombstoned; :meth:`refresh` compacts them."""
+        self._ensure_fresh()
         self.store.set_person_flag(pid, 0)
         n = 0
         for row, row_pid in enumerate(self._pids):
@@ -138,6 +158,7 @@ class PersonGalleryService:
         (e.g. ``promote_registration``). One full upload — the cold-start
         cost, not the per-enroll cost."""
         self._load()
+        self._stale = False
 
     # ------------------------------------------------------- resolution
 

@@ -450,9 +450,21 @@ class PersonStore:
             f.write(struct.pack("<I", len(b)))
             f.write(b)
 
-        next_pid = max((int(p[0]) for p in persons), default=0) + 1
-        next_fid = max((int(r[0]) for r in faces), default=0) + 1
-        next_rid = max((r[0] for r in regs), default=0) + 1
+        # monotonic id counters come from sqlite's AUTOINCREMENT sequence
+        # (NOT max+1 over surviving rows: a promoted registration's rid
+        # must never be reused — its regist_list/<rid>/ crops and any
+        # external references outlive the queue row)
+        def next_id(table, fallback_rows):
+            row = self.db.execute(
+                "SELECT seq FROM sqlite_sequence WHERE name = ?",
+                (table,)).fetchone()
+            if row is not None:
+                return int(row[0]) + 1
+            return max(fallback_rows, default=0) + 1
+
+        next_pid = next_id("person", (int(p[0]) for p in persons))
+        next_fid = next_id("face", (int(r[0]) for r in faces))
+        next_rid = next_id("wanna_regist", (r[0] for r in regs))
         with open(path, "wb") as f:
             f.write(struct.pack(
                 "<9I", 0x44504A46, 1, self.feature_dim, next_pid,
@@ -499,8 +511,8 @@ class PersonStore:
                     raise ValueError("corrupt FJPD: oversized string")
                 return f.read(ln).decode("utf-8")
 
-            magic, version, dim, _np_, _nf_, _nr_, n_p, n_f, n_r = \
-                struct.unpack("<9I", f.read(36))
+            magic, version, dim, next_pid, next_fid, next_rid, \
+                n_p, n_f, n_r = struct.unpack("<9I", f.read(36))
             if magic != 0x44504A46 or version != 1:
                 raise ValueError("not a FJPD v1 file")
             if dim != self.feature_dim:
@@ -537,6 +549,19 @@ class PersonStore:
                     self.db.execute(
                         "INSERT INTO regist_face (rid, fid) VALUES (?, ?)",
                         (rid, fid))
+            # restore the header's monotonic counters so ids retired on
+            # the native side (e.g. promoted rids) are never reissued
+            for table, nxt in (("person", next_pid), ("face", next_fid),
+                               ("wanna_regist", next_rid)):
+                # sqlite_sequence has no declared unique constraint, so
+                # no ON CONFLICT — update-then-insert by hand
+                cur = self.db.execute(
+                    "UPDATE sqlite_sequence SET seq = max(seq, ?) "
+                    "WHERE name = ?", (int(nxt) - 1, table))
+                if cur.rowcount == 0:
+                    self.db.execute(
+                        "INSERT INTO sqlite_sequence (name, seq) "
+                        "VALUES (?, ?)", (table, int(nxt) - 1))
         self.db.commit()
         self._invalidate()
         return n_p, n_f

@@ -213,17 +213,15 @@ def make_backbone_train_step(
         labels2 = jnp.concatenate([labels, labels], axis=0)
 
         def loss_fn(params):
-            if bwd_im2col:
-                import contextlib
+            import contextlib
 
+            if bwd_im2col:
                 import flax.linen as fnn
 
                 from ..ops.conv_backward import conv_interceptor_im2col_bwd
 
                 ctx = fnn.intercept_methods(conv_interceptor_im2col_bwd())
             else:
-                import contextlib
-
                 ctx = contextlib.nullcontext()
             with ctx:
                 (logits, feat), new_bs = _apply_model(

@@ -291,3 +291,24 @@ def test_fjpd_export_import_roundtrip(tmp_path):
         dst.import_fjpd(str(tmp_path / "x.fjpd"))
     src.close()
     dst.close()
+
+
+def test_fjpd_preserves_id_counters_after_promote(tmp_path):
+    """Promoted rids (and their fids/pids) must never be reissued after
+    an FJPD round trip: the header carries sqlite's AUTOINCREMENT
+    counters, export reads them from sqlite_sequence (not max over
+    surviving rows) and import restores them."""
+    rng = np.random.default_rng(11)
+    src = PersonStore(str(tmp_path / "s.sqlite"), feature_dim=8)
+    rid1 = src.register_card_only(
+        "c1", [rng.normal(size=8).astype(np.float32)])
+    src.promote_registration(rid1, Person(name="promoted"))
+    src.export_fjpd(str(tmp_path / "s.fjpd"))
+
+    dst = PersonStore(str(tmp_path / "d.sqlite"), feature_dim=8)
+    dst.import_fjpd(str(tmp_path / "s.fjpd"))
+    rid2 = dst.register_card_only(
+        "c2", [rng.normal(size=8).astype(np.float32)])
+    assert rid2 > rid1, (rid2, rid1)  # rid1's regist_list/1/ is retired
+    src.close()
+    dst.close()

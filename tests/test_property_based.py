@@ -170,19 +170,8 @@ def test_nms_mask_invalid_rows_and_batch():
         assert not single[np.isinf(b[:, 4])].any()
 
 
-def adversarial_nms_chain(n: int, width: float = 40.0):
-    """The dense-overlap WORST CASE for fixed-point NMS (VERDICT r3 item
-    4): one maximal alternating suppression chain. Unit-height boxes
-    slide by width/4 with strictly descending scores, so consecutive IoU
-    = 0.6 > 0.5 (suppresses) while skip-one IoU = 1/3 < 0.5 (doesn't):
-    greedy keeps every EVEN chain position, and each decision depends on
-    the previous one — chain depth == n, the geometry that made the
-    round-3 full-matrix iteration take ~n serial [n, n] passes."""
-    step = width / 4.0
-    x = np.arange(n) * step
-    scores = 1.0 - np.arange(n) / (2.0 * n)
-    return np.stack([x, np.zeros(n), x + width, np.full(n, 1.0),
-                     scores], 1)
+# single source of the worst-case geometry (shared with the perf tool)
+adversarial_nms_chain = B.adversarial_nms_chain
 
 
 def test_nms_mask_adversarial_chain_exact_and_bounded():

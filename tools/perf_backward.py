@@ -76,29 +76,13 @@ def _conv(x, w):
 
 
 def _timed(fn, args, fixed_s):
-    """bench.py methodology: ITERS reps chained in one scan, carry-
-    dependent inputs (no hoisting), scalar fetch, min of 3."""
+    """Shared bench methodology (perf_detect_breakdown.timed_scan): ITERS
+    reps chained in one carry-dependent scan, scalar fetch, min of 3,
+    measured fixed dispatch cost subtracted. Returns SECONDS per rep."""
+    from tools.perf_detect_breakdown import timed_scan
 
-    @jax.jit
-    def run(args):
-        def body(acc, _):
-            nudged = tuple((a + (acc * 1e-24).astype(a.dtype)) for a in args)
-            out = fn(*nudged)
-            leaves = jax.tree_util.tree_leaves(out)
-            return acc + sum(x.sum(dtype=jnp.float32) * 1e-20
-                             for x in leaves), None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                              length=ITERS)
-        return acc
-
-    float(run(args))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(args))
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - fixed_s, 1e-9) / ITERS
+    ms, _ = timed_scan(fn, ITERS, *args, fixed_s=fixed_s)
+    return ms / 1e3
 
 
 def measure_layer(name, h, cin, cout, k, _pool, fixed_s, peak_bw):

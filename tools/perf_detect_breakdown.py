@@ -29,9 +29,13 @@ from improving_face_recognition_performance_using_triplet_loss_tpu.utils import 
 enable_compilation_cache()
 
 
-def timed_scan(fn, reps, *args):
+def timed_scan(fn, reps, *args, fixed_s: float = 0.0):
     """Time fn chained `reps` times; body perturbs inputs by the carry so
-    XLA cannot hoist it out of the scan."""
+    XLA cannot hoist it out of the scan. ``fixed_s`` is a measured
+    per-dispatch fixed cost (tools/perf_layers.py::_null_baseline) to
+    subtract from the total before dividing — the shared methodology for
+    every tools/ benchmark (perf_backward, perf_nms_adversarial use this
+    same function; perf_layers.time_block predates it)."""
 
     @jax.jit
     def run(args):
@@ -56,7 +60,7 @@ def timed_scan(fn, reps, *args):
         t0 = time.perf_counter()
         _ = float(run(args))
         best = min(best, time.perf_counter() - t0)
-    return best / reps * 1e3, compile_s  # ms per rep
+    return max(best - fixed_s, 1e-9) / reps * 1e3, compile_s  # ms per rep
 
 
 def main():

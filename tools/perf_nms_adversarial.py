@@ -82,12 +82,7 @@ def full_matrix_nms(boxes, threshold, method="Union"):
     return jnp.zeros((n,), bool).at[order].set(k), it
 
 
-def adversarial_chain(n, width=40.0):
-    step = width / 4.0
-    x = np.arange(n) * step
-    scores = 1.0 - np.arange(n) / (2.0 * n)
-    return np.stack([x, np.zeros(n), x + width, np.full(n, 1.0),
-                     scores], 1).astype(np.float32)
+adversarial_chain = B.adversarial_nms_chain  # single-source geometry
 
 
 def typical_soup(n, seed=0):
