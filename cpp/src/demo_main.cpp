@@ -55,6 +55,10 @@ struct Args {
                           // flat reg_face-style --store (C19)
   std::string ert;        // optional 68-pt refiner
   std::string register_name;
+  std::string register_card;  // person-db: card-only pre-registration
+                              // (Register_PDB_onlyCard) instead of a name
+  std::string promote_name;   // person-db: promote the new pending
+                              // registration to this person afterwards
   int register_frames = 3;
   int image_size = 32;
   int margin = 0;
@@ -73,7 +77,8 @@ void Usage(const char* argv0) {
   std::fprintf(
       stderr,
       "usage: %s --video FILE --mtcnn MTCNN.npz --weights WEIGHTS.npz\n"
-      "  (--store DB.fjdb | --person-db DB.fjpd) --register-name NAME\n"
+      "  (--store DB.fjdb | --person-db DB.fjpd)\n"
+      "  (--register-name NAME | --register-card CARD [--promote-name N])\n"
       "  [--model efmnet342]\n"
       "  [--ert ERT.npz] [--register-frames N] [--image-size S]\n"
       "  [--margin M] [--minsize N] [--th T1 T2 T3] [--factor F]\n"
@@ -98,6 +103,8 @@ bool Parse(int argc, char** argv, Args& a) {
     else if (k == "--person-db") v = need(i), a.person_db = v ? v : "";
     else if (k == "--ert") v = need(i), a.ert = v ? v : "";
     else if (k == "--register-name") v = need(i), a.register_name = v ? v : "";
+    else if (k == "--register-card") v = need(i), a.register_card = v ? v : "";
+    else if (k == "--promote-name") v = need(i), a.promote_name = v ? v : "";
     else if (k == "--register-frames") v = need(i), a.register_frames = v ? std::atoi(v) : 0;
     else if (k == "--image-size") v = need(i), a.image_size = v ? std::atoi(v) : 0;
     else if (k == "--margin") v = need(i), a.margin = v ? std::atoi(v) : 0;
@@ -122,9 +129,11 @@ bool Parse(int argc, char** argv, Args& a) {
     }
     if (!v) return false;
   }
+  if (!a.register_card.empty() && a.person_db.empty())
+    return false;  // card flows live in the person-level store only
   return !a.video.empty() && !a.mtcnn.empty() && !a.weights.empty() &&
          (a.store.empty() != a.person_db.empty()) &&
-         !a.register_name.empty();
+         (a.register_name.empty() != a.register_card.empty());
 }
 
 // Largest-centered face pick (detect/align.py::select_main_face,
@@ -370,16 +379,44 @@ int main(int argc, char** argv) {
   sm.Handle(facejax::Event::kImagesSelected);  // -> InputName
   sm.Handle(facejax::Event::kDetailsEntered);  // -> Registration
   int stored = 0;
-  for (int idx : sel) {
-    if (store_register(acquired.data() +
-                       static_cast<size_t>(idx) * net.feature_dim()))
-      ++stored;
+  if (!a.register_card.empty()) {
+    // Register_PDB_onlyCard (Feature.hpp:861-896): the selected views
+    // park under the TMP person with the card id queued; they match
+    // NOTHING until promoted
+    std::vector<float> sel_fvs;
+    for (int idx : sel)
+      sel_fvs.insert(sel_fvs.end(),
+                     acquired.data() +
+                         static_cast<size_t>(idx) * net.feature_dim(),
+                     acquired.data() +
+                         static_cast<size_t>(idx + 1) * net.feature_dim());
+    const int rid = pstore->RegisterCardOnly(
+        a.register_card, sel_fvs.data(), static_cast<int>(sel.size()));
+    stored = static_cast<int>(sel.size());
+    std::printf("card-registered '%s': rid=%d pending=%zu faces=%d\n",
+                a.register_card.c_str(), rid,
+                pstore->PendingRegistrations().size(), stored);
+    if (!a.promote_name.empty()) {
+      facejax::PersonRec person;
+      person.name = a.promote_name;
+      const int pid = pstore->PromoteRegistration(rid, person);
+      enroll_pid = pid;
+      std::printf("promoted rid=%d -> pid=%d '%s'\n", rid, pid,
+                  a.promote_name.c_str());
+    }
+  } else {
+    for (int idx : sel) {
+      if (store_register(acquired.data() +
+                         static_cast<size_t>(idx) * net.feature_dim()))
+        ++stored;
+    }
   }
   sm.Handle(facejax::Event::kFeatureStored);  // -> RegistFeature
   sm.Handle(facejax::Event::kTick);           // -> Identification
   std::printf("enrolled '%s': acquired=%d selected=%zu stored=%d dim=%d\n",
-              a.register_name.c_str(), n_acq, sel.size(), stored,
-              net.feature_dim());
+              (a.register_card.empty() ? a.register_name
+                                       : a.register_card).c_str(),
+              n_acq, sel.size(), stored, net.feature_dim());
   if (sm.state() != facejax::SystemState::kIdentification) {
     std::fprintf(stderr, "state machine did not return to Identification\n");
     consumer_gone.store(true);

@@ -291,3 +291,58 @@ def test_demo_person_db_reads_python_export(fixtures, tmp_path):
         assert len(pend) == 1 and pend[0][1] == "card-7"
     finally:
         back.close()
+
+
+def test_demo_card_only_register_and_promote(fixtures, tmp_path):
+    """Register_PDB_onlyCard in the binary: --register-card parks the
+    selected views under the TMP person (they identify NOTHING — rc 2,
+    identified=0), while --promote-name turns the pending registration
+    into a real person who then identifies; the queue state and card
+    inheritance are visible from the Python store."""
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.person_store import (
+        PersonStore,
+    )
+
+    binary = _build_demo(str(tmp_path))
+    pdb = os.path.join(str(tmp_path), "card.fjpd")
+    base = [binary, "--video", fixtures["video"], "--mtcnn",
+            fixtures["mtcnn"], "--weights", fixtures["export"],
+            "--model", "efmnet342", "--person-db", pdb,
+            "--register-frames", "2", "--image-size", "32",
+            "--th", "0.45", "0.35", "0.3", "--sim-th", "0.3"]
+
+    # card-only, no promote: parked faces are invisible to matching
+    r = subprocess.run(base + ["--register-card", "card-42"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 2, f"{r.stdout[-1500:]}\n{r.stderr[-800:]}"
+    assert re.search(r"card-registered 'card-42': rid=1 pending=1",
+                     r.stdout), r.stdout[-1500:]
+    assert re.search(r"identified=0", r.stdout)
+
+    # card-only + promote: same acquisition, now identifies as eve
+    os.remove(pdb)
+    r2 = subprocess.run(base + ["--register-card", "card-42",
+                                "--promote-name", "eve"],
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, f"{r2.stdout[-1500:]}\n{r2.stderr[-800:]}"
+    assert re.search(r"promoted rid=1 -> pid=\d+ 'eve'", r2.stdout)
+    assert re.search(r"top=eve", r2.stdout), r2.stdout[-1500:]
+
+    store = PersonStore(os.path.join(str(tmp_path), "card_rt.sqlite"),
+                        feature_dim=342)
+    try:
+        store.import_fjpd(pdb)
+        assert store.pending_registrations() == []
+        eve = store.find_by_card("card-42")
+        assert eve is not None and eve.name == "eve"
+    finally:
+        store.close()
+
+    # guards: card flow requires the person-level store; name XOR card
+    r3 = subprocess.run(
+        [binary, "--video", fixtures["video"], "--mtcnn",
+         fixtures["mtcnn"], "--weights", fixtures["export"],
+         "--store", os.path.join(str(tmp_path), "x.fjdb"),
+         "--register-card", "c"],
+        capture_output=True, text=True, timeout=60)
+    assert r3.returncode == 1 and "usage:" in r3.stderr
