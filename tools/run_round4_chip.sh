@@ -37,7 +37,8 @@ run nms_adversarial 1800 python tools/perf_nms_adversarial.py --reps 64
 run backward_b64 3000 env PL_BATCH=64 python tools/perf_backward.py
 run train_stock 2400 python tools/perf_train.py --steps 8
 run train_im2col 2400 python tools/perf_train.py --steps 8 --bwd-im2col
-# 5. flagship extraction rooflines (item 7)
+# 5. flagship extraction rooflines + headline throughput (item 7)
+run extract_all 3000 python tools/perf_extract.py --batch 64 128 256
 run layers_lc29 2400 env PL_BATCH=128 python tools/perf_layers.py \
     --ladder lightcnn29
 run layers_efm342 2400 env PL_BATCH=256 python tools/perf_layers.py \
