@@ -504,6 +504,19 @@ class PersonStore:
             raise ValueError("import_fjpd requires an empty store "
                              f"(has {n_existing} persons / "
                              f"{n_faces_existing} faces)")
+        try:
+            return self._import_fjpd_rows(path)
+        except Exception:
+            # all-or-nothing: a corrupt/truncated file must not leave
+            # partially-imported rows pending in the transaction (they
+            # would silently land with the NEXT commit)
+            self.db.rollback()
+            self._invalidate()
+            raise
+
+    def _import_fjpd_rows(self, path: str) -> tuple[int, int]:
+        import struct
+
         with open(path, "rb") as f:
             def rstr():
                 (ln,) = struct.unpack("<I", f.read(4))

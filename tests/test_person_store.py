@@ -312,3 +312,47 @@ def test_fjpd_preserves_id_counters_after_promote(tmp_path):
     assert rid2 > rid1, (rid2, rid1)  # rid1's regist_list/1/ is retired
     src.close()
     dst.close()
+
+
+def test_fjpd_import_rejects_corrupt_files(tmp_path):
+    """Untrusted-input discipline for the interchange parser: wrong
+    magic/version/dim raise ValueError; truncation raises a clean error
+    (struct.error/ValueError), never silently half-imports — and a
+    failed import leaves the store usable and still empty."""
+    import struct
+
+    rng = np.random.default_rng(0)
+    src = PersonStore(str(tmp_path / "src.sqlite"), feature_dim=8)
+    src.register_person(Person(name="a"),
+                        features=[rng.normal(size=8).astype(np.float32)])
+    good = str(tmp_path / "good.fjpd")
+    src.export_fjpd(good)
+    blob = open(good, "rb").read()
+
+    counter = [0]
+
+    def attempt(data):
+        counter[0] += 1
+        path = str(tmp_path / "bad.fjpd")
+        with open(path, "wb") as f:
+            f.write(data)
+        dst = PersonStore(str(tmp_path / f"d{counter[0]}.sqlite"),
+                          feature_dim=8)
+        try:
+            with pytest.raises((ValueError, struct.error, EOFError)):
+                dst.import_fjpd(path)
+            assert dst.persons() == [] and dst.match(
+                np.ones(8, np.float32), 0.0).person is None
+            # the store still works after the failed import
+            pid = dst.register_person(Person(name="ok"))
+            assert dst.get_person(pid).name == "ok"
+        finally:
+            dst.close()
+
+    attempt(b"NOTF" + blob[4:])                      # wrong magic
+    attempt(blob[:4] + struct.pack("<I", 9) + blob[8:])   # bad version
+    attempt(blob[:8] + struct.pack("<I", 999) + blob[12:])  # dim mismatch
+    attempt(blob[: len(blob) // 2])                  # truncated mid-record
+    # oversized string length field: flip a person-name length to 2^30
+    attempt(blob[:44] + struct.pack("<I", 1 << 30) + blob[48:])
+    src.close()
