@@ -18,11 +18,33 @@
 #include <immintrin.h>
 #define FACEJAX_HAVE_AVX2 1
 #endif
+#if defined(__AVX512F__)
+#define FACEJAX_HAVE_AVX512 1
+#endif
 
 namespace facejax {
 
 inline float Dot(const float* a, const float* b, int d) {
-#ifdef FACEJAX_HAVE_AVX2
+#ifdef FACEJAX_HAVE_AVX512
+  // 16-wide with two accumulators: the fma latency chain (4-5 cycles)
+  // otherwise caps a single-accumulator loop far below the 2/cycle fma
+  // throughput the matcher scan can sustain from L2/LLC
+  __m512 acc0 = _mm512_setzero_ps(), acc1 = _mm512_setzero_ps();
+  int i = 0;
+  for (; i + 32 <= d; i += 32) {
+    acc0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i),
+                           acc0);
+    acc1 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i + 16),
+                           _mm512_loadu_ps(b + i + 16), acc1);
+  }
+  for (; i + 16 <= d; i += 16) {
+    acc0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i),
+                           acc0);
+  }
+  float sum = _mm512_reduce_add_ps(_mm512_add_ps(acc0, acc1));
+  for (; i < d; ++i) sum += a[i] * b[i];
+  return sum;
+#elif defined(FACEJAX_HAVE_AVX2)
   __m256 acc = _mm256_setzero_ps();
   int i = 0;
   for (; i + 8 <= d; i += 8) {

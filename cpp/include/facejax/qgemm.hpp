@@ -38,6 +38,19 @@
 #include <immintrin.h>
 #endif
 
+// AVX512-VNNI upgrade: `vpdpbusd` fuses the maddubs+maddwd+add triple into
+// ONE u8 x s8 -> i32 instruction (no i16 intermediate at all, so the
+// [-63, 63] clamp stays only for cross-path output parity, not for
+// saturation safety). Same packed layout; the kernel structure below is
+// shared and only the 8-lane MAC differs.
+#if defined(__AVX512VNNI__) && defined(__AVX512VL__)
+#define FACEJAX_DPBUSD(acc, av, bv) acc = _mm256_dpbusd_epi32(acc, av, bv)
+#elif defined(__AVX2__) && defined(__FMA__)
+#define FACEJAX_DPBUSD(acc, av, bv) \
+  acc = _mm256_add_epi32(           \
+      acc, _mm256_madd_epi16(_mm256_maddubs_epi16(av, bv), ones))
+#endif
+
 namespace facejax {
 namespace nn {
 
@@ -125,7 +138,9 @@ inline void QGemm(const uint8_t* a, float a_scale, int m,
                   std::vector<float>& out) {
   const int n = q.n, np = q.np, kp = q.kp, kg = kp / 4;
   out.resize(static_cast<size_t>(m) * n);
+#if !(defined(__AVX512VNNI__) && defined(__AVX512VL__))
   const __m256i ones = _mm256_set1_epi16(1);
+#endif
   constexpr int MR = 4;  // 4 rows x 2 j-tiles = 8 i32 accumulator ymms
 #pragma omp parallel for schedule(static)
   for (int i0 = 0; i0 < m; i0 += MR) {
@@ -157,23 +172,15 @@ inline void QGemm(const uint8_t* a, float a_scale, int m,
         const __m256i av1 = _mm256_set1_epi32(a1i);
         const __m256i av2 = _mm256_set1_epi32(a2i);
         const __m256i av3 = _mm256_set1_epi32(a3i);
-        c00 = _mm256_add_epi32(
-            c00, _mm256_madd_epi16(_mm256_maddubs_epi16(av0, b0), ones));
-        c10 = _mm256_add_epi32(
-            c10, _mm256_madd_epi16(_mm256_maddubs_epi16(av1, b0), ones));
-        c20 = _mm256_add_epi32(
-            c20, _mm256_madd_epi16(_mm256_maddubs_epi16(av2, b0), ones));
-        c30 = _mm256_add_epi32(
-            c30, _mm256_madd_epi16(_mm256_maddubs_epi16(av3, b0), ones));
+        FACEJAX_DPBUSD(c00, av0, b0);
+        FACEJAX_DPBUSD(c10, av1, b0);
+        FACEJAX_DPBUSD(c20, av2, b0);
+        FACEJAX_DPBUSD(c30, av3, b0);
         if (two) {
-          c01 = _mm256_add_epi32(
-              c01, _mm256_madd_epi16(_mm256_maddubs_epi16(av0, b1), ones));
-          c11 = _mm256_add_epi32(
-              c11, _mm256_madd_epi16(_mm256_maddubs_epi16(av1, b1), ones));
-          c21 = _mm256_add_epi32(
-              c21, _mm256_madd_epi16(_mm256_maddubs_epi16(av2, b1), ones));
-          c31 = _mm256_add_epi32(
-              c31, _mm256_madd_epi16(_mm256_maddubs_epi16(av3, b1), ones));
+          FACEJAX_DPBUSD(c01, av0, b1);
+          FACEJAX_DPBUSD(c11, av1, b1);
+          FACEJAX_DPBUSD(c21, av2, b1);
+          FACEJAX_DPBUSD(c31, av3, b1);
         }
       }
       alignas(32) int32_t acc[MR][16];

@@ -26,6 +26,35 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def simd_build_flags() -> list:
+    """Best SIMD flag set supported by BOTH the compiler and THIS host
+    (compiler-only probes would emit AVX-512 code that SIGILLs on an
+    AVX2-only machine). AVX-512+VNNI upgrades the matcher dot (16-wide,
+    matcher.hpp) and the int8 qgemm (vpdpbusd, qgemm.hpp). The single
+    source of build flags for every native build site (cmake mirrors it
+    with check_cxx_source_runs)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu = set(f.read().replace("\n", " ").split())
+    except OSError:
+        cpu = set()
+
+    def compiler_ok(flags):
+        return subprocess.run(["g++", *flags, "-E", "-x", "c++",
+                               "/dev/null"],
+                              capture_output=True).returncode == 0
+
+    flags = []
+    base = ["-mavx2", "-mfma"]
+    if {"avx2", "fma"} <= cpu and compiler_ok(base):
+        flags += base
+        a512 = ["-mavx512f", "-mavx512bw", "-mavx512vl", "-mavx512vnni"]
+        if ({"avx512f", "avx512bw", "avx512vl", "avx512_vnni"} <= cpu
+                and compiler_ok(flags + a512)):
+            flags += a512
+    return flags
+
+
 def build_native(force: bool = False) -> str:
     """Compile the shared library (g++ -O3 -mavx2 -mfma -fopenmp)."""
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
@@ -42,11 +71,7 @@ def build_native(force: bool = False) -> str:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-Wall",
            "-I", os.path.join(_CPP_DIR, "include"), src, "-o", _LIB_PATH,
            "-fopenmp"]
-    # AVX2 if the build host supports it
-    probe = subprocess.run(["g++", "-mavx2", "-mfma", "-E", "-x", "c++",
-                            "/dev/null"], capture_output=True)
-    if probe.returncode == 0:
-        cmd[1:1] = ["-mavx2", "-mfma"]
+    cmd[1:1] = simd_build_flags()  # host+compiler-verified SIMD set
     result = subprocess.run(cmd, capture_output=True, text=True)
     if result.returncode != 0:
         raise NativeUnavailable(f"native build failed:\n{result.stderr}")

@@ -130,10 +130,14 @@ def test_cpp_test_binary_passes():
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.native import (
+        simd_build_flags,
+    )
+
     binary = os.path.join(repo, "cpp", "build", "test_native")
     if not os.path.exists(binary):
         r = subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-mavx2", "-mfma", "-fopenmp",
+            ["g++", "-O2", "-std=c++17", *simd_build_flags(), "-fopenmp",
              "-I", os.path.join(repo, "cpp", "include"),
              os.path.join(repo, "cpp", "src", "test_native.cpp"),
              "-o", binary, "-lpthread"], capture_output=True, text=True)
@@ -256,10 +260,18 @@ def test_native_under_sanitizers(sanitizer, flags):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.native import (
+        simd_build_flags,
+    )
+
     binary = os.path.join(repo, "cpp", "build", f"test_native_{sanitizer}")
     if not os.path.exists(binary):
+        # sanitize the PRODUCTION SIMD paths (AVX2/AVX-512 lane handling
+        # is exactly where out-of-bounds bugs would live), not just the
+        # scalar fallback
         r = subprocess.run(
-            ["g++", "-O1", "-g", "-std=c++17", *flags.split(), "-fopenmp",
+            ["g++", "-O1", "-g", "-std=c++17", *flags.split(),
+             *simd_build_flags(), "-fopenmp",
              "-I", os.path.join(repo, "cpp", "include"),
              os.path.join(repo, "cpp", "src", "test_native.cpp"),
              "-o", binary, "-lpthread"], capture_output=True, text=True)

@@ -39,10 +39,11 @@ def _build_demo(tmpdir: str) -> str:
            "-I", os.path.join(CPP, "include"), "-I/usr/include/opencv4",
            SRC, "-o", out, "-lopencv_core", "-lopencv_videoio",
            "-lopencv_imgproc", "-lpthread"]
-    probe = subprocess.run(["g++", "-mavx2", "-mfma", "-E", "-x", "c++",
-                            "/dev/null"], capture_output=True)
-    if probe.returncode == 0:
-        cmd[1:1] = ["-mavx2", "-mfma"]
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.native import (
+        simd_build_flags,
+    )
+
+    cmd[1:1] = simd_build_flags()
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         pytest.fail(f"demo build failed:\n{r.stderr[-4000:]}")
