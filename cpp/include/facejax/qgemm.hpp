@@ -132,7 +132,63 @@ inline void QuantizeActivations(const float* a, int m, int k, int kp,
 
 // out[m][n] = dequant(a_u8[m][kp] @ packed) + bias; a_scale from
 // QuantizeActivations.
-#if defined(__AVX2__) && defined(__FMA__)
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__)
+// Full-width VNNI: one masked zmm load covers 16 output channels x 4
+// depths, one vpdpbusd per row accumulates 64 u8 x s8 MACs into 16 i32
+// lanes — double the 256-bit path's width, same packed layout (np stays
+// a multiple of 8; the odd half-tile is a byte mask).
+inline void QGemm(const uint8_t* a, float a_scale, int m,
+                  const QuantizedKernel& q, const float* bias,
+                  std::vector<float>& out) {
+  const int n = q.n, np = q.np, kp = q.kp, kg = kp / 4;
+  out.resize(static_cast<size_t>(m) * n);
+  constexpr int MR = 4;
+#pragma omp parallel for schedule(static)
+  for (int i0 = 0; i0 < m; i0 += MR) {
+    const int mr = std::min(MR, m - i0);
+    const uint8_t* ar[MR];
+    for (int r = 0; r < MR; ++r)
+      ar[r] = a + static_cast<size_t>(std::min(i0 + r, m - 1)) * kp;
+    for (int j0 = 0; j0 < np; j0 += 16) {
+      const int jrem = np - j0;  // multiple of 8
+      const __mmask64 bm =
+          jrem >= 16 ? ~0ULL : ((1ULL << (jrem * 4)) - 1);
+      __m512i c0 = _mm512_setzero_si512();
+      __m512i c1 = _mm512_setzero_si512();
+      __m512i c2 = _mm512_setzero_si512();
+      __m512i c3 = _mm512_setzero_si512();
+      for (int g = 0; g < kg; ++g) {
+        const int8_t* bp =
+            q.packed.data() + (static_cast<size_t>(g) * np + j0) * 4;
+        const __m512i bv = _mm512_maskz_loadu_epi8(bm, bp);
+        int a0i, a1i, a2i, a3i;
+        std::memcpy(&a0i, ar[0] + 4 * g, 4);
+        std::memcpy(&a1i, ar[1] + 4 * g, 4);
+        std::memcpy(&a2i, ar[2] + 4 * g, 4);
+        std::memcpy(&a3i, ar[3] + 4 * g, 4);
+        c0 = _mm512_dpbusd_epi32(c0, _mm512_set1_epi32(a0i), bv);
+        c1 = _mm512_dpbusd_epi32(c1, _mm512_set1_epi32(a1i), bv);
+        c2 = _mm512_dpbusd_epi32(c2, _mm512_set1_epi32(a2i), bv);
+        c3 = _mm512_dpbusd_epi32(c3, _mm512_set1_epi32(a3i), bv);
+      }
+      alignas(64) int32_t acc[MR][16];
+      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[0]), c0);
+      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[1]), c1);
+      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[2]), c2);
+      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[3]), c3);
+      const int jend = std::min(j0 + 16, n);
+      for (int r = 0; r < mr; ++r) {
+        float* orow = out.data() + static_cast<size_t>(i0 + r) * n;
+        for (int j = j0; j < jend; ++j) {
+          const int32_t true_acc = acc[r][j - j0] - 128 * q.colsum[j];
+          orow[j] = static_cast<float>(true_acc) * a_scale * q.scale[j] +
+                    (bias ? bias[j] : 0.0f);
+        }
+      }
+    }
+  }
+}
+#elif defined(__AVX2__) && defined(__FMA__)
 inline void QGemm(const uint8_t* a, float a_scale, int m,
                   const QuantizedKernel& q, const float* bias,
                   std::vector<float>& out) {
