@@ -330,8 +330,10 @@ inline void Im2ColU8(const uint8_t* in, int h, int w, int c, int kh, int kw,
   (void)k;
 }
 
-// int8 path: dynamic u8 tensor quantization -> u8 im2col -> QGemm (see
-// qgemm.hpp for the scheme and its no-saturation guarantee).
+// int8 path: dynamic u8 tensor quantization -> TILE-FUSED im2col + QGemm
+// (qgemm.hpp::QGemmFused: patch rows staged per tile in L1, the [m, kp]
+// matrix never materializes — the measured int8-path bottleneck was its
+// DRAM round trip, not the MACs; see the round-4 BASELINE finding).
 inline void ConvSameQ(const Tensor& in, int kh, int kw,
                       const QuantizedKernel& qk, const float* bias,
                       Tensor& out) {
@@ -340,10 +342,24 @@ inline void ConvSameQ(const Tensor& in, int kh, int kw,
   std::vector<uint8_t> tq(in.data.size());
   float a_scale = 1.0f;
   QuantizeTensorU8(in.data.data(), in.data.size(), tq.data(), a_scale);
-  std::vector<uint8_t> aq;
-  Im2ColU8(tq.data(), in.h, in.w, in.c, kh, kw, qk.kp, aq);
+  const int h = in.h, w = in.w, c = in.c;
+  const int ph = (kh - 1) / 2, pw = (kw - 1) / 2, kp = qk.kp;
+  const uint8_t* tqp = tq.data();
+  auto fill = [=](int i, uint8_t* row) {
+    std::memset(row, 128, kp);  // SAME gaps + k..kp tail: u8 zero point
+    const int y = i / w, x = i % w;
+    for (int dy = 0; dy < kh; ++dy) {
+      const int sy = y + dy - ph;
+      if (sy < 0 || sy >= h) continue;
+      const int x0 = std::max(x - pw, 0), x1 = std::min(x - pw + kw, w);
+      if (x1 <= x0) continue;
+      std::memcpy(row + (static_cast<size_t>(dy) * kw + (x0 - x + pw)) * c,
+                  tqp + (static_cast<size_t>(sy) * w + x0) * c,
+                  static_cast<size_t>(x1 - x0) * c);
+    }
+  };
   std::vector<float> res;
-  QGemm(aq.data(), a_scale, m, qk, bias, res);
+  QGemmFused(fill, a_scale, m, qk, bias, res);
   out.h = in.h;
   out.w = in.w;
   out.c = qk.n;

@@ -126,11 +126,23 @@ inline void ConvValidQ(const Tensor& in, int kh, int kw,
   std::vector<uint8_t> tq(in.data.size());
   float a_scale = 1.0f;
   nn::QuantizeTensorU8(in.data.data(), in.data.size(), tq.data(), a_scale);
-  int oh = 0, ow = 0;
-  std::vector<uint8_t> aq;
-  Im2ColU8Valid(tq.data(), in.h, in.w, in.c, kh, kw, qk.kp, aq, oh, ow);
+  const int oh = in.h - kh + 1, ow = in.w - kw + 1;
+  if (oh <= 0 || ow <= 0)
+    throw std::runtime_error("mtcnn qconv: input smaller than kernel");
+  // tile-fused im2col + QGemm (qgemm.hpp::QGemmFused): VALID rows are kh
+  // contiguous kw*c segments; the patch matrix never hits DRAM
+  const int w = in.w, c = in.c, kp = qk.kp;
+  const uint8_t* tqp = tq.data();
+  auto fill = [=](int i, uint8_t* row) {
+    const int y = i / ow, x = i % ow;
+    for (int dy = 0; dy < kh; ++dy)
+      std::memcpy(row + static_cast<size_t>(dy) * kw * c,
+                  tqp + (static_cast<size_t>(y + dy) * w + x) * c,
+                  static_cast<size_t>(kw) * c);
+    for (int kk = k; kk < kp; ++kk) row[kk] = 128;
+  };
   std::vector<float> res;
-  nn::QGemm(aq.data(), a_scale, oh * ow, qk, bias, res);
+  nn::QGemmFused(fill, a_scale, oh * ow, qk, bias, res);
   out.h = oh;
   out.w = ow;
   out.c = qk.n;

@@ -131,145 +131,130 @@ inline void QuantizeActivations(const float* a, int m, int k, int kp,
 }
 
 // out[m][n] = dequant(a_u8[m][kp] @ packed) + bias; a_scale from
-// QuantizeActivations.
+// QuantizeActivations. The microkernel processes one MR=4-row tile from
+// row POINTERS, so the same code serves both the materialized-patches
+// QGemm and the tile-fused QGemmFused (patch rows staged in an
+// L1-resident per-thread buffer; the [m, kp] im2col matrix never exists
+// in memory — the int8 conv path's dominant traffic per the round-4
+// finding that MAC width stopped mattering).
+constexpr int kQGemmMR = 4;
+
 #if defined(__AVX512VNNI__) && defined(__AVX512BW__)
 // Full-width VNNI: one masked zmm load covers 16 output channels x 4
 // depths, one vpdpbusd per row accumulates 64 u8 x s8 MACs into 16 i32
-// lanes — double the 256-bit path's width, same packed layout (np stays
-// a multiple of 8; the odd half-tile is a byte mask).
-inline void QGemm(const uint8_t* a, float a_scale, int m,
-                  const QuantizedKernel& q, const float* bias,
-                  std::vector<float>& out) {
-  const int n = q.n, np = q.np, kp = q.kp, kg = kp / 4;
-  out.resize(static_cast<size_t>(m) * n);
-  constexpr int MR = 4;
-#pragma omp parallel for schedule(static)
-  for (int i0 = 0; i0 < m; i0 += MR) {
-    const int mr = std::min(MR, m - i0);
-    const uint8_t* ar[MR];
-    for (int r = 0; r < MR; ++r)
-      ar[r] = a + static_cast<size_t>(std::min(i0 + r, m - 1)) * kp;
-    for (int j0 = 0; j0 < np; j0 += 16) {
-      const int jrem = np - j0;  // multiple of 8
-      const __mmask64 bm =
-          jrem >= 16 ? ~0ULL : ((1ULL << (jrem * 4)) - 1);
-      __m512i c0 = _mm512_setzero_si512();
-      __m512i c1 = _mm512_setzero_si512();
-      __m512i c2 = _mm512_setzero_si512();
-      __m512i c3 = _mm512_setzero_si512();
-      for (int g = 0; g < kg; ++g) {
-        const int8_t* bp =
-            q.packed.data() + (static_cast<size_t>(g) * np + j0) * 4;
-        const __m512i bv = _mm512_maskz_loadu_epi8(bm, bp);
-        int a0i, a1i, a2i, a3i;
-        std::memcpy(&a0i, ar[0] + 4 * g, 4);
-        std::memcpy(&a1i, ar[1] + 4 * g, 4);
-        std::memcpy(&a2i, ar[2] + 4 * g, 4);
-        std::memcpy(&a3i, ar[3] + 4 * g, 4);
-        c0 = _mm512_dpbusd_epi32(c0, _mm512_set1_epi32(a0i), bv);
-        c1 = _mm512_dpbusd_epi32(c1, _mm512_set1_epi32(a1i), bv);
-        c2 = _mm512_dpbusd_epi32(c2, _mm512_set1_epi32(a2i), bv);
-        c3 = _mm512_dpbusd_epi32(c3, _mm512_set1_epi32(a3i), bv);
-      }
-      alignas(64) int32_t acc[MR][16];
-      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[0]), c0);
-      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[1]), c1);
-      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[2]), c2);
-      _mm512_store_si512(reinterpret_cast<__m512i*>(acc[3]), c3);
-      const int jend = std::min(j0 + 16, n);
-      for (int r = 0; r < mr; ++r) {
-        float* orow = out.data() + static_cast<size_t>(i0 + r) * n;
-        for (int j = j0; j < jend; ++j) {
-          const int32_t true_acc = acc[r][j - j0] - 128 * q.colsum[j];
-          orow[j] = static_cast<float>(true_acc) * a_scale * q.scale[j] +
-                    (bias ? bias[j] : 0.0f);
-        }
+// lanes (np stays a multiple of 8; the odd half-tile is a byte mask).
+inline void QGemmTile(const uint8_t* const ar[kQGemmMR], int mr, int i0,
+                      float a_scale, const QuantizedKernel& q,
+                      const float* bias, float* out) {
+  const int n = q.n, np = q.np, kg = q.kp / 4;
+  for (int j0 = 0; j0 < np; j0 += 16) {
+    const int jrem = np - j0;  // multiple of 8
+    const __mmask64 bm = jrem >= 16 ? ~0ULL : ((1ULL << (jrem * 4)) - 1);
+    __m512i c0 = _mm512_setzero_si512();
+    __m512i c1 = _mm512_setzero_si512();
+    __m512i c2 = _mm512_setzero_si512();
+    __m512i c3 = _mm512_setzero_si512();
+    for (int g = 0; g < kg; ++g) {
+      const int8_t* bp =
+          q.packed.data() + (static_cast<size_t>(g) * np + j0) * 4;
+      const __m512i bv = _mm512_maskz_loadu_epi8(bm, bp);
+      int a0i, a1i, a2i, a3i;
+      std::memcpy(&a0i, ar[0] + 4 * g, 4);
+      std::memcpy(&a1i, ar[1] + 4 * g, 4);
+      std::memcpy(&a2i, ar[2] + 4 * g, 4);
+      std::memcpy(&a3i, ar[3] + 4 * g, 4);
+      c0 = _mm512_dpbusd_epi32(c0, _mm512_set1_epi32(a0i), bv);
+      c1 = _mm512_dpbusd_epi32(c1, _mm512_set1_epi32(a1i), bv);
+      c2 = _mm512_dpbusd_epi32(c2, _mm512_set1_epi32(a2i), bv);
+      c3 = _mm512_dpbusd_epi32(c3, _mm512_set1_epi32(a3i), bv);
+    }
+    alignas(64) int32_t acc[kQGemmMR][16];
+    _mm512_store_si512(reinterpret_cast<__m512i*>(acc[0]), c0);
+    _mm512_store_si512(reinterpret_cast<__m512i*>(acc[1]), c1);
+    _mm512_store_si512(reinterpret_cast<__m512i*>(acc[2]), c2);
+    _mm512_store_si512(reinterpret_cast<__m512i*>(acc[3]), c3);
+    const int jend = std::min(j0 + 16, n);
+    for (int r = 0; r < mr; ++r) {
+      float* orow = out + static_cast<size_t>(i0 + r) * n;
+      for (int j = j0; j < jend; ++j) {
+        const int32_t true_acc = acc[r][j - j0] - 128 * q.colsum[j];
+        orow[j] = static_cast<float>(true_acc) * a_scale * q.scale[j] +
+                  (bias ? bias[j] : 0.0f);
       }
     }
   }
 }
 #elif defined(__AVX2__) && defined(__FMA__)
-inline void QGemm(const uint8_t* a, float a_scale, int m,
-                  const QuantizedKernel& q, const float* bias,
-                  std::vector<float>& out) {
-  const int n = q.n, np = q.np, kp = q.kp, kg = kp / 4;
-  out.resize(static_cast<size_t>(m) * n);
+inline void QGemmTile(const uint8_t* const ar[kQGemmMR], int mr, int i0,
+                      float a_scale, const QuantizedKernel& q,
+                      const float* bias, float* out) {
+  const int n = q.n, np = q.np, kg = q.kp / 4;
 #if !(defined(__AVX512VNNI__) && defined(__AVX512VL__))
   const __m256i ones = _mm256_set1_epi16(1);
 #endif
-  constexpr int MR = 4;  // 4 rows x 2 j-tiles = 8 i32 accumulator ymms
-#pragma omp parallel for schedule(static)
-  for (int i0 = 0; i0 < m; i0 += MR) {
-    const int mr = std::min(MR, m - i0);
-    const uint8_t* ar[MR];
-    for (int r = 0; r < MR; ++r)
-      ar[r] = a + static_cast<size_t>(std::min(i0 + r, m - 1)) * kp;
-    for (int j0 = 0; j0 < np; j0 += 16) {
-      // last tile of odd-np (np % 16 == 8): single 8-wide pass
-      const bool two = j0 + 16 <= np;
-      __m256i c00 = _mm256_setzero_si256(), c01 = _mm256_setzero_si256();
-      __m256i c10 = _mm256_setzero_si256(), c11 = _mm256_setzero_si256();
-      __m256i c20 = _mm256_setzero_si256(), c21 = _mm256_setzero_si256();
-      __m256i c30 = _mm256_setzero_si256(), c31 = _mm256_setzero_si256();
-      for (int g = 0; g < kg; ++g) {
-        const int8_t* bp =
-            q.packed.data() + (static_cast<size_t>(g) * np + j0) * 4;
-        const __m256i b0 =
-            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(bp));
-        __m256i b1 = _mm256_setzero_si256();
-        if (two)
-          b1 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(bp + 32));
-        int a0i, a1i, a2i, a3i;
-        std::memcpy(&a0i, ar[0] + 4 * g, 4);
-        std::memcpy(&a1i, ar[1] + 4 * g, 4);
-        std::memcpy(&a2i, ar[2] + 4 * g, 4);
-        std::memcpy(&a3i, ar[3] + 4 * g, 4);
-        const __m256i av0 = _mm256_set1_epi32(a0i);
-        const __m256i av1 = _mm256_set1_epi32(a1i);
-        const __m256i av2 = _mm256_set1_epi32(a2i);
-        const __m256i av3 = _mm256_set1_epi32(a3i);
-        FACEJAX_DPBUSD(c00, av0, b0);
-        FACEJAX_DPBUSD(c10, av1, b0);
-        FACEJAX_DPBUSD(c20, av2, b0);
-        FACEJAX_DPBUSD(c30, av3, b0);
-        if (two) {
-          FACEJAX_DPBUSD(c01, av0, b1);
-          FACEJAX_DPBUSD(c11, av1, b1);
-          FACEJAX_DPBUSD(c21, av2, b1);
-          FACEJAX_DPBUSD(c31, av3, b1);
-        }
+  for (int j0 = 0; j0 < np; j0 += 16) {
+    // last tile of odd-np (np % 16 == 8): single 8-wide pass
+    const bool two = j0 + 16 <= np;
+    __m256i c00 = _mm256_setzero_si256(), c01 = _mm256_setzero_si256();
+    __m256i c10 = _mm256_setzero_si256(), c11 = _mm256_setzero_si256();
+    __m256i c20 = _mm256_setzero_si256(), c21 = _mm256_setzero_si256();
+    __m256i c30 = _mm256_setzero_si256(), c31 = _mm256_setzero_si256();
+    for (int g = 0; g < kg; ++g) {
+      const int8_t* bp =
+          q.packed.data() + (static_cast<size_t>(g) * np + j0) * 4;
+      const __m256i b0 =
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(bp));
+      __m256i b1 = _mm256_setzero_si256();
+      if (two)
+        b1 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(bp + 32));
+      int a0i, a1i, a2i, a3i;
+      std::memcpy(&a0i, ar[0] + 4 * g, 4);
+      std::memcpy(&a1i, ar[1] + 4 * g, 4);
+      std::memcpy(&a2i, ar[2] + 4 * g, 4);
+      std::memcpy(&a3i, ar[3] + 4 * g, 4);
+      const __m256i av0 = _mm256_set1_epi32(a0i);
+      const __m256i av1 = _mm256_set1_epi32(a1i);
+      const __m256i av2 = _mm256_set1_epi32(a2i);
+      const __m256i av3 = _mm256_set1_epi32(a3i);
+      FACEJAX_DPBUSD(c00, av0, b0);
+      FACEJAX_DPBUSD(c10, av1, b0);
+      FACEJAX_DPBUSD(c20, av2, b0);
+      FACEJAX_DPBUSD(c30, av3, b0);
+      if (two) {
+        FACEJAX_DPBUSD(c01, av0, b1);
+        FACEJAX_DPBUSD(c11, av1, b1);
+        FACEJAX_DPBUSD(c21, av2, b1);
+        FACEJAX_DPBUSD(c31, av3, b1);
       }
-      alignas(32) int32_t acc[MR][16];
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[0][0]), c00);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[0][8]), c01);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[1][0]), c10);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[1][8]), c11);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[2][0]), c20);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[2][8]), c21);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[3][0]), c30);
-      _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[3][8]), c31);
-      const int jend = std::min(two ? j0 + 16 : j0 + 8, n);
-      for (int r = 0; r < mr; ++r) {
-        float* orow = out.data() + static_cast<size_t>(i0 + r) * n;
-        for (int j = j0; j < jend; ++j) {
-          const int32_t true_acc = acc[r][j - j0] - 128 * q.colsum[j];
-          orow[j] = static_cast<float>(true_acc) * a_scale * q.scale[j] +
-                    (bias ? bias[j] : 0.0f);
-        }
+    }
+    alignas(32) int32_t acc[kQGemmMR][16];
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[0][0]), c00);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[0][8]), c01);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[1][0]), c10);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[1][8]), c11);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[2][0]), c20);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[2][8]), c21);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[3][0]), c30);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(&acc[3][8]), c31);
+    const int jend = std::min(two ? j0 + 16 : j0 + 8, n);
+    for (int r = 0; r < mr; ++r) {
+      float* orow = out + static_cast<size_t>(i0 + r) * n;
+      for (int j = j0; j < jend; ++j) {
+        const int32_t true_acc = acc[r][j - j0] - 128 * q.colsum[j];
+        orow[j] = static_cast<float>(true_acc) * a_scale * q.scale[j] +
+                  (bias ? bias[j] : 0.0f);
       }
     }
   }
 }
 #else
-inline void QGemm(const uint8_t* a, float a_scale, int m,
-                  const QuantizedKernel& q, const float* bias,
-                  std::vector<float>& out) {
-  const int n = q.n, np = q.np, kp = q.kp, kg = kp / 4;
-  out.resize(static_cast<size_t>(m) * n);
-#pragma omp parallel for schedule(static)
-  for (int i = 0; i < m; ++i) {
-    const uint8_t* arow = a + static_cast<size_t>(i) * kp;
-    float* orow = out.data() + static_cast<size_t>(i) * n;
+inline void QGemmTile(const uint8_t* const ar[kQGemmMR], int mr, int i0,
+                      float a_scale, const QuantizedKernel& q,
+                      const float* bias, float* out) {
+  const int n = q.n, np = q.np, kg = q.kp / 4;
+  for (int r = 0; r < mr; ++r) {
+    const uint8_t* arow = ar[r];
+    float* orow = out + static_cast<size_t>(i0 + r) * n;
     for (int j = 0; j < n; ++j) {
       int32_t acc = 0;
       for (int g = 0; g < kg; ++g) {
@@ -279,12 +264,53 @@ inline void QGemm(const uint8_t* a, float a_scale, int m,
           acc += static_cast<int32_t>(arow[4 * g + t]) * bp[t];
       }
       acc -= 128 * q.colsum[j];
-      orow[j] =
-          static_cast<float>(acc) * a_scale * q.scale[j] + (bias ? bias[j] : 0.0f);
+      orow[j] = static_cast<float>(acc) * a_scale * q.scale[j] +
+                (bias ? bias[j] : 0.0f);
     }
   }
 }
 #endif
+
+inline void QGemm(const uint8_t* a, float a_scale, int m,
+                  const QuantizedKernel& q, const float* bias,
+                  std::vector<float>& out) {
+  out.resize(static_cast<size_t>(m) * q.n);
+#pragma omp parallel for schedule(static)
+  for (int i0 = 0; i0 < m; i0 += kQGemmMR) {
+    const uint8_t* ar[kQGemmMR];
+    for (int r = 0; r < kQGemmMR; ++r)
+      ar[r] = a + static_cast<size_t>(std::min(i0 + r, m - 1)) * q.kp;
+    QGemmTile(ar, std::min(kQGemmMR, m - i0), i0, a_scale, q, bias,
+              out.data());
+  }
+}
+
+// Tile-fused im2col + GEMM: `fill(i, dst)` writes patch row i (kp bytes,
+// incl. 128-padding) into an L1-resident per-thread staging buffer right
+// before the microkernel consumes it — the [m, kp] patch matrix never
+// round-trips DRAM.
+template <typename FillRow>
+inline void QGemmFused(FillRow fill, float a_scale, int m,
+                       const QuantizedKernel& q, const float* bias,
+                       std::vector<float>& out) {
+  const int kp = q.kp;
+  out.resize(static_cast<size_t>(m) * q.n);
+#pragma omp parallel
+  {
+    std::vector<uint8_t> abuf(static_cast<size_t>(kQGemmMR) * kp);
+    const uint8_t* ar[kQGemmMR];
+    for (int r = 0; r < kQGemmMR; ++r)
+      ar[r] = abuf.data() + static_cast<size_t>(r) * kp;
+#pragma omp for schedule(static)
+    for (int i0 = 0; i0 < m; i0 += kQGemmMR) {
+      const int mr = std::min(kQGemmMR, m - i0);
+      for (int r = 0; r < kQGemmMR; ++r)
+        fill(std::min(i0 + r, m - 1),
+             abuf.data() + static_cast<size_t>(r) * kp);
+      QGemmTile(ar, mr, i0, a_scale, q, bias, out.data());
+    }
+  }
+}
 
 }  // namespace nn
 }  // namespace facejax
