@@ -123,3 +123,29 @@ def test_flagship_ladder_tables_match_models():
             for _ in range(cnt))
         assert expanded == model_geometry(model_cls, size), \
             f"{model_cls.__name__} table drifted from the model"
+
+
+def test_timed_scan_adaptive_window_amortizes_dispatch():
+    """Regression pin for the round-4 ms=0.0 / absurd-TFLOPs rows: a
+    microsecond-scale op timed at reps=1 reads as pure dispatch jitter;
+    ``min_window_s`` must lengthen the scan until the device window is
+    unambiguous, so the per-rep figure reflects the op, not the dispatch.
+    """
+    import jax.numpy as jnp
+
+    from tools.perf_detect_breakdown import timed_scan
+
+    x = jnp.ones((8, 8), jnp.float32)
+
+    def tiny(a):
+        return a + 1.0
+
+    naive_ms, _ = timed_scan(tiny, 1, x)
+    adaptive_ms, _ = timed_scan(tiny, 1, x, min_window_s=0.05)
+    # the adaptive figure amortizes the per-dispatch cost over a long
+    # scan; it must come in far below the single-dispatch reading and at
+    # a magnitude a [8,8] add can plausibly take
+    assert adaptive_ms <= naive_ms
+    assert adaptive_ms < 1.0, (
+        f"adaptive per-rep {adaptive_ms:.3f} ms — window growth did not "
+        "amortize the dispatch cost")

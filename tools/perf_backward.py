@@ -55,7 +55,7 @@ B = int(os.environ.get("PL_BATCH", "64"))
 ITERS = int(os.environ.get("PL_ITERS", "16"))
 
 from tools.perf_layers import (  # noqa: E402
-    LAYERS,
+    LADDERS,
     PEAK_BF16_TFLOPS,
     _null_baseline,
     measure_hbm_peak_gbs,
@@ -81,7 +81,8 @@ def _timed(fn, args, fixed_s):
     measured fixed dispatch cost subtracted. Returns SECONDS per rep."""
     from tools.perf_detect_breakdown import timed_scan
 
-    ms, _ = timed_scan(fn, ITERS, *args, fixed_s=fixed_s)
+    ms, _ = timed_scan(fn, ITERS, *args, fixed_s=fixed_s,
+                       min_window_s=0.05)
     return ms / 1e3
 
 
@@ -164,6 +165,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", default="",
                     help="comma-separated subset of layer names")
+    ap.add_argument("--ladder", default="lightcnn9", choices=sorted(LADDERS),
+                    help="conv geometry table (same tables as perf_layers; "
+                         "repeated res-block convs weight the totals by "
+                         "their count)")
     args = ap.parse_args()
     enable_compilation_cache()
     print(f"batch {B}, iters {ITERS}, device {jax.devices()}",
@@ -176,12 +181,16 @@ def main():
           flush=True)
     subset = set(args.layers.split(",")) if args.layers else None
     totals: dict[str, float] = {}
-    for cfg in LAYERS:
+    for cfg in LADDERS[args.ladder]:
+        count = cfg[6] if len(cfg) > 6 else 1
+        cfg = cfg[:6]
         if subset and cfg[0] not in subset:
             continue
         for r in measure_layer(*cfg, fixed_s=fixed_s, peak_bw=peak_bw):
+            if count > 1:
+                r["count"] = count
             print(json.dumps(r), flush=True)
-            totals[r["case"]] = totals.get(r["case"], 0.0) + r["ms"]
+            totals[r["case"]] = totals.get(r["case"], 0.0) + r["ms"] * count
     print(json.dumps({"totals_ms": {k: round(v, 3)
                                     for k, v in totals.items()}}),
           flush=True)

@@ -29,38 +29,57 @@ from improving_face_recognition_performance_using_triplet_loss_tpu.utils import 
 enable_compilation_cache()
 
 
-def timed_scan(fn, reps, *args, fixed_s: float = 0.0):
+def timed_scan(fn, reps, *args, fixed_s: float = 0.0,
+               min_window_s: float = 0.0):
     """Time fn chained `reps` times; body perturbs inputs by the carry so
     XLA cannot hoist it out of the scan. ``fixed_s`` is a measured
     per-dispatch fixed cost (tools/perf_layers.py::_null_baseline) to
     subtract from the total before dividing — the shared methodology for
     every tools/ benchmark (perf_backward, perf_nms_adversarial use this
-    same function; perf_layers.time_block predates it)."""
+    same function; perf_layers.time_block predates it).
 
-    @jax.jit
-    def run(args):
-        def body(acc, _):
-            nudged = jax.tree_util.tree_map(
-                lambda a: (a + acc * 1e-20).astype(a.dtype)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, args)
-            out = fn(*nudged)
-            leaves = [jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
-                                        x.astype(jnp.float32), 0.0))
-                      for x in jax.tree_util.tree_leaves(out)]
-            return acc + sum(leaves) * 1e-20, None
+    ``min_window_s`` > 0 makes the measurement adaptive: if the device
+    window (scan total minus ``fixed_s``) is below it, the scan is
+    lengthened and re-measured so fast ops don't drown in the tunnel's
+    per-dispatch jitter (which reads as 0.0 ms / absurd TFLOPs)."""
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=reps)
-        return acc
+    def make_run(length):
+        @jax.jit
+        def run(args):
+            def body(acc, _):
+                nudged = jax.tree_util.tree_map(
+                    lambda a: (a + acc * 1e-20).astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, args)
+                out = fn(*nudged)
+                leaves = [jnp.sum(
+                    jnp.where(jnp.isfinite(x.astype(jnp.float32)),
+                              x.astype(jnp.float32), 0.0))
+                    for x in jax.tree_util.tree_leaves(out)]
+                return acc + sum(leaves) * 1e-20, None
 
-    t0 = time.perf_counter()
-    _ = float(run(args))
-    compile_s = time.perf_counter() - t0
-    best = 1e9
-    for _ in range(3):
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=length)
+            return acc
+
+        return run
+
+    def measure(length):
+        run = make_run(length)
         t0 = time.perf_counter()
         _ = float(run(args))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - fixed_s, 1e-9) / reps * 1e3, compile_s  # ms per rep
+        compile_s = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(run(args))
+            best = min(best, time.perf_counter() - t0)
+        return best - fixed_s, compile_s
+
+    window, compile_s = measure(reps)
+    while window < min_window_s and reps < 16384:
+        grow = max(2, int(min_window_s / max(window, 1e-4) * 2))
+        reps = min(reps * grow, 16384)
+        window, _ = measure(reps)
+    return max(window, 1e-9) / reps * 1e3, compile_s  # ms per rep
 
 
 def main():
