@@ -161,6 +161,7 @@ def make_backbone_train_step(
     crop_size: int | None = None,
     class_axis_name: str | None = None,
     bwd_im2col: bool = False,
+    remat_policy: str | None = None,
 ) -> Callable[..., tuple[TrainState, Metrics]]:
     """Joint id-softmax + triplet step (train_efm.py:229-245 semantics).
 
@@ -168,6 +169,16 @@ def make_backbone_train_step(
     ``ops.conv_backward.conv2d_fg_im2col`` — the filter gradient becomes
     an explicit im2col matmul (the round-4 backward-MFU counter-
     experiment; numerically identical, tests/test_train_steps.py).
+
+    ``remat_policy`` wraps the model apply in ``jax.checkpoint``: the
+    round-4 trace decomposition measured 57% of the B=256 step in
+    bandwidth-bound elementwise passes already AT the HBM peak, so the
+    remaining lever is BYTES, not FLOPs — remat trades re-reading stored
+    residuals (MFM outputs + select masks) for recomputing them from the
+    saved conv outputs in the backward. ``"dots"`` saves only
+    matmul/conv results (jax.checkpoint_policies.dots_saveable);
+    ``"full"`` saves nothing. Numerically identical either way (pinned in
+    tests/test_train_steps.py).
 
     ``mine_anchor_half_only`` reproduces the reference's train-time candidate
     restriction to the anchor half (train_efm.py:235); default mines over the
@@ -223,10 +234,20 @@ def make_backbone_train_step(
                 ctx = fnn.intercept_methods(conv_interceptor_im2col_bwd())
             else:
                 ctx = contextlib.nullcontext()
-            with ctx:
-                (logits, feat), new_bs = _apply_model(
-                    model, params, state.batch_stats, images, train=True,
-                    drop_key=k_drop)
+            def apply_fn(params, images):
+                with ctx:
+                    return _apply_model(
+                        model, params, state.batch_stats, images,
+                        train=True, drop_key=k_drop)
+
+            if remat_policy is not None:
+                policies = {
+                    "full": None,
+                    "dots": jax.checkpoint_policies.dots_saveable,
+                }
+                apply_fn = jax.checkpoint(
+                    apply_fn, policy=policies[remat_policy])
+            (logits, feat), new_bs = apply_fn(params, images)
             anc, pos = feat[:b], feat[b:]
             pool_feat, pool_labels = _pool(anc, pos, labels, axis_name)
             num_cand = b if (mine_anchor_half_only and axis_name is None) else None

@@ -559,3 +559,43 @@ def test_backbone_step_bwd_im2col_matches_stock():
                     jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_backbone_step_remat_policy_is_exact():
+    """remat_policy ("dots"/"full") changes WHEN residuals are
+    (re)computed, never WHAT is computed: same state, same batch, same
+    dropout key => bitwise-identical loss and updated params vs the
+    stock step. (The round-4 bandwidth counter-experiment: the trace
+    decomposition measured 57% of the B=256 step in elementwise passes
+    at the HBM peak, so remat trades those stored bytes for recompute.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
+        EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.train import (
+        adam_factor,
+        create_train_state,
+        make_backbone_train_step,
+    )
+
+    model = EFMNet342(num_classes=6, dtype=jnp.float32)
+    tx = adam_factor(base_lr=1e-3, decay_every_steps=100)
+    rng = np.random.default_rng(1)
+    anc = jnp.asarray(rng.uniform(size=(4, 32, 32, 1)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(size=(4, 32, 32, 1)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), anc)
+
+    s0, m0 = make_backbone_train_step(model, tx, mining_mode="semi_hard")(
+        state, anc, pos, labels)
+    for policy in ("dots", "full"):
+        s1, m1 = make_backbone_train_step(
+            model, tx, mining_mode="semi_hard", remat_policy=policy)(
+            state, anc, pos, labels)
+        assert float(m1["loss"]) == float(m0["loss"]), policy
+        for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))

@@ -86,7 +86,8 @@ def _timed(fn, args, fixed_s):
     return ms / 1e3
 
 
-def measure_layer(name, h, cin, cout, k, _pool, fixed_s, peak_bw):
+def measure_layer(name, h, cin, cout, k, _pool, fixed_s, peak_bw,
+                  case_subset=None):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, h, h, cin), jnp.bfloat16)
     w = jax.random.normal(jax.random.fold_in(key, 1),
@@ -144,6 +145,8 @@ def measure_layer(name, h, cin, cout, k, _pool, fixed_s, peak_bw):
             2 * B * h * h * (cout + cin)),
     }
     for case, (timer, k_util, bytes_min) in cases.items():
+        if case_subset and case not in case_subset:
+            continue
         dt = timer()
         t_mxu = flops / PEAK_BF16_TFLOPS / 1e9  # ms
         t_struct = t_mxu / max(k_util, 1e-6)
@@ -169,6 +172,10 @@ def main():
                     help="conv geometry table (same tables as perf_layers; "
                          "repeated res-block convs weight the totals by "
                          "their count)")
+    ap.add_argument("--cases", default="",
+                    help="comma-separated subset of cases (e.g. fwd,dx,dw "
+                         "skips the slow im2col counter-experiments on the "
+                         "big ladders)")
     args = ap.parse_args()
     enable_compilation_cache()
     print(f"batch {B}, iters {ITERS}, device {jax.devices()}",
@@ -186,7 +193,9 @@ def main():
         cfg = cfg[:6]
         if subset and cfg[0] not in subset:
             continue
-        for r in measure_layer(*cfg, fixed_s=fixed_s, peak_bw=peak_bw):
+        case_subset = set(args.cases.split(",")) if args.cases else None
+        for r in measure_layer(*cfg, fixed_s=fixed_s, peak_bw=peak_bw,
+                               case_subset=case_subset):
             if count > 1:
                 r["count"] = count
             print(json.dumps(r), flush=True)

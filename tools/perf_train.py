@@ -39,7 +39,7 @@ PEAK_BF16_TFLOPS = 197.0  # v5e nominal
 
 def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
                    bf16: bool = True, mining: str = "semi_hard",
-                   bwd_im2col: bool = False):
+                   bwd_im2col: bool = False, remat: str | None = None):
     """Returns (ms_per_step, imgs_per_sec, mfu_pct)."""
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = {"efmnet342": EFMNet342, "lightcnn29": LightCNN29}[model_name](
@@ -54,7 +54,8 @@ def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
     labels = jnp.arange(batch) % 100
     state = create_train_state(model, tx, key, anc)
     step = make_backbone_train_step(model, tx, mining_mode=mining,
-                                    bwd_im2col=bwd_im2col)
+                                    bwd_im2col=bwd_im2col,
+                                    remat_policy=remat)
 
     def run(state):
         def body(s, _):
@@ -93,7 +94,8 @@ def bench_backbone(model_name: str, size: int, batch: int, n_steps: int = 8,
     mfu = (flops_per_step / per_step / (PEAK_BF16_TFLOPS * 1e12) * 100
            if flops_per_step else float("nan"))
     gf = flops_per_step / 1e9 if flops_per_step else float("nan")
-    print(f"{model_name} {size}px b={batch} {mining}: "
+    tag = f" remat={remat}" if remat else ""
+    print(f"{model_name} {size}px b={batch} {mining}{tag}: "
           f"{per_step * 1000:7.1f} ms/step, {imgs:9,.0f} imgs/s, "
           f"MFU {mfu:4.1f}% ({gf:,.0f} GFLOP/step; compile {compile_s:.0f}s)")
     return per_step * 1000, imgs, mfu
@@ -108,6 +110,9 @@ def main():
                     help="restrict the sweep to one backbone")
     ap.add_argument("--batches", type=int, nargs="+",
                     help="restrict the sweep to these batch sizes")
+    ap.add_argument("--remat", choices=("full", "dots"),
+                    help="jax.checkpoint policy on the model apply (the "
+                         "round-4 bandwidth counter-experiment)")
     ap.add_argument("--bwd-im2col", action="store_true",
                     help="route conv filter gradients through the im2col "
                          "matmul formulation (ops/conv_backward.py) — the "
@@ -118,9 +123,9 @@ def main():
     if not args.sweep:
         # the reference's joint-train config: LightCNN-29, 128px, batch 64
         bench_backbone("lightcnn29", 128, 64, n_steps=args.steps,
-                       bwd_im2col=args.bwd_im2col)
+                       bwd_im2col=args.bwd_im2col, remat=args.remat)
         bench_backbone("efmnet342", 64, 64, n_steps=args.steps,
-                       bwd_im2col=args.bwd_im2col)
+                       bwd_im2col=args.bwd_im2col, remat=args.remat)
         return
 
     results = {}
@@ -132,7 +137,7 @@ def main():
             try:
                 rows.append((batch, *bench_backbone(
                     name, size, batch, n_steps=args.steps,
-                    bwd_im2col=args.bwd_im2col)))
+                    bwd_im2col=args.bwd_im2col, remat=args.remat)))
             except Exception as e:  # OOM at the top end is a finding
                 print(f"{name} b={batch}: FAILED {type(e).__name__}: "
                       f"{str(e)[:120]}")
