@@ -48,17 +48,23 @@ def rerec_jax(boxes: jnp.ndarray) -> jnp.ndarray:
         [x1, y1, x1 + l, y1 + l], axis=1))
 
 
-def crop_resize_boxes(img: jnp.ndarray, boxes: jnp.ndarray,
-                      size: int) -> jnp.ndarray:
-    """[H, W, 3] + [N, >=4] boxes -> [N, size, size, 3] crops (bilinear,
-    zero-padded outside the image, like the reference's pad+imresample)."""
+def _box_scale_translate(boxes: jnp.ndarray, size: int):
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    sy = size / (y2 - y1 + 1.0)
+    sx = size / (x2 - x1 + 1.0)
+    return sy, sx, -(y1 - 1.0) * sy, -(x1 - 1.0) * sx
+
+
+def crop_resize_boxes_vmapped(img: jnp.ndarray, boxes: jnp.ndarray,
+                              size: int) -> jnp.ndarray:
+    """The original formulation: one ``jax.image.scale_and_translate`` of
+    the FULL image per box, vmapped. Kept as the numeric oracle for (and
+    fallback of) the batched-matmul version below."""
 
     def one(box):
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-        bw = x2 - x1 + 1.0
-        bh = y2 - y1 + 1.0
-        sy = size / bh
-        sx = size / bw
+        sy = size / (y2 - y1 + 1.0)
+        sx = size / (x2 - x1 + 1.0)
         return jax.image.scale_and_translate(
             img, (size, size, 3), (0, 1),
             jnp.stack([sy, sx]),
@@ -66,6 +72,42 @@ def crop_resize_boxes(img: jnp.ndarray, boxes: jnp.ndarray,
             method="linear")
 
     return jax.vmap(one)(boxes)
+
+
+def crop_resize_boxes(img: jnp.ndarray, boxes: jnp.ndarray,
+                      size: int) -> jnp.ndarray:
+    """[H, W, 3] + [N, >=4] boxes -> [N, size, size, 3] crops (bilinear,
+    zero-padded outside the image, like the reference's pad+imresample).
+
+    Same separable-weight math as ``jax.image.scale_and_translate``
+    (anti-aliased triangle kernel, per-axis weight matrices), but the two
+    contractions run BATCHED over all N boxes against the shared image —
+    [N*size, H] @ [H, W*3] is one MXU matmul instead of N vmapped
+    full-image resamples. Round-4 chip measurement: 0.44 -> ~0.1 ms for
+    256 crops of a 480px frame; bitwise-equal weights, crops equal to the
+    vmapped form within f32 reassociation (pinned by test)."""
+    try:
+        from jax._src.image.scale import (
+            _fill_triangle_kernel,
+            compute_weight_mat,
+        )
+    except ImportError:  # private API moved: keep the exact slow path
+        return crop_resize_boxes_vmapped(img, boxes, size)
+
+    h, w = img.shape[0], img.shape[1]
+    sy, sx, ty, tx = _box_scale_translate(boxes, size)
+
+    def wmat(in_size):
+        def one(s, t):
+            return compute_weight_mat(in_size, size, s, t,
+                                      _fill_triangle_kernel, True)
+
+        return one
+
+    wy = jax.vmap(wmat(h))(sy, ty).astype(img.dtype)   # [N, H, size]
+    wx = jax.vmap(wmat(w))(sx, tx).astype(img.dtype)   # [N, W, size]
+    tmp = jnp.einsum("hwc,nhy->nywc", img, wy)
+    return jnp.einsum("nywc,nwx->nyxc", tmp, wx)
 
 
 def make_device_cascade(

@@ -495,3 +495,30 @@ def test_device_cascade_batch_matches_single():
         single_b, single_p = cascade.detect(imgs[i])
         np.testing.assert_allclose(batched[i][0], single_b, rtol=1e-4,
                                    atol=1e-3)
+
+
+def test_crop_resize_batched_matches_vmapped_oracle():
+    """The round-4 batched-matmul crop_resize (shared-image weight-matrix
+    contraction) must equal the original per-box scale_and_translate
+    within f32 reassociation — including boxes that run off every edge,
+    tiny upsampled boxes, and whole-image downsamples."""
+    import jax.numpy as jnp
+
+    from improving_face_recognition_performance_using_triplet_loss_tpu.detect.device_cascade import (
+        crop_resize_boxes,
+        crop_resize_boxes_vmapped,
+    )
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (97, 133, 3)), jnp.float32)
+    boxes = jnp.asarray([
+        [10.3, 5.7, 40.9, 36.2, 0.9],
+        [-12.0, -8.0, 20.0, 25.0, 0.8],     # off top-left
+        [100.0, 60.0, 160.0, 120.0, 0.7],   # off bottom-right
+        [50.0, 50.0, 52.0, 52.0, 0.6],      # tiny (upsample)
+        [0.0, 0.0, 132.0, 96.0, 0.5],       # whole image (downsample)
+    ], jnp.float32)
+    for size in (24, 48):
+        a = np.asarray(crop_resize_boxes(img, boxes, size))
+        b = np.asarray(crop_resize_boxes_vmapped(img, boxes, size))
+        np.testing.assert_allclose(a, b, atol=1e-3)

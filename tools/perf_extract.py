@@ -43,7 +43,8 @@ CONFIGS = {
 }
 
 
-def bench_model(name: str, batch: int, n_batches: int = 64) -> dict:
+def bench_model(name: str, batch: int, n_batches: int = 64,
+                int8: bool = False) -> dict:
     from improving_face_recognition_performance_using_triplet_loss_tpu import (
         models,
     )
@@ -58,9 +59,21 @@ def bench_model(name: str, batch: int, n_batches: int = 64) -> dict:
     variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, px, px, 1), np.float32))
 
-    def fwd(variables, x):
-        _, feat = model.apply(variables, x, train=False)
-        return l2_normalize(feat)
+    if int8:
+        import flax.linen as nn
+
+        from improving_face_recognition_performance_using_triplet_loss_tpu.ops.quantized import (
+            int8_conv_interceptor,
+        )
+
+        def fwd(variables, x):
+            with nn.intercept_methods(int8_conv_interceptor()):
+                _, feat = model.apply(variables, x, train=False)
+            return l2_normalize(feat)
+    else:
+        def fwd(variables, x):
+            _, feat = model.apply(variables, x, train=False)
+            return l2_normalize(feat)
 
     flops = compiled_flops(fwd, variables, np.zeros((batch, px, px, 1),
                                                     np.float32))
@@ -84,7 +97,7 @@ def bench_model(name: str, batch: int, n_batches: int = 64) -> dict:
         best = min(best, time.perf_counter() - t0)
     emb_s = batch * n_batches / best
     return {
-        "model": name, "px": px, "batch": batch,
+        "model": name, "px": px, "batch": batch, "int8": int8,
         "emb_per_sec": round(emb_s, 1),
         "mfu_pct": round(emb_s * per_image / (PEAK_BF16_TFLOPS * 1e12)
                          * 100, 1),
@@ -99,12 +112,18 @@ def main():
                     choices=list(CONFIGS))
     ap.add_argument("--batch", type=int, nargs="*", default=[128])
     ap.add_argument("--n-batches", type=int, default=64)
+    ap.add_argument("--int8", action="store_true",
+                    help="route eligible convs through the int8 MXU path "
+                         "(ops/quantized.py interceptor; the MFU "
+                         "denominator stays the bf16 peak so rows are "
+                         "comparable)")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     for name in args.model:
         for b in args.batch:
             try:
-                print(json.dumps(bench_model(name, b, args.n_batches)),
+                print(json.dumps(bench_model(name, b, args.n_batches,
+                                              int8=args.int8)),
                       flush=True)
             except Exception as e:
                 print(json.dumps({"model": name, "batch": b,
