@@ -321,10 +321,24 @@ def driver_main():
                 env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
                 timeout=ATTEMPT_TIMEOUT_S, text=True)
             rc, out = proc.returncode, proc.stdout
-        except subprocess.TimeoutExpired:
-            rc, out = -1, ""
+        except subprocess.TimeoutExpired as e:
+            # the hang can strike at TEARDOWN, after the measurement was
+            # printed — salvage partial stdout exactly like the rc!=0
+            # crash path below, or a real 30-min number is thrown away
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            parsed = _parse_worker_json(out)
+            secs = round(time.time() - t0, 1)
+            if parsed is not None and parsed.get("value", 0.0) > 0.0:
+                log(f"bench attempt {i}: valid JSON despite the worker "
+                    "hanging at teardown — keeping it")
+                attempt_log.append({"attempt": i, "rc": "timeout-salvaged",
+                                    "secs": secs})
+                result = parsed
+                break
             attempt_log.append({"attempt": i, "rc": "timeout",
-                                "secs": round(time.time() - t0, 1)})
+                                "secs": secs})
             log(f"bench attempt {i}: timed out after {ATTEMPT_TIMEOUT_S:.0f}s "
                 "(hung backend init?)")
             continue

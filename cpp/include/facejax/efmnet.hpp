@@ -303,33 +303,6 @@ inline void ConvSame(const Tensor& in, const NpyArray& kernel,
   out.data = std::move(res);
 }
 
-// u8 im2col: byte copies instead of float copies (4x less traffic), and
-// both SAME-padding gaps and the k..kp tail are filled with 128 = the u8
-// zero point (a_q = 0), so padding contributes exactly nothing.
-inline void Im2ColU8(const uint8_t* in, int h, int w, int c, int kh, int kw,
-                     int kp, std::vector<uint8_t>& patches) {
-  const int ph = (kh - 1) / 2, pw = (kw - 1) / 2;
-  const int k = kh * kw * c;
-  patches.assign(static_cast<size_t>(h) * w * kp, 128);
-#pragma omp parallel for schedule(static)
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      uint8_t* row = patches.data() + (static_cast<size_t>(y) * w + x) * kp;
-      for (int dy = 0; dy < kh; ++dy) {
-        const int sy = y + dy - ph;
-        if (sy < 0 || sy >= h) continue;
-        for (int dx = 0; dx < kw; ++dx) {
-          const int sx = x + dx - pw;
-          if (sx < 0 || sx >= w) continue;
-          std::memcpy(row + (static_cast<size_t>(dy) * kw + dx) * c,
-                      in + (static_cast<size_t>(sy) * w + sx) * c, c);
-        }
-      }
-    }
-  }
-  (void)k;
-}
-
 // int8 path: dynamic u8 tensor quantization -> TILE-FUSED im2col + QGemm
 // (qgemm.hpp::QGemmFused: patch rows staged per tile in L1, the [m, kp]
 // matrix never materializes — the measured int8-path bottleneck was its

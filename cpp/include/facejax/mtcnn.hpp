@@ -90,31 +90,6 @@ inline void ConvValid(const Tensor& in, const NpyArray& kernel,
   out.data = std::move(res);
 }
 
-// u8 im2col for VALID padding: kp-padded rows, tail bytes 128 (= the u8
-// zero point, so padding contributes exactly nothing to the dot).
-inline void Im2ColU8Valid(const uint8_t* in, int h, int w, int c, int kh,
-                          int kw, int kp, std::vector<uint8_t>& patches,
-                          int& oh, int& ow) {
-  oh = h - kh + 1;
-  ow = w - kw + 1;
-  if (oh <= 0 || ow <= 0)
-    throw std::runtime_error("mtcnn qconv: input smaller than kernel");
-  patches.assign(static_cast<size_t>(oh) * ow * kp, 128);
-  // im2col traffic is the measured int8-path bottleneck (BASELINE.md);
-  // multi-core hosts parallelize it like the SAME-padding sibling
-  // (efmnet.hpp::Im2ColU8)
-#pragma omp parallel for schedule(static)
-  for (int y = 0; y < oh; ++y) {
-    for (int x = 0; x < ow; ++x) {
-      uint8_t* row = patches.data() + (static_cast<size_t>(y) * ow + x) * kp;
-      for (int dy = 0; dy < kh; ++dy)
-        std::memcpy(row + static_cast<size_t>(dy) * kw * c,
-                    in + (static_cast<size_t>(y + dy) * w + x) * c,
-                    static_cast<size_t>(kw) * c);
-    }
-  }
-}
-
 // int8 VALID conv, mirroring the embedder's ConvSameQ design: quantize the
 // TENSOR once (h*w*c values, not the kh*kw-times-larger im2col matrix),
 // then byte-copy im2col -> QGemm (qgemm.hpp's saturation-proof scheme).

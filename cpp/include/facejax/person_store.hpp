@@ -52,7 +52,14 @@ class PersonStore {
 
   explicit PersonStore(std::string path, int dim)
       : path_(std::move(path)), dim_(dim) {
-    if (!Load()) {
+    const LoadResult r = Load();
+    if (r != kLoaded) {
+      if (r == kCorrupt) {
+        // NEVER clobber an existing store we could not read (wrong dim,
+        // truncation, corruption): move it aside so the fresh store's
+        // first Persist cannot destroy the only copy.
+        std::rename(path_.c_str(), (path_ + ".corrupt").c_str());
+      }
       // fresh store: the reserved TMP person (flag 0 keeps it invalid)
       PersonRec tmp;
       tmp.pid = kTmpPid;
@@ -159,6 +166,25 @@ class PersonStore {
     return false;
   }
 
+  // Hard-delete a person row that never acquired a face (the enroll
+  // flow creates the row before the first AddFace; if every view
+  // dedup-rejects, the empty row must not persist). Refuses for TMP,
+  // for unknown pids, and for persons with faces (soft delete covers
+  // those). Returns true when a row was removed.
+  bool RemovePersonIfEmpty(int pid) {
+    if (pid == kTmpPid) return false;
+    for (int fpid : face_pid_)
+      if (fpid == pid) return false;
+    for (auto it = persons_.begin(); it != persons_.end(); ++it)
+      if (it->pid == pid) {
+        persons_.erase(it);
+        RebuildValid();
+        Persist();
+        return true;
+      }
+    return false;
+  }
+
   // Register_PDB_onlyCard (Feature.hpp:861-896): park n faces under the
   // TMP person and queue the card id. Returns the rid.
   int RegisterCardOnly(const std::string& card_id, const float* fvs,
@@ -257,9 +283,14 @@ class PersonStore {
     std::fwrite(s.data(), 1, s.size(), f);
   }
 
-  bool Load() {
+  enum LoadResult { kLoaded, kNoFile, kCorrupt };
+
+  LoadResult Load() {
     FILE* f = std::fopen(path_.c_str(), "rb");
-    if (!f) return false;
+    if (!f) return kNoFile;
+    std::fseek(f, 0, SEEK_END);
+    const long fsize = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
     uint32_t magic = 0, version = 0, dim = 0, np = 0, nf = 0, nr = 0;
     uint32_t npid = 0, nfid = 0, nrid = 0;
     bool ok = ReadU32(f, magic) && magic == 0x44504A46u &&  // "FJPD"
@@ -267,6 +298,14 @@ class PersonStore {
               static_cast<int>(dim) == dim_ && ReadU32(f, npid) &&
               ReadU32(f, nfid) && ReadU32(f, nrid) && ReadU32(f, np) &&
               ReadU32(f, nf) && ReadU32(f, nr);
+    // the counts are UNTRUSTED: each record costs at least 8 bytes on
+    // disk (a face costs 12 + 4*dim), so a corrupt header whose counts
+    // cannot fit in the file must not drive a giant reserve()
+    ok = ok && fsize >= 0 &&
+         static_cast<uint64_t>(np) <= static_cast<uint64_t>(fsize) / 8 &&
+         static_cast<uint64_t>(nf) <=
+             static_cast<uint64_t>(fsize) / (12 + 4 * (uint64_t)dim_) &&
+         static_cast<uint64_t>(nr) <= static_cast<uint64_t>(fsize) / 8;
     if (ok) {
       next_pid_ = npid, next_fid_ = nfid, next_rid_ = nrid;
       for (uint32_t i = 0; ok && i < np; ++i) {
@@ -317,8 +356,11 @@ class PersonStore {
       face_feat_.clear();
       face_norm_.clear();
       regs_.clear();
+      next_pid_ = 1;
+      next_fid_ = 1;
+      next_rid_ = 1;
     }
-    return ok;
+    return ok ? kLoaded : kCorrupt;
   }
 
   void Persist() const {

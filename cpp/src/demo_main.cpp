@@ -410,6 +410,15 @@ int main(int argc, char** argv) {
                          static_cast<size_t>(idx) * net.feature_dim()))
         ++stored;
     }
+    if (pstore && stored == 0 && enroll_pid >= 0 &&
+        pstore->RemovePersonIfEmpty(enroll_pid)) {
+      // every selected view dedup-rejected: drop the person row that
+      // store_register pre-created, keeping the no-empty-person
+      // invariant the comment above promises
+      std::printf("enrollment stored no faces: removed empty pid=%d\n",
+                  enroll_pid);
+      enroll_pid = -1;
+    }
   }
   sm.Handle(facejax::Event::kFeatureStored);  // -> RegistFeature
   sm.Handle(facejax::Event::kTick);           // -> Identification

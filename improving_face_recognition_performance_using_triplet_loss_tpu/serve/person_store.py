@@ -546,6 +546,11 @@ class PersonStore:
                 img = rstr()
                 (norm,) = struct.unpack("<f", f.read(4))
                 blob = f.read(4 * dim)
+                if len(blob) != 4 * dim:
+                    # struct.unpack guards every other field; the raw
+                    # feature read must be checked too or a truncated
+                    # file imports a short blob that breaks _matrix()
+                    raise ValueError("truncated FJPD feature blob")
                 self.db.execute(
                     "INSERT INTO face (fid, pid, simd_dot, img_path, "
                     "feature) VALUES (?, ?, ?, ?, ?)",

@@ -223,11 +223,24 @@ def test_demo_person_db_mode(fixtures, tmp_path):
     assert int(s.group(3)) == 1 and int(s.group(4)) >= 1
     alice_pid = int(s.group(5))
 
-    # second enrollment into the SAME person db: bob becomes person 2
+    # second enrollment into the SAME person db from the SAME video:
+    # every one of bob's views dedup-rejects against alice's identical
+    # faces, stored stays 0, and the pre-created person row is removed
+    # again — a zero-face enrollment must NOT leave a dangling identity
+    # that can never match (round-4 review finding)
     r2 = subprocess.run(base + ["--register-name", "bob"],
                         capture_output=True, text=True, timeout=300)
     assert r2.returncode == 0, f"{r2.stdout[-2000:]}\n{r2.stderr[-2000:]}"
+    assert "removed empty pid" in r2.stdout, r2.stdout[-2000:]
     s2 = re.search(r"persons=(\d+) person_faces=(\d+)", r2.stdout)
+    assert s2 and int(s2.group(1)) == 1
+
+    # a genuinely NEW person (dedup off) still becomes person 2
+    r2b = subprocess.run(base + ["--register-name", "bob",
+                                 "--dedup-th", "-1"],
+                         capture_output=True, text=True, timeout=300)
+    assert r2b.returncode == 0, f"{r2b.stdout[-2000:]}\n{r2b.stderr[-2000:]}"
+    s2 = re.search(r"persons=(\d+) person_faces=(\d+)", r2b.stdout)
     assert s2 and int(s2.group(1)) == 2
 
     # interchange: the Python store loads the native file 1:1
@@ -347,3 +360,28 @@ def test_demo_card_only_register_and_promote(fixtures, tmp_path):
          "--register-card", "c"],
         capture_output=True, text=True, timeout=60)
     assert r3.returncode == 1 and "usage:" in r3.stderr
+
+
+def test_demo_person_db_never_clobbers_unreadable_store(fixtures, tmp_path):
+    """Opening an existing .fjpd the binary cannot read (corrupt bytes /
+    wrong dim) must NEVER destroy it: the original bytes are moved aside
+    to <db>.corrupt before the fresh store's first persist (round-4
+    review finding — the old constructor overwrote the file in place)."""
+    binary = _build_demo(str(tmp_path))
+    pdb = os.path.join(str(tmp_path), "precious.fjpd")
+    garbage = b"FJPD-but-not-really " + bytes(range(256)) * 8
+    with open(pdb, "wb") as f:
+        f.write(garbage)
+    r = subprocess.run(
+        [binary, "--video", fixtures["video"], "--mtcnn",
+         fixtures["mtcnn"], "--weights", fixtures["export"],
+         "--model", "efmnet342", "--person-db", pdb,
+         "--register-frames", "2", "--image-size", "32",
+         "--th", "0.45", "0.35", "0.3", "--register-name", "alice"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    with open(pdb + ".corrupt", "rb") as f:
+        assert f.read() == garbage
+    # and the replacement store is a valid fresh FJPD
+    with open(pdb, "rb") as f:
+        assert f.read(4) == b"FJPD"

@@ -353,6 +353,11 @@ def test_fjpd_import_rejects_corrupt_files(tmp_path):
     attempt(blob[:4] + struct.pack("<I", 9) + blob[8:])   # bad version
     attempt(blob[:8] + struct.pack("<I", 999) + blob[12:])  # dim mismatch
     attempt(blob[: len(blob) // 2])                  # truncated mid-record
+    # truncated INSIDE the final face's raw feature blob: unlike every
+    # struct.unpack field, a short f.read on the blob returns quietly,
+    # so this is the one cut the parser must check by length (round-4
+    # review finding)
+    attempt(blob[:-5])
     # oversized string length field: flip a person-name length to 2^30
     attempt(blob[:44] + struct.pack("<I", 1 << 30) + blob[48:])
     src.close()

@@ -23,8 +23,12 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -3 "$OUT/$name.log" || true
 }
 
-# 1. the driver headline (retry driver handles transient init failures)
-run bench 2400 python bench.py
+# 1. the driver headline (retry driver handles transient init failures).
+# The outer timeout must cover bench.py's own WORST-CASE retry schedule
+# (5 attempts x FACEJAX_BENCH_ATTEMPT_TIMEOUT=1800s + 180s backoff),
+# or this wrapper SIGKILLs the driver mid-retry and recreates the
+# wiped-round failure it exists to prevent.
+run bench 9600 python bench.py
 # 2. gallery-dtype real-chip rows (VERDICT item 2): 1M-row match per dtype
 for d in f32 bf16 int8; do
   run gallery_$d 2400 python tools/perf_gallery_scale.py --dtype $d
