@@ -13,6 +13,7 @@
 #include "facejax/clustering.hpp"
 #include "facejax/efmnet.hpp"
 #include "facejax/identity_store.hpp"
+#include "facejax/npz.hpp"
 #include "facejax/ert.hpp"
 #include "facejax/matcher.hpp"
 #include "facejax/mtcnn.hpp"
@@ -507,7 +508,49 @@ static void TestErtSimilarity() {
   std::printf("ert similarity-transform ok\n");
 }
 
+static void TestNpzCorruptInputs() {
+  // the export reader parses UNTRUSTED bytes; every corrupt shape must
+  // throw a clean runtime_error, never read out of bounds (ASan-checked
+  // via the sanitizer matrix in tests/test_native.py)
+  auto write = [](const std::string& path, const std::string& bytes) {
+    FILE* f = std::fopen(path.c_str(), "wb");
+    assert(f);
+    std::fwrite(bytes.data(), 1, bytes.size(), f);
+    std::fclose(f);
+  };
+  auto expect_throw = [&](const std::string& bytes, const char* what) {
+    const std::string path = "/tmp/facejax_npz_corrupt.npz";
+    write(path, bytes);
+    bool threw = false;
+    try {
+      facejax::LoadNpz(path);
+    } catch (const std::runtime_error&) {
+      threw = true;
+    }
+    if (!threw) {
+      std::printf("npz corrupt case did not throw: %s\n", what);
+      assert(false);
+    }
+  };
+  expect_throw("PK", "tiny file");
+  expect_throw(std::string(64, 'A'), "no EOCD");
+  // EOCD claiming 1 entry with a central directory past EOF
+  std::string eocd(22, '\0');
+  std::memcpy(&eocd[0], "PK\x05\x06", 4);
+  eocd[10] = 1;                       // n_entries = 1
+  eocd[16] = '\xff';                 // cd_off = huge
+  eocd[17] = '\xff';
+  eocd[18] = '\xff';
+  expect_throw(eocd, "cd offset past EOF");
+  // cd_off = 0 points at bytes that are not a central-directory entry
+  std::string eocd2 = eocd;
+  eocd2[16] = eocd2[17] = eocd2[18] = '\0';
+  expect_throw(std::string(64, 'Z') + eocd2, "bad cd entry");
+  std::printf("npz corrupt-input handling ok\n");
+}
+
 int main() {
+  TestNpzCorruptInputs();
   TestGemmVsNaive();
   TestQGemmExactOnGrid();
   TestQGemmVsF32Tolerance();
