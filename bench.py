@@ -278,7 +278,13 @@ def worker_main():
         "flops_per_image": round(flops_per_image / 1e9, 3),
         "platform": jax.devices()[0].platform,
         **extra,
-    }))
+    }), flush=True)
+    if os.environ.get("FACEJAX_BENCH_FAKE_HANG") == "1":
+        # retry-path test hook: simulate the plugin hanging at interpreter
+        # TEARDOWN, after the measurement was printed — the driver must
+        # salvage the JSON from the timed-out worker's partial stdout
+        log("FAKE_HANG: sleeping past the attempt timeout")
+        time.sleep(3600)
 
 
 def _parse_worker_json(stdout_text):

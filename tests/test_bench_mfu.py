@@ -149,3 +149,34 @@ def test_timed_scan_adaptive_window_amortizes_dispatch():
     assert adaptive_ms < 1.0, (
         f"adaptive per-rep {adaptive_ms:.3f} ms — window growth did not "
         "amortize the dispatch cost")
+
+
+def test_bench_driver_salvages_teardown_hang():
+    """A worker that prints the measurement and then HANGS at interpreter
+    teardown (a real plugin failure mode) must not cost the artifact:
+    the driver salvages the JSON from the timed-out subprocess's partial
+    stdout instead of burning every retry (round-4 review finding)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    bench_path = Path(__file__).resolve().parents[1] / "bench.py"
+    env = dict(
+        os.environ,
+        FACEJAX_BENCH_FAKE_HANG="1",
+        FACEJAX_BENCH_QUICK="1",
+        FACEJAX_BENCH_BACKOFF="0",
+        FACEJAX_BENCH_ATTEMPT_TIMEOUT="120",
+        JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(bench_path)], env=env, timeout=400,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] > 0, result
+    attempts = result["attempts"]
+    assert len(attempts) == 1, attempts
+    assert attempts[0]["rc"] == "timeout-salvaged", attempts
