@@ -460,16 +460,26 @@ class NativeMtcnn {
     std::vector<std::array<float, 9>> total;  // x1 y1 x2 y2 score reg[4]
     double minl = std::min(h, w) * (12.0 / minsize);
     const double m = 12.0 / minsize;
-    int count = 0;
-    while (minl >= 12.0) {
-      const double scale = m * std::pow(factor, count);
-      RunPnetScale(image, scale, thresholds[0], total);
-      if (timelog_)
-        std::fprintf(stderr, "\ttime - PNet scale %.4f:\t%.2f ms\n",
-                     scale, lap());
-      minl *= factor;
-      ++count;
-    }
+    std::vector<double> scales;
+    for (int count = 0; minl >= 12.0; minl *= factor, ++count)
+      scales.push_back(m * std::pow(factor, count));
+    // scale-level parallelism (the reference OMPs its pyramid loop,
+    // MTCNN.hpp:701): each scale fills a PRIVATE bucket, merged in scale
+    // order afterwards — bit-identical to the sequential pyramid,
+    // including per-scale NMS tie order. dynamic(1) because the work is
+    // geometric (scale k costs ~factor^2k of scale 0): the first thread
+    // takes the big scale while the rest drain the tail. Inner im2col/
+    // GEMM omp regions serialize inside the team (nested off) — the
+    // parallelism moves up a level rather than doubling.
+    std::vector<std::vector<std::array<float, 9>>> buckets(scales.size());
+#pragma omp parallel for schedule(dynamic, 1)
+    for (size_t s = 0; s < scales.size(); ++s)
+      RunPnetScale(image, scales[s], thresholds[0], buckets[s]);
+    for (auto& b : buckets)
+      total.insert(total.end(), b.begin(), b.end());
+    if (timelog_)
+      std::fprintf(stderr, "\ttime - PNet pyramid (%zu scales):\t%.2f ms\n",
+                   scales.size(), lap());
     if (!total.empty()) {
       std::vector<int> pick = Nms5(total, 0.7f, NmsMethod::kUnion);
       Gather(total, pick);
@@ -501,6 +511,9 @@ class NativeMtcnn {
       const size_t n = total.size();
       std::vector<float> score(n);
       std::vector<std::array<float, 4>> reg(n);
+      // crop-level parallelism (the reference OMPs its box loops,
+      // MTCNN.hpp:711,1035): each iteration writes disjoint rows
+#pragma omp parallel for schedule(dynamic, 4)
       for (size_t i = 0; i < n; ++i) {
         float p[2];
         RNetForward(crops[i], p, reg[i].data());
@@ -546,6 +559,7 @@ class NativeMtcnn {
       std::vector<float> score(n);
       std::vector<std::array<float, 4>> reg(n);
       std::vector<std::array<float, 10>> lmk(n);
+#pragma omp parallel for schedule(dynamic, 2)
       for (size_t i = 0; i < n; ++i) {
         float p[2];
         ONetForward(crops[i], p, reg[i].data(), lmk[i].data());

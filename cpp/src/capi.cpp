@@ -14,7 +14,26 @@
 #include "facejax/spsc_queue.hpp"
 #include "facejax/state_machine.hpp"
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
+
+// ---- runtime ----
+
+// Cap the OpenMP team size for every native kernel in this process
+// (pyramid scales, crop batches, GEMMs). n <= 0 just queries. Returns
+// the resulting max team size.
+int fx_set_num_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+  return omp_get_max_threads();
+#else
+  (void)n;
+  return 1;
+#endif
+}
 
 // ---- matcher ----
 

@@ -87,6 +87,14 @@ def build_parser():
                         "measured 0.96x on the detector-dominated pipeline "
                         "— useful only when the embed stage dominates "
                         "(large crops / many faces)")
+    p.add_argument("--compiled-out",
+                   help="ALSO write a ready-to-run PJRT executable "
+                        "artifact (serve/aot.py::export_compiled) at this "
+                        "path: the XLA compile happens NOW on the current "
+                        "backend, so a serving process's first dispatch "
+                        "is transfer+execute (single-digit-second cold "
+                        "start). Pinned to this platform — export on the "
+                        "deploy hardware")
     p.add_argument("--platforms", nargs="+",
                    help="lowering platforms baked into the artifact, e.g. "
                         "'tpu' or 'cpu tpu' (default: the CURRENT backend "
@@ -195,6 +203,16 @@ def main(argv=None):
                            gallery_shape=gallery_shape,
                            gallery_dtype=gdtype,
                            platforms=args.platforms)
+    if args.compiled_out:
+        from ..serve.aot import export_compiled
+
+        cpath = export_compiled(args.compiled_out, pipe, fh, fw,
+                                streams=args.streams,
+                                gallery_shape=gallery_shape,
+                                gallery_dtype=gdtype)
+        import os as _os
+        print(f"compiled executable: {cpath} "
+              f"({_os.path.getsize(cpath) / 1e6:.1f} MB, platform-pinned)")
     import os
 
     import json

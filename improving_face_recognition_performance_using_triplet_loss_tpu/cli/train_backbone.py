@@ -206,10 +206,6 @@ def main(argv=None):
             raise SystemExit(
                 f"--class-parallel {args.class_parallel} must divide the "
                 f"class count {num_classes}")
-        if args.mining == "semi_hard_fused":
-            raise SystemExit("semi_hard_fused mining is incompatible with "
-                             "--class-parallel (Pallas + check_vma); use "
-                             "semi_hard")
         if args.center_loss_weight > 0:
             raise SystemExit("--center-loss-weight is incompatible with "
                              "--class-parallel")

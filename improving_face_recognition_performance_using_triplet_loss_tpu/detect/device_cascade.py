@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.mtcnn import onet_forward, rnet_forward
-from ..ops.boxes import nms_mask_jax
+from ..ops.boxes import nms_mask
 from .device_pnet import make_device_stage1
 
 _NEG_INF = -jnp.inf
@@ -124,6 +124,7 @@ def make_device_cascade(
     stage2_cap: int = 128,
     out_cap: int = 64,
     k_per_scale: int = 128,
+    use_pallas_nms: bool | None = None,
 ):
     """One jitted program: image [h, w, 3] float (0-255) ->
     (boxes [out_cap, 5], points [out_cap, 10]); invalid rows score -inf."""
@@ -135,7 +136,8 @@ def make_device_cascade(
     stage1 = make_device_stage1(pnet_params, h, w, minsize=minsize,
                                 factor=factor, threshold=thresholds[0],
                                 out_cap=stage1_cap, with_counts=True,
-                                k_per_scale=k_per_scale)
+                                k_per_scale=k_per_scale,
+                                use_pallas_nms=use_pallas_nms)
 
     def _norm_crops(crops):
         crops = (crops - 127.5) * 0.0078125
@@ -171,7 +173,8 @@ def make_device_cascade(
         boxes2 = _masked(boxes2, score2, valid2)
         # parallel NMS keeps rows in place (mask, no gather) — reg stays
         # row-aligned for free
-        mask2 = nms_mask_jax(boxes2[:, :5], 0.7, "Union")
+        mask2 = nms_mask(boxes2[:, :5], 0.7, "Union",
+                         use_pallas=use_pallas_nms)
         kept = _masked(boxes2, boxes2[:, 4],
                        mask2 & jnp.isfinite(boxes2[:, 4]))
         boxes2 = rerec_jax(bbreg_jax(kept, reg))
@@ -193,7 +196,8 @@ def make_device_cascade(
             bh[:, None] * lmk[:, 5:10] + boxes3[:, 1:2] - 1,
         ], axis=1)                                          # [N, 10]
         boxes3 = bbreg_jax(boxes3, reg3)
-        mask3 = nms_mask_jax(boxes3[:, :5], 0.7, "Min")
+        mask3 = nms_mask(boxes3[:, :5], 0.7, "Min",
+                         use_pallas=use_pallas_nms)
         out_boxes = _masked(boxes3, boxes3[:, 4],
                             mask3 & jnp.isfinite(boxes3[:, 4]))
         out_pts = pts  # row-aligned with out_boxes (mask NMS, no gather)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.mtcnn import pnet_forward
-from ..ops.boxes import decode_pnet_topk_jax, nms_mask_jax
+from ..ops.boxes import decode_pnet_topk_jax, nms_mask, nms_mask_batched
 from .pipeline import pyramid_scales
 
 _NEG_INF = -jnp.inf
@@ -41,6 +41,7 @@ def make_device_stage1(
     k_per_scale: int = 128,
     out_cap: int = 256,
     with_counts: bool = False,
+    use_pallas_nms: bool | None = None,
 ):
     """Build a jitted stage-1 for images of shape [h, w, 3].
 
@@ -80,16 +81,20 @@ def make_device_stage1(
                                 cand.dtype).at[:, 4].set(_NEG_INF)
                 cand = jnp.concatenate([cand, pad], axis=0)
             per_scale.append(cand)
-        # ALL per-scale NMS passes run as one vmapped parallel fixed-point
-        # (nms_mask_jax) — the sequential-scan NMS was the cascade's real
-        # bottleneck on TPU (tools/perf_detect_breakdown.py)
+        # ALL per-scale NMS passes run batched — on TPU as ONE Pallas
+        # program per scale-set (grid), elsewhere as the vmapped parallel
+        # fixed point; the sequential-scan NMS was the cascade's real
+        # bottleneck on TPU (tools/perf_detect_breakdown.py), and the
+        # scan+while dispatch overhead of the XLA fixed point was 62% of
+        # what remained (round-4 attribution — hence the Pallas kernel)
         stacked = jnp.stack(per_scale)                      # [S, k, 9]
-        masks = jax.vmap(lambda c: nms_mask_jax(c[:, :5], 0.5,
-                                                "Union"))(stacked)
+        masks = nms_mask_batched(stacked[:, :, :5], 0.5, "Union",
+                                 use_pallas=use_pallas_nms)
         scores = jnp.where(masks, stacked[:, :, 4], _NEG_INF)
         stacked = stacked.at[:, :, 4].set(scores)
         allc = stacked.reshape(-1, 9)
-        mask = nms_mask_jax(allc[:, :5], 0.7, "Union")
+        mask = nms_mask(allc[:, :5], 0.7, "Union",
+                        use_pallas=use_pallas_nms)
         score = jnp.where(mask, allc[:, 4], _NEG_INF)
         # fixed-capacity output: top out_cap survivors by score (tiny
         # frames can have fewer total candidates than out_cap — pad)

@@ -181,6 +181,36 @@ def nms_mask_jax(boxes: jnp.ndarray, threshold: float,
     return mask
 
 
+def nms_mask(boxes: jnp.ndarray, threshold: float, method: str = "Union",
+             use_pallas: bool | None = None) -> jnp.ndarray:
+    """Backend-dispatched keep-mask NMS: the one-dispatch Pallas kernel on
+    TPU (ops/pallas/nms_kernel.py — the round-4 trace put 62% of fused
+    single-frame device time in the scan+while dispatch overhead of the
+    XLA form), ``nms_mask_jax`` elsewhere. Identical keep sets are pinned
+    in tests/test_pallas_nms.py; ``use_pallas`` forces the choice."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas.nms_kernel import nms_mask_pallas
+
+        return nms_mask_pallas(boxes, threshold, method)
+    return nms_mask_jax(boxes, threshold, method)
+
+
+def nms_mask_batched(boxes: jnp.ndarray, threshold: float,
+                     method: str = "Union",
+                     use_pallas: bool | None = None) -> jnp.ndarray:
+    """Batched [S, N, 5] -> [S, N] form of ``nms_mask`` (one grid program
+    per batch element on TPU; vmapped fixed point elsewhere)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas.nms_kernel import nms_mask_pallas_batched
+
+        return nms_mask_pallas_batched(boxes, threshold, method)
+    return jax.vmap(lambda c: nms_mask_jax(c, threshold, method))(boxes)
+
+
 def adversarial_nms_chain(n: int, width: float = 40.0) -> np.ndarray:
     """The dense-overlap WORST CASE for fixed-point NMS: one maximal
     alternating suppression chain. Unit-height boxes slide by width/4

@@ -12,4 +12,8 @@ from .front_kernel import (  # noqa: F401
     pack_front9_weights,
 )
 from .mfm_kernel import efm3_pallas  # noqa: F401
+from .nms_kernel import (  # noqa: F401
+    nms_mask_pallas,
+    nms_mask_pallas_batched,
+)
 from .triplet_kernel import semi_hard_mining_pallas  # noqa: F401

@@ -41,7 +41,12 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, passes_ref, *, nb: int,
                 bsz: int, m: int, threshold: float, min_method: bool):
     """One batch element: rows_ref (1, 8, m) = [x1 y1 x2 y2 score area 0 0]
     in SORTED order; cols_ref (1, m, 8) = the same transposed. Writes the
-    keep mask (1, m) as 0/1 f32 and per-block inner pass counts (1, nb)."""
+    keep mask as 0/1 f32 into keep_ref (1, 8, m) — the mask row is
+    broadcast over all 8 sublanes because Mosaic requires the block's
+    second-to-last dim be a multiple of 8 (a (1, m) block over an
+    (S, m) array fails TPU lowering; caller reads sublane 0) — plus
+    per-block inner pass counts as f32 lanes 0..nb-1 of a (1, 8, 128)
+    VMEM block (same tiling constraint rules out a (1, nb) SMEM row)."""
     rows = rows_ref[0]                                  # (8, m)
     x1c = cols_ref[0, :, 0:1]                           # (m, 1) columns
     y1c = cols_ref[0, :, 1:2]
@@ -53,7 +58,8 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, passes_ref, *, nb: int,
     # keep_ref doubles as the accumulator: earlier blocks' decisions are
     # final by the time later blocks read them (static-slice stores only —
     # Mosaic has no dynamic_update_slice lowering)
-    keep_ref[:] = jnp.zeros((1, m), jnp.float32)
+    keep_ref[:] = jnp.zeros((1, 8, m), jnp.float32)
+    passes_ref[:] = jnp.zeros((1, 8, 128), jnp.float32)
 
     for t in range(nb):                                 # static unroll
         start = t * bsz
@@ -82,7 +88,7 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, passes_ref, *, nb: int,
         # earlier blocks' decisions in keep_ref are FINAL; this/later
         # blocks are still 0 there, so `pre` counts exactly the final
         # prefix
-        pre = jnp.dot(keep_ref[:], supf,
+        pre = jnp.dot(keep_ref[0, 0:1, :], supf,
                       preferred_element_type=jnp.float32)
         sub = jax.lax.slice(supf, (start, 0), (start + bsz, bsz))  # (B, B)
         vblk = jnp.isfinite(scr) & (pre == 0.0)         # (1, B)
@@ -104,8 +110,9 @@ def _nms_kernel(rows_ref, cols_ref, keep_ref, passes_ref, *, nb: int,
 
         kb, _, it = jax.lax.while_loop(
             icond, ibody, (kb1, kb0, jnp.ones((), jnp.int32)))
-        keep_ref[:, start:start + bsz] = kb
-        passes_ref[0, t] = it
+        keep_ref[0, :, start:start + bsz] = jnp.broadcast_to(kb, (8, bsz))
+        passes_ref[0, :, t:t + 1] = jnp.full((8, 1), 1.0) * it.astype(
+            jnp.float32)
 
 
 def nms_mask_pallas_batched(boxes: jnp.ndarray, threshold: float,
@@ -140,28 +147,29 @@ def nms_mask_pallas_batched(boxes: jnp.ndarray, threshold: float,
                      axis=1)                            # [S, 8, m]
     cols = jnp.swapaxes(rows, 1, 2)                     # [S, m, 8]
     nb = m // bsz
+    assert nb <= 128, f"too many Gauss-Seidel blocks ({nb}) for one lane row"
     kern = functools.partial(_nms_kernel, nb=nb, bsz=bsz, m=m,
                              threshold=float(threshold),
                              min_method=(method == "Min"))
     keep_s, passes = pl.pallas_call(
         kern,
         grid=(s_dim,),
-        out_shape=(jax.ShapeDtypeStruct((s_dim, m), jnp.float32),
-                   jax.ShapeDtypeStruct((s_dim, nb), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((s_dim, 8, m), jnp.float32),
+                   jax.ShapeDtypeStruct((s_dim, 8, 128), jnp.float32)),
         in_specs=[pl.BlockSpec((1, 8, m), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, m, 8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, m), lambda i: (i, 0),
+        out_specs=(pl.BlockSpec((1, 8, m), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, nb), lambda i: (i, 0),
-                                memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(rows, cols)
     mask = jnp.zeros((s_dim, n), bool).at[
-        jnp.arange(s_dim)[:, None], order].set(keep_s[:, :n] > 0.5)
+        jnp.arange(s_dim)[:, None], order].set(keep_s[:, 0, :n] > 0.5)
     if return_passes:
-        return mask, passes
+        return mask, passes[:, 0, :nb].astype(jnp.int32)
     return mask
 
 

@@ -87,6 +87,8 @@ def load_native() -> ctypes.CDLL:
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int)
 
+    lib.fx_set_num_threads.restype = ctypes.c_int
+    lib.fx_set_num_threads.argtypes = [ctypes.c_int]
     lib.fx_dot.restype = ctypes.c_float
     lib.fx_dot.argtypes = [f32p, f32p, ctypes.c_int]
     lib.fx_cosine.restype = ctypes.c_float
@@ -196,6 +198,13 @@ def load_native() -> ctypes.CDLL:
 def _f32(a: np.ndarray):
     a = np.ascontiguousarray(a, np.float32)
     return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def native_set_num_threads(n: int) -> int:
+    """Cap the OpenMP team size for every native kernel in this process
+    (pyramid scales, crop batches, GEMMs); n <= 0 just queries. Returns
+    the resulting max team size."""
+    return int(load_native().fx_set_num_threads(int(n)))
 
 
 def native_cosine(a: np.ndarray, b: np.ndarray) -> float:

@@ -115,9 +115,13 @@ def test_lfw_run_align_path(tmp_path):
 
 def test_lfw_run_on_imported_reference_checkpoint(tmp_path):
     """Parity-by-construction, operationally: a reference .params checkpoint
-    (here a fixture written in the MXNet layout) imports via import_params
-    and scores LFW through the one-command harness — the exact flow the day
-    a real EFM_RES checkpoint + LFW tarball arrive."""
+    (here synthesized IN the MXNet layout from a model trained/initialized
+    here) imports via import_params and scores LFW through the one-command
+    harness — the exact flow the day a real EFM_RES checkpoint + LFW
+    tarball arrive. The imported model's per-pair scores and fold
+    accuracies must EQUAL the native export's (the mxnet round-trip is
+    lossless), so the eventual parity number is one command
+    (facenet.py:428-520 protocol; VERDICT r4 item 7)."""
     import jax
 
     from improving_face_recognition_performance_using_triplet_loss_tpu.cli import (
@@ -125,6 +129,9 @@ def test_lfw_run_on_imported_reference_checkpoint(tmp_path):
     )
     from improving_face_recognition_performance_using_triplet_loss_tpu.models import (
         EFMNet342,
+    )
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.export import (
+        export_params,
     )
     from improving_face_recognition_performance_using_triplet_loss_tpu.utils.mxnet_import import (
         efm_params_to_mxnet,
@@ -135,14 +142,27 @@ def test_lfw_run_on_imported_reference_checkpoint(tmp_path):
     model = EFMNet342(num_classes=8)
     variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, 32, 32, 1), np.float32))
-    ckpt = str(tmp_path / "EFM_RES-0280.params")
-    write_mxnet_params(ckpt, efm_params_to_mxnet(
-        jax.tree_util.tree_map(np.asarray, variables["params"])))
-    export = str(tmp_path / "imported")
-    import_params.main([ckpt, "--out-dir", export])
+    np_params = jax.tree_util.tree_map(np.asarray, variables["params"])
 
-    rows = lfw_run.main([
-        "--lfw", tree, "--pairs", pairs, "--export-dir", export,
-        "--folds", "2", "--batch-size", "8", "--num-classes", "8"])
-    assert rows[0]["n_pairs"] == 7
-    assert np.isfinite(rows[0]["accuracy_mean"])
+    # the native export of the SAME weights — the ground truth
+    native = str(tmp_path / "native")
+    export_params(native, np_params, model_name="efmnet342",
+                  feature_dim=342, input_hw=(32, 32))
+
+    # the reference-layout checkpoint -> import_params -> export
+    ckpt = str(tmp_path / "EFM_RES-0280.params")
+    write_mxnet_params(ckpt, efm_params_to_mxnet(np_params))
+    imported = str(tmp_path / "imported")
+    import_params.main([ckpt, "--out-dir", imported])
+
+    common = ["--lfw", tree, "--pairs", pairs, "--folds", "2",
+              "--batch-size", "8", "--num-classes", "8"]
+    rows_imp = lfw_run.main(["--export-dir", imported] + common)
+    rows_nat = lfw_run.main(["--export-dir", native] + common)
+    assert rows_imp[0]["n_pairs"] == 7
+    assert np.isfinite(rows_imp[0]["accuracy_mean"])
+    # lossless round-trip: identical protocol numbers, not just "finite"
+    for k in ("accuracy_mean", "accuracy_std", "val", "far", "auc"):
+        if k in rows_nat[0]:
+            np.testing.assert_allclose(rows_imp[0][k], rows_nat[0][k],
+                                       rtol=0, atol=0, err_msg=k)

@@ -64,6 +64,7 @@ path = export_aot.main([
     "--streams", str(streams),
     "--frame-size", str(fh), str(fw),
     "--embed-size", "64",
+    "--compiled-out", os.path.join(work, "pipe_ms.pjrt"),
     "--out", os.path.join(work, "pipe_ms.shlo")])
 export_s = time.perf_counter() - t0
 rng = np.random.default_rng(0)
@@ -85,10 +86,14 @@ sys.path.insert(0, {repo!r})
 sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.models'] = None
 sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.detect'] = None
 import numpy as np
-t0 = time.perf_counter()
-from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import load_pipeline
 work = {work!r}
-fn = load_pipeline(os.path.join(work, "pipe_ms.shlo"))
+t0 = time.perf_counter()
+if {compiled!r} == "compiled":
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import load_compiled
+    fn = load_compiled(os.path.join(work, "pipe_ms.pjrt"))
+else:
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import load_pipeline
+    fn = load_pipeline(os.path.join(work, "pipe_ms.shlo"))
 load_s = time.perf_counter() - t0
 z = np.load(os.path.join(work, "gal_state.npz"))
 gal, rows = z["gallery_n"], np.int32(z["rows"])
@@ -150,11 +155,25 @@ def main():
         exp.update(streams=args.streams, frame=[fh, fw],
                    gallery_rows=args.gallery_rows)
         print(json.dumps(exp))
-        for regime in ("cold", "warm"):
+        # "compiled" FIRST and with its own empty cache: it must reach the
+        # first identified frame without ANY XLA compile (the truly-AOT
+        # artifact, VERDICT r4 item 2); then the StableHLO cold/warm pair
+        # shares the persistent cache as before.
+        for regime, kind in (("compiled", "compiled"), ("cold", "shlo"),
+                             ("warm", "shlo")):
+            env = base_env
+            if regime == "compiled":
+                ccache = os.path.join(work, "xla_cache_compiled")
+                os.makedirs(ccache, exist_ok=True)
+                env = {**base_env, "JAX_COMPILATION_CACHE_DIR": ccache,
+                       "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5"}
             row = run_stage(
                 SERVE_STAGE.format(repo=REPO, work=work, regime=regime,
-                                   reps=args.reps, streams=args.streams),
-                base_env, args.timeout)
+                                   reps=args.reps, streams=args.streams,
+                                   compiled=kind),
+                env, args.timeout)
+            if regime == "compiled":
+                row["xla_cache_entries_written"] = len(os.listdir(ccache))
             print(json.dumps(row))
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -172,6 +172,19 @@ def main():
     sub("maskNMS [1280] (cross-scale)",
         lambda c: nms_mask_jax(c, 0.7, "Union"), cand)
 
+    # one-dispatch Pallas NMS at the same shapes (round-5: the scan+while
+    # dispatch overhead above was 62% of the fused frame)
+    from improving_face_recognition_performance_using_triplet_loss_tpu.ops.pallas.nms_kernel import (
+        nms_mask_pallas,
+        nms_mask_pallas_batched,
+    )
+
+    sub("pallasNMS 10 x [128] (one grid call)",
+        lambda c: nms_mask_pallas_batched(c.reshape(10, 128, 5), 0.5,
+                                          "Union"), cand)
+    sub("pallasNMS [1280] (cross-scale)",
+        lambda c: nms_mask_pallas(c, 0.7, "Union"), cand)
+
     # --- crops + stage 2/3 forwards at capacity
     boxes = jnp.asarray(
         np.concatenate([rng.uniform(0, args.size - 48, (256, 2)),
@@ -189,8 +202,14 @@ def main():
     # --- the whole cascade
     cascade = make_device_cascade(det.pnet_params, det.rnet_params,
                                   det.onet_params, h, w,
-                                  thresholds=(0.3, 0.3, 0.3))
-    sub("FULL cascade", cascade, img)
+                                  thresholds=(0.3, 0.3, 0.3),
+                                  use_pallas_nms=False)
+    sub("FULL cascade (XLA maskNMS)", cascade, img)
+    cascade_p = make_device_cascade(det.pnet_params, det.rnet_params,
+                                    det.onet_params, h, w,
+                                    thresholds=(0.3, 0.3, 0.3),
+                                    use_pallas_nms=True)
+    sub("FULL cascade (pallas NMS)", cascade_p, img)
 
     print(f"\n{args.size}px breakdown (ms on-chip, null-subtracted):")
     for name, ms in rows:

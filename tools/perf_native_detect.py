@@ -30,6 +30,9 @@ def main():
                     help="quantized convs (~10%% on busy frames only: "
                          "PNet's 10/16/32-channel convs are im2col-bound, "
                          "unlike the embedder's 2.9x)")
+    ap.add_argument("--threads", type=int, nargs="*",
+                    help="OMP team sizes to sweep (e.g. 1 2 4 8); default: "
+                         "the hardware default only")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +48,7 @@ def main():
     )
     from improving_face_recognition_performance_using_triplet_loss_tpu.serve.native import (
         NativeMtcnn,
+        native_set_num_threads,
     )
 
     key = jax.random.PRNGKey(0)
@@ -65,17 +69,21 @@ def main():
     # cells pass on noise -> the O(n^2) NMS dominates, which no real frame
     # produces). th1=0.9 passes zero cells -> the honest pyramid-sweep
     # floor; the busy point is tuned to a realistic candidate load.
-    for label, img, th in (
-            ("quiet", noise, (0.9, 0.7, 0.7)),
-            ("busy", smooth, (0.7, 0.35, 0.3))):
-        boxes, _ = det.detect(img, minsize=args.minsize, thresholds=th)
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            det.detect(img, minsize=args.minsize, thresholds=th)
-            ts.append(time.perf_counter() - t0)
-        print(f"{label} {h}x{w} minsize={args.minsize} th={th}: "
-              f"{min(ts) * 1e3:.1f} ms/frame ({boxes.shape[0]} faces)")
+    thread_points = args.threads or [0]  # 0 = hardware default
+    for nthr in thread_points:
+        eff = native_set_num_threads(nthr)
+        for label, img, th in (
+                ("quiet", noise, (0.9, 0.7, 0.7)),
+                ("busy", smooth, (0.7, 0.35, 0.3))):
+            boxes, _ = det.detect(img, minsize=args.minsize, thresholds=th)
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                det.detect(img, minsize=args.minsize, thresholds=th)
+                ts.append(time.perf_counter() - t0)
+            print(f"threads={eff} {label} {h}x{w} minsize={args.minsize} "
+                  f"th={th}: {min(ts) * 1e3:.1f} ms/frame "
+                  f"({boxes.shape[0]} faces)")
 
 
 if __name__ == "__main__":
