@@ -95,6 +95,14 @@ def build_parser():
                         "is transfer+execute (single-digit-second cold "
                         "start). Pinned to this platform — export on the "
                         "deploy hardware")
+    p.add_argument("--cache-bundle", action="store_true",
+                   help="after export, compile the artifact ONCE in a "
+                        "fresh subprocess and ship the persistent "
+                        "compilation-cache entries as <out>.xcache/ — a "
+                        "serving machine's first dispatch becomes a cache "
+                        "hit (single-digit-second cold start) instead of a "
+                        "full XLA compile. Prime on hardware matching the "
+                        "deploy target")
     p.add_argument("--platforms", nargs="+",
                    help="lowering platforms baked into the artifact, e.g. "
                         "'tpu' or 'cpu tpu' (default: the CURRENT backend "
@@ -203,6 +211,15 @@ def main(argv=None):
                            gallery_shape=gallery_shape,
                            gallery_dtype=gdtype,
                            platforms=args.platforms)
+    if args.cache_bundle:
+        import os as _os
+
+        from ..serve.aot import prime_cache_bundle
+
+        bundle = prime_cache_bundle(path)
+        print(f"cache bundle: {bundle} ({len(_os.listdir(bundle))} "
+              f"entries) — serving cold start is now a cache hit on "
+              f"matching hardware")
     if args.compiled_out:
         from ..serve.aot import export_compiled
 

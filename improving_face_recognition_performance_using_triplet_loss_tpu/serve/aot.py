@@ -26,9 +26,16 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import shutil
+import subprocess
+import sys
 
 import jax
 import numpy as np
+
+#: sidecar directory of persistent-compilation-cache entries shipped next to
+#: a StableHLO artifact (``<artifact>.xcache/``) — see prime_cache_bundle.
+CACHE_BUNDLE_SUFFIX = ".xcache"
 
 
 def _pipeline_specs(frame_h: int, frame_w: int, streams: int,
@@ -89,13 +96,22 @@ def export_pipeline(out_path: str, pipeline, frame_h: int, frame_w: int,
     return out_path
 
 
-def load_pipeline(path: str):
+def load_pipeline(path: str, *, use_cache_bundle: bool = True):
     """Deserialize an exported pipeline; returns fn(frame) -> outputs dict
     (fn(frame, gallery_n, rows) for dynamic-gallery artifacts — check the
     sidecar .json's ``dynamic_gallery``). No access to the original Python
-    model/weights is needed."""
+    model/weights is needed.
+
+    If a ``<path>.xcache/`` bundle exists (written by prime_cache_bundle),
+    its persistent-compilation-cache entries are installed before the first
+    dispatch, so even a machine that has never compiled this program skips
+    the XLA compile — the genuinely ahead-of-time cold start (the
+    reference's serving process loads a ready predictor, Feature.hpp:213-219).
+    """
     from jax.export import deserialize
 
+    if use_cache_bundle:
+        install_cache_bundle(path)
     with open(path, "rb") as f:
         exported = deserialize(bytearray(f.read()))
 
@@ -103,6 +119,130 @@ def load_pipeline(path: str):
         return exported.call(*args)
 
     return fn
+
+
+def install_cache_bundle(artifact_path: str) -> bool:
+    """Make a ``<artifact>.xcache/`` bundle's entries visible to this
+    process's persistent compilation cache; returns True if anything was
+    installed.
+
+    If the process already has a cache dir configured
+    (JAX_COMPILATION_CACHE_DIR or jax_compilation_cache_dir), bundle
+    entries are copied in (existing entries win). Otherwise the cache is
+    pointed AT the bundle directory — zero copies; XLA may also write new
+    entries there, which is harmless for a local deploy dir.
+    """
+    bundle = artifact_path + CACHE_BUNDLE_SUFFIX
+    if not os.path.isdir(bundle) or not os.listdir(bundle):
+        return False
+    # jax's default jax_persistent_cache_enable_xla_caches injects the
+    # cache dir's ABSOLUTE PATH into debug_options
+    # (xla_gpu_per_fusion_autotune_cache_dir), which IS hashed into the
+    # cache key — entries primed under one path could never hit from
+    # another. prime_cache_bundle disables it on the priming side; mirror
+    # that here so this process computes the same path-independent keys.
+    # (The option only feeds an xla:gpu autotune cache — a no-op on
+    # TPU/CPU serving targets.)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "")
+    current = (jax.config.jax_compilation_cache_dir
+               or os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+    if not current:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as cc,
+        )
+
+        cc.set_cache_dir(bundle)
+        return True
+    if os.path.abspath(current) == os.path.abspath(bundle):
+        return True
+    os.makedirs(current, exist_ok=True)
+    installed = False
+    for name in os.listdir(bundle):
+        src, dst = os.path.join(bundle, name), os.path.join(current, name)
+        if os.path.exists(dst):
+            continue
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+        installed = True
+    return installed
+
+
+_PRIME_SRC = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+path = {path!r}
+meta = json.load(open(path + ".json"))
+import jax
+# keys must not embed the cache dir's absolute path (see
+# install_cache_bundle) or the bundle only hits when the deploy machine
+# unpacks it at the identical path (env JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES
+# set to "" is IGNORED by jax's optional_string_state — must be config)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
+if len(meta.get("platforms", [])) == 1:
+    # single-platform artifact: prime on that backend (a cpu-exported
+    # artifact must not init the TPU, and vice versa)
+    jax.config.update("jax_platforms", meta["platforms"][0])
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
+    load_pipeline,
+)
+fn = load_pipeline(path, use_cache_bundle=False)
+fh, fw = meta["frame_h"], meta["frame_w"]
+streams = meta.get("streams", 0)
+shape = (streams, fh, fw, 3) if streams else (fh, fw, 3)
+args = [np.zeros(shape, np.float32)]
+if meta.get("dynamic_gallery"):
+    name = meta["gallery_dtype"]
+    try:
+        dt = np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+        dt = np.dtype(getattr(ml_dtypes, name))
+    args.append(np.zeros((meta["gallery_rows"], meta["gallery_dim"]), dt))
+    args.append(np.int32(1))
+import jax
+jax.block_until_ready(jax.tree.leaves(fn(*args)))
+print("PRIMED")
+"""
+
+
+def prime_cache_bundle(artifact_path: str, *, timeout: int = 3600) -> str:
+    """Compile an exported pipeline ONCE, capturing the persistent-cache
+    entries into ``<artifact>.xcache/`` so they ship with the artifact.
+
+    Runs in a fresh subprocess that takes exactly the deploy path
+    (``load_pipeline`` -> ``exported.call``) — the cache keys a serving
+    process computes are the keys the bundle holds. (An
+    ``export_compiled``-style in-process ``jit(...).compile()`` produces
+    DIFFERENT keys: measured round 5, a shared cache dir between that path
+    and ``exported.call`` still cold-compiled for 150 s.)
+
+    Costs one full XLA compile at export time; the deploy machine's first
+    dispatch becomes a cache hit. Run on hardware matching the deploy
+    target — entries are keyed on platform + compiler version.
+    """
+    bundle = artifact_path + CACHE_BUNDLE_SUFFIX
+    os.makedirs(bundle, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = {**os.environ,
+           "JAX_COMPILATION_CACHE_DIR": bundle,
+           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0",
+           "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1"}
+    code = _PRIME_SRC.format(repo=repo, path=artifact_path)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=timeout, env=env)
+    if r.returncode != 0 or "PRIMED" not in r.stdout:
+        raise RuntimeError(
+            f"cache-bundle priming failed rc={r.returncode}:\n"
+            f"{r.stderr[-2000:]}")
+    if not os.listdir(bundle):
+        raise RuntimeError(
+            "priming compiled but wrote no cache entries — check the "
+            "persistent-cache env overrides took effect")
+    return bundle
 
 
 def export_compiled(out_path: str, pipeline, frame_h: int, frame_w: int,

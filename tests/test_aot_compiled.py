@@ -33,7 +33,10 @@ from improving_face_recognition_performance_using_triplet_loss_tpu.models import
 )
 from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
     export_compiled,
+    export_pipeline,
+    install_cache_bundle,
     load_compiled,
+    prime_cache_bundle,
 )
 from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (
     make_recognition_pipeline,
@@ -140,3 +143,87 @@ print(json.dumps({{"load_s": load_s, "first_s": first_s,
     # no compile happened in the child: the persistent cache (which
     # records every XLA compile above the 0-second threshold) is empty
     assert not any(cache.iterdir()), list(cache.iterdir())
+
+
+def test_cache_bundle_fresh_process_first_dispatch_is_cache_hit(tmp_path):
+    """The shippable compilation-cache bundle (serve/aot.py::
+    prime_cache_bundle): export -> prime (subprocess, deploy path) ->
+    a FRESH process with an EMPTY cache dir of its own loads the artifact
+    with the bundle installed and its first dispatch is a persistent-cache
+    HIT (asserted on jax's own hit log line), with outputs matching the
+    live pipeline."""
+    pipe = _small_pipeline()
+    rng = np.random.default_rng(2)
+    from improving_face_recognition_performance_using_triplet_loss_tpu.serve.pipeline import (  # noqa: E501
+        normalize_gallery as _ng,
+    )
+
+    gal = np.asarray(_ng(rng.normal(size=(8, 342))))
+    frame = (rng.random((48, 48, 3)) * 255).astype(np.float32)
+    path = export_pipeline(str(tmp_path / "pipe.shlo"), pipe, 48, 48,
+                           gallery_shape=(8, 342), platforms=["cpu"])
+    want = jax.jit(pipe)(frame, gal, np.int32(8))
+    bundle = prime_cache_bundle(path)
+    assert os.listdir(bundle), "priming wrote no cache entries"
+    np.save(tmp_path / "frame.npy", frame)
+    np.save(tmp_path / "gal.npy", gal)
+
+    cache = tmp_path / "deploy_cache"  # the deploy machine's own empty dir
+    cache.mkdir()
+    child = rf"""
+import json, sys, time
+sys.path.insert(0, {REPO!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", {str(cache)!r})
+jax.config.update("jax_log_compiles", True)  # hits log at WARNING
+sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.models'] = None
+sys.modules['improving_face_recognition_performance_using_triplet_loss_tpu.detect'] = None
+import numpy as np
+from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import load_pipeline
+fn = load_pipeline({str(path)!r})
+frame = np.load({str(tmp_path / 'frame.npy')!r})
+gal = np.load({str(tmp_path / 'gal.npy')!r})
+out = fn(frame, gal, np.int32(8))
+print(json.dumps({{"index": int(np.asarray(out["index"])),
+                   "similarity": float(np.asarray(out["similarity"]))}}))
+"""
+    r = subprocess.run([sys.executable, "-c", child], capture_output=True,
+                       text=True, timeout=240,
+                       env={**os.environ, "JAX_PLATFORMS": ""})
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert row["index"] == int(np.asarray(want["index"]))
+    np.testing.assert_allclose(row["similarity"],
+                               float(np.asarray(want["similarity"])),
+                               rtol=1e-6)
+    # the entries were installed into the deploy machine's cache dir and
+    # the dispatch was a HIT, not a recompile
+    assert any(cache.iterdir())
+    assert "Persistent compilation cache hit" in r.stderr, r.stderr[-2000:]
+
+
+def test_install_cache_bundle_copies_into_configured_dir(tmp_path):
+    art = tmp_path / "a.shlo"
+    art.write_bytes(b"x")
+    bundle = tmp_path / "a.shlo.xcache"
+    bundle.mkdir()
+    (bundle / "entry1").write_bytes(b"cache-entry")
+    target = tmp_path / "target_cache"
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = str(target)
+    try:
+        assert install_cache_bundle(str(art))
+        assert (target / "entry1").read_bytes() == b"cache-entry"
+        # existing entries win; second install is a no-op
+        (target / "entry1").write_bytes(b"local")
+        assert not install_cache_bundle(str(art))
+        assert (target / "entry1").read_bytes() == b"local"
+    finally:
+        del os.environ["JAX_COMPILATION_CACHE_DIR"]
+
+
+def test_install_cache_bundle_absent_is_noop(tmp_path):
+    art = tmp_path / "b.shlo"
+    art.write_bytes(b"x")
+    assert not install_cache_bundle(str(art))
