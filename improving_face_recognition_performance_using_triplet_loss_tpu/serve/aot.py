@@ -181,10 +181,13 @@ import jax
 # unpacks it at the identical path (env JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES
 # set to "" is IGNORED by jax's optional_string_state — must be config)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "")
-if len(meta.get("platforms", [])) == 1:
-    # single-platform artifact: prime on that backend (a cpu-exported
-    # artifact must not init the TPU, and vice versa)
-    jax.config.update("jax_platforms", meta["platforms"][0])
+if meta.get("platforms") == ["cpu"]:
+    # cpu-exported artifact: prime on cpu, never init an accelerator.
+    # For accelerator artifacts trust the environment's backend instead:
+    # the lowering platform name ("tpu") need not be requestable as a
+    # jax_platforms value (e.g. tunneled TPUs register via a plugin whose
+    # platform alias differs, and forcing "tpu" tries a local libtpu).
+    jax.config.update("jax_platforms", "cpu")
 from improving_face_recognition_performance_using_triplet_loss_tpu.serve.aot import (
     load_pipeline,
 )
